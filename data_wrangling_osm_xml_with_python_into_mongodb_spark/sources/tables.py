@@ -1,0 +1,34 @@
+"""Parquet table loaders for the synthetic benchmark tables.
+
+Columnar parquet scans are the canonical source: Catalyst pushes filters
+into the scan (``PushedFilters``) and prunes columns (``ReadSchema``),
+so every downstream query only pays for what it touches -- the property
+that matters most at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every synthetic table; keys match the DuckDB oracle views."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
