@@ -1,0 +1,80 @@
+"""Benchmark harness: times the headline queries at the configured
+scale factor and emits ONE JSON line for the driver.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] thread count (default 32)
+
+Output: {"metric": "headline_queries_wall", "value": <total sec>,
+         "unit": "sec", "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Headline set: one representative per operator family -- scan-agg,
+# multi-join, semi-join, top-k, materialized index, dedup (exact +
+# minhash), text profile, vector ANN, window.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "j2_inner_join_revenue",
+    "j3_semi_join_heavy_orders",
+    "j4_most_referenced_parts",
+    "m3_ref_index_parts",
+    "dd1_exact_dedup",
+    "dd3_minhash_lsh_pairs",
+    "t2_quality_scores",
+    "v1_ann_bruteforce_topk",
+    "w2_top2_orders_per_customer",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as ent
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="bench")
+    qs = ent.queries()
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # query, not session startup.
+    qs["a3_orders_by_status"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,284 @@
+"""The OSM cleaning expression library.
+
+Re-expresses the reference's per-record Python cleaning functions
+(reference: clean_and_write.py:9-227 -- format_phone, clean_street_type,
+audit_addr, get_isin_set, handle_list_keys, handle_bools,
+misc_val_edits, key-rewrite rules) as pure ``Column -> Column``
+native expressions: vectorized, codegen'd, no Python in the hot path.
+
+Semantics are pinned by golden tests (tests/test_cleaning.py) using the
+reference notebook's own input/expected pairs (main.ipynb cells 17, 23).
+
+One documented deviation: the reference's ``format_phone`` returns ""
+for inputs that already fully match ``+1-###-###-####``
+(clean_and_write.py:97-111 initializes the result to "" and only
+rebuilds on non-match); on its dataset no input was pre-formatted so
+the branch never fired.  We return already-valid numbers unchanged,
+which is the evident intent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- constant maps (reference clean_and_write.py:22-63) -------------------
+
+PHONE_RE = r"\+1-\d{3}-\d{3}-\d{4}"
+
+IS_IN_MAP: dict[str, list[str]] = {
+    "is_in": ["USA", "WA", "Whatcom County", "Bellingham"],
+    "is_in:country": ["USA"],
+    "is_in:country_code": ["US"],
+    "is_in:county": ["Whatcom"],
+    "is_in:iso_3166_2": ["US:WA"],
+    "is_in:state": ["WA"],
+    "is_in:state_code": ["WA"],
+}
+
+CREATED_LST = ["version", "changeset", "timestamp", "user", "uid"]
+
+STREET_TYPE_MAP: dict[str, str] = {
+    "Ave": "Avenue", "Ave.": "Avenue", "Blvd": "Boulevard",
+    "Bakerview": "Bakerview Road", "Count": "Court", "Dr": "Drive",
+    "Forest": "Forest Street", "Hwy": "Highway", "Meridian": "Meridian Road",
+    "Pkwy": "Parkway", "Rd": "Road", "Rd.": "Road", "Road3": "Road",
+    "St": "Street", "St.": "Street", "Street,": "Street",
+    "Street\\": "Street", "street": "Street",
+}
+
+WRONG_KEY_MAP: dict[str, str] = {
+    "image": "wikimedia_commons",
+    "maxspeed:type": "source:maxspeed",
+    "reg_name": "name",
+    "social_centre:for": "social_facility:for",
+    "symbol": "wiki:symbol",
+}
+
+BOOL_TAGS_LST = ["fuel", "payment"]
+
+TO_INT_LST = [
+    "ele", "population", "quantity", "faces", "seats", "screen", "lanes",
+    "max_level", "min_level", "cables", "beds", "changing_table:count",
+    "hoops", "disabled_spaces", "par", "step_count", "handicap",
+]
+
+TO_FLOAT_LST = [
+    "roof:levels", "level", "building:levels:underground", "levels",
+    "roof:height", "maxheight", "building:levels",
+]
+
+SUBDIVIDE_LST = ["addr", "cost", "fire_hydrant", "fuel", "payment", "service", "wiki"]
+
+LIST_KEYS = [
+    "alt_name", "animal_boarding", "amenity", "artist_name",
+    "bicycle:conditional", "building", "clothes", "cuisine", "destination",
+    "destination:ref", "destination:ref:backward",
+    "destination:symbol:backward", "destination:symbol:forward", "direction",
+    "fax", "int_name", "name", "loc_name", "material", "maxweight",
+    "maxweight:conditional", "motor_vehicle:conditional", "name_alt",
+    "old_name", "old_railway_operator", "old_ref", "opening",
+    "opening_hours", "phone", "postal_code", "seasonal", "shop",
+    "short_name", "source", "sport", "turn", "turn:backward",
+    "turn:forward", "turn:lanes", "turn:lanes:backward",
+    "turn:lanes:forward", "website",
+]
+
+PROBLEMCHARS_RE = r"""[=\+/&<>;'"\?%#\$@,\. \t\r\n]"""
+
+
+def _map_literal(mapping: dict[str, str]) -> Column:
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*pairs)
+
+
+# --- F1: phone normalization (clean_and_write.py:97-111) ------------------
+
+def format_phone(num: Column) -> Column:
+    """Normalize to ``+1-AAA-NNN-NNNN[ xEXT]``.
+
+    Non-matching inputs: strip non-digits; fix the ``306`` -> ``360``
+    area-code typo (first occurrence, possibly behind leading 1s);
+    ensure leading country code 1; digits beyond 11 become an
+    ``x``-extension; hyphenate.
+    """
+    digits = F.regexp_replace(num, r"\D", "")
+    # '^(1*)306' -> '$1360': anchored, so only the first occurrence.
+    digits = F.when(
+        digits.rlike(r"^1*306"),
+        F.regexp_replace(digits, r"^(1*)306", r"$1360"),
+    ).otherwise(digits)
+    digits = F.when(digits.startswith("1"), digits).otherwise(F.concat(F.lit("1"), digits))
+    head = F.concat(
+        F.lit("+"),
+        F.substring(digits, 1, 1), F.lit("-"),
+        F.substring(digits, 2, 3), F.lit("-"),
+        F.substring(digits, 5, 3), F.lit("-"),
+    )
+    # Reference semantics: >12 digits -> ' x'-extension spliced in after
+    # digit 11; otherwise the hyphenated tail takes ALL remaining digits.
+    with_ext = F.concat(
+        head, F.substring(digits, 8, 4), F.lit(" x"), F.substring(digits, 12, 2_000_000)
+    )
+    plain = F.concat(head, F.substring(digits, 8, 2_000_000))
+    formatted = F.when(F.length(digits) > 12, with_ext).otherwise(plain)
+    return F.when(num.rlike(f"^{PHONE_RE}$"), num).otherwise(formatted)
+
+
+# --- F2: street-type normalization (clean_and_write.py:66-77) -------------
+
+def split_unit_from_street(street: Column) -> Column:
+    """The trailing ``#unit`` token, if any (reference pops it first)."""
+    last = F.element_at(F.split(street, r"\s+"), -1)
+    return F.when(last.contains("#"), last).otherwise(F.lit(None).cast("string"))
+
+
+def clean_street_type(street: Column) -> Column:
+    """Drop a trailing ``#unit`` token, then map the trailing street-type
+    token through STREET_TYPE_MAP (``Ave.`` -> ``Avenue`` etc.)."""
+    toks = F.split(street, r"\s+")
+    last = F.element_at(toks, -1)
+    toks = F.when(last.contains("#"), F.slice(toks, 1, F.size(toks) - 1)).otherwise(toks)
+    last2 = F.element_at(toks, -1)
+    mapped = _map_literal(STREET_TYPE_MAP)[last2]
+    head = F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1))
+    return F.when(
+        mapped.isNotNull(), F.concat_ws(" ", head, mapped)
+    ).otherwise(F.concat_ws(" ", toks))
+
+
+# --- F3: addr dispatch (clean_and_write.py:80-94) -------------------------
+
+def clean_addr_unit(v: Column) -> Column:
+    """Expand a street-type abbreviation glued to the front of a unit."""
+    prefix = F.substring(v, 1, 3)
+    mapped = _map_literal(STREET_TYPE_MAP)[prefix]
+    return F.when(
+        mapped.isNotNull(), F.concat(mapped, F.substring(v, 4, 2_000_000))
+    ).otherwise(v)
+
+
+def clean_housename(v: Column) -> Column:
+    """Title-case every word, dropping literal ``LLC`` tokens."""
+    kept = F.filter(F.split(v, r"\s+"), lambda w: w != "LLC")
+    return F.initcap(F.concat_ws(" ", kept))
+
+
+def clean_postcode(v: Column) -> Column:
+    """Truncate to 5 digits; fix the ``99248`` -> ``98248`` typo."""
+    five = F.substring(v, 1, 5)
+    return F.when(five == "99248", F.lit("98248")).otherwise(five)
+
+
+def clean_addr_value(subkey: Column, v: Column) -> Column:
+    """Per-subkey addr dispatch (street/unit/housename/postcode)."""
+    return (
+        F.when(subkey == "street", clean_street_type(v))
+        .when(subkey == "unit", clean_addr_unit(v))
+        .when(subkey == "housename", clean_housename(v))
+        .when(subkey == "postcode", clean_postcode(v))
+        .otherwise(v)
+    )
+
+
+# --- F4/F5: list splitting (clean_and_write.py:114-125, 168-179) ----------
+
+def isin_set(v: Column) -> Column:
+    """Split on ',' if present else ';', trim, dedup, sort."""
+    parts = F.when(v.contains(","), F.split(v, ",")).otherwise(F.split(v, ";"))
+    return F.array_sort(F.array_distinct(F.transform(parts, lambda x: F.trim(x))))
+
+
+def split_list_value(v: Column) -> Column:
+    """Semicolon-split with trim; singleton list when no separator."""
+    return F.when(
+        v.contains(";"), F.transform(F.split(v, ";"), lambda x: F.trim(x))
+    ).otherwise(F.array(v))
+
+
+# --- F6: boolean cast (clean_and_write.py:182-192) ------------------------
+
+def to_bool_or_null(v: Column) -> Column:
+    """'yes'/'no' (case-insensitive) -> true/false, else null.
+
+    The reference keeps non-boolean strings as-is, creating a
+    bool-or-string union field; in the typed model the parseable values
+    promote to a boolean column and the raw string stays in the
+    lossless ``tags`` map."""
+    lv = F.lower(v)
+    return (
+        F.when(lv == "yes", F.lit(True))
+        .when(lv == "no", F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+# --- F7: misc value edits (clean_and_write.py:195-227) --------------------
+
+def misc_val_edits(k: Column, v: Column) -> Column:
+    """The reference's grab-bag of per-key literal fixes, as one
+    expression chain (string-valued; int/float promotion is separate)."""
+    return (
+        F.when((k == "shop") & v.isin("Cannabis", "Parcel_Shipping"), F.lower(v))
+        .when(
+            (k == "inscription")
+            & (v == "Inscriptions too long to input, see Description."),
+            F.lit("Inscription's too long to input; see description."),
+        )
+        .when(k == "designation", F.regexp_replace(F.lower(F.trim(v)), r"\s+", "_"))
+        .when((k == "denomination") & (v == "Non-denominational"), F.lit("nondenominational"))
+        .when((k == "access") & (v == "privatem"), F.lit("private"))
+        .when((k == "kerb") & (v == "rised"), F.lit("rasied"))
+        .when((k == "width") & (v == "10'"), F.lit("10 feet"))
+        .when(
+            (k == "office") & (v == "Whatcom_Educational_Credit_Union"),
+            F.lit("credit_union"),
+        )
+        .otherwise(v)
+    )
+
+
+def to_int_value(k: Column, v: Column) -> Column:
+    """int(float(v)) for TO_INT_LST keys, null otherwise/on garbage."""
+    return F.when(
+        k.isin(*TO_INT_LST), v.cast("double").cast("long")
+    ).otherwise(F.lit(None).cast("long"))
+
+
+def to_float_value(k: Column, v: Column) -> Column:
+    """float(v) for TO_FLOAT_LST keys with the reference's guards:
+    '3s' -> 3.0 for building:levels; skip values containing quotes
+    (feet/inch notation) for maxheight."""
+    guarded = (
+        F.when((k == "building:levels") & (v == "3s"), F.lit(3.0))
+        .when(
+            (k == "maxheight") & ~(v.contains('"') | v.contains("'")),
+            v.cast("double"),
+        )
+        .when(k == "maxheight", F.lit(None).cast("double"))
+        .otherwise(v.cast("double"))
+    )
+    return F.when(k.isin(*TO_FLOAT_LST), guarded).otherwise(F.lit(None).cast("double"))
+
+
+# --- F9: key rewrites (clean_and_write.py:15, 42-45, 285-299) -------------
+
+def rewrite_key(k: Column) -> Column:
+    """Key normalization: gnis typo fix; keep tiger/gnis/nist verbatim;
+    strip deprecated ``contact:`` prefix; strip ``_N`` suffix; rename
+    through WRONG_KEY_MAP."""
+    protected = F.split(k, ":").getItem(0).isin("tiger", "gnis", "nist")
+    k1 = F.when(k == "gnis:ST_alph", F.lit("gnis:ST_alpha")).otherwise(k)
+    stripped = F.regexp_replace(k1, r"^contact:", "")
+    stripped = F.regexp_replace(stripped, r"_\d$", "")
+    mapped = _map_literal(WRONG_KEY_MAP)[stripped]
+    rewritten = F.coalesce(mapped, stripped)
+    return F.when(protected, k1).otherwise(rewritten)
+
+
+def has_problem_chars(k: Column) -> Column:
+    """Tag keys containing problem characters are dropped
+    (clean_and_write.py:14,283)."""
+    return k.rlike(PROBLEMCHARS_RE)

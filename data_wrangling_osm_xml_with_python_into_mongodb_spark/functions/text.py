@@ -1,0 +1,95 @@
+"""Text-analysis column expressions for the documents pipeline.
+
+Everything is a native ``Column`` expression (JVM-side, codegen'd) --
+no Python UDFs in the hot path.  Each helper has a matching ANSI-SQL
+formulation used by the DuckDB oracles in ``plans``.
+
+Capabilities (training-data-pipeline surface):
+  * tokenization + token counting (whitespace + BPE-ish word/punct regex)
+  * quality scoring (length / punctuation / stopword / repetition ratios)
+  * language ID via stopword-hit heuristic over small per-language lists
+  * document fingerprinting (normalized md5, portable across engines)
+  * word-level shingles for near-dup detection
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lists for the langid heuristic. The
+# heuristic is intentionally deterministic and engine-portable; real
+# deployments would swap in fastText et al. at the same call site.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "est"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: words, numbers, or single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_like_tokens(text: Column) -> Column:
+    """Regex pre-tokenization approximating a BPE pre-tokenizer split."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    """Multiset count of tokens that appear in ``words``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: penalize very short or very
+    long docs, high punctuation density, and low token diversity."""
+    toks = tokens(text)
+    nt = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / nt
+    len_ok = F.when((nt >= 5) & (nt <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.when(punct / n_chars <= 0.2, F.lit(1.0)).otherwise(F.lit(0.7))
+    return F.round(len_ok * punct_ok * uniq_ratio, 4)
+
+
+def lang_scores(toks: Column) -> list[Column]:
+    return [
+        stopword_hits(toks, words).alias(f"hits_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    ]
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized md5 fingerprint: lowercase, collapse whitespace."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the unit set for Jaccard / MinHash).
+
+    Built with ``transform`` over token positions -- stays JVM-side.
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )

@@ -1,0 +1,299 @@
+"""Deduplication queries over the documents/embeddings tables
+(training-data pipeline surface; SURVEY.md §7 step 8).
+
+Five dedup families, all correctness-gated against DuckDB:
+
+* exact      -- hash-groupBy on a normalized fingerprint
+* n-gram Jaccard -- shingle explode + self-join on shingle
+* MinHash    -- portable md5-based universal-hash permutations;
+                band/bucket LSH candidate generation
+* SimHash    -- 32-bit sign-aggregated shingle hashes
+* embedding cosine near-dup -- pairwise over a bounded id range
+
+Scale notes: every family is a shuffle-on-key plan (shingle, band
+bucket, simhash) -- no cross product except the bounded cosine query,
+whose scale path is the LSH/IVF variant in queries_vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import vectors as V
+from ..functions.hashing import (
+    HASH_PRIME,
+    md5_int64,
+    md5_int64_sql,
+    perm_params,
+)
+from .queries import _t, register
+
+# Shared shingle SQL fragment: distinct lowercase 3-word shingles.
+# Matches TX.word_shingles(text, 3) for documents with >= 3 tokens
+# (every synthetic doc has >= 3 tokens).
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, len(toks) - 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+               AS shingle
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents)
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+
+
+@register(
+    "dd1_exact_dedup",
+    "Exact deduplication via hash-groupBy on the normalized fingerprint "
+    "(exact-dedup stage; grouping idiom per reference A3, "
+    "mongo_audit.py:46-62).",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY fingerprint
+    """,
+    tags=("dedup",),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dd2_ngram_jaccard_pairs",
+    "Top near-duplicate candidate pairs by 3-gram Jaccard similarity: "
+    "shingle explode, self-join on shingle, |A∩B| / |A∪B| (n-gram "
+    "Jaccard dedup stage).",
+    f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    ORDER BY jaccard DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "join"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )
+
+
+_N_PERM = 16
+_N_BANDS = 4  # 4 rows per band
+_PERMS = perm_params(_N_PERM)
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 16 minhash columns mh0..mh15 (portable arithmetic)."""
+    sh = _shingles_df(spark, sf_dir)
+    x = (md5_int64(F.col("shingle")) % HASH_PRIME).alias("x")
+    hashed = sh.select("doc_id", x)
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sig_sql() -> str:
+    x = md5_int64_sql("shingle")
+    mins = ",\n             ".join(
+        f"min((({x} % {HASH_PRIME}) * {a} + {b}) % {HASH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(_PERMS)
+    )
+    return f"""
+      SELECT doc_id,
+             {mins}
+      FROM ({_SHINGLES_SQL})
+      GROUP BY doc_id
+    """
+
+
+def _band_exprs_spark() -> list[F.Column]:
+    out = []
+    rows = _N_PERM // _N_BANDS
+    for band in range(_N_BANDS):
+        cols = [F.col(f"mh{band * rows + r}") for r in range(rows)]
+        out.append(F.concat_ws("_", *[c.cast("string") for c in cols]).alias(f"band{band}"))
+    return out
+
+
+def _band_sql(band: int) -> str:
+    rows = _N_PERM // _N_BANDS
+    cols = ", ".join(f"mh{band * rows + r}" for r in range(rows))
+    return f"concat_ws('_', {cols})"
+
+
+@register(
+    "dd3_minhash_lsh_pairs",
+    "MinHash-LSH near-dup candidates: 16 portable universal-hash "
+    "permutations over 3-gram shingles, 4 bands x 4 rows, pairs sharing "
+    "any band bucket (MinHash+LSH dedup stage).",
+    f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bucket, {b2} AS band_idx FROM sig"
+        for b, b2 in ((_band_sql(i), i) for i in range(_N_BANDS))
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    """,
+    tags=("dedup", "lsh"),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_sig_df(spark, sf_dir)
+    bands = None
+    for i, expr in enumerate(_band_exprs_spark()):
+        part = sig.select(
+            "doc_id", expr.alias("bucket"), F.lit(i).alias("band_idx")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _simhash_sql() -> str:
+    x = f"({md5_int64_sql('shingle')})"
+    bit_sums = ",\n             ".join(
+        f"sum((({x} >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(32)
+    )
+    assemble = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id,
+             {bit_sums}
+      FROM ({_SHINGLES_SQL})
+      GROUP BY doc_id
+    )
+    """
+
+
+@register(
+    "dd4_simhash",
+    "32-bit SimHash per document from sign-aggregated shingle hashes "
+    "(SimHash dedup stage; portable bit arithmetic).",
+    _simhash_sql(),
+    tags=("dedup", "lsh"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    x = md5_int64(F.col("shingle"))
+    hashed = sh.select("doc_id", x.alias("x"))
+    bit_aggs = [
+        F.sum((F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
+    assembled = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        assembled = term if assembled is None else assembled + term
+    return sums.select("doc_id", assembled.cast("long").alias("simhash"))
+
+
+@register(
+    "dd5_embedding_near_dups",
+    "Embedding-cosine near-duplicate pairs (top-20 by similarity over a "
+    "bounded id range; scale path = LSH buckets in queries_vectors.py).",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({V.cosine_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 150 AND b.vec_id < 150
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+    tags=("dedup", "vector"),
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+    )

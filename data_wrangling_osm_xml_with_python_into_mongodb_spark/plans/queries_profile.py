@@ -1,0 +1,279 @@
+"""Profiling, explode/unnest, JSON-path, summary-statistics and
+window/sessionization queries (reference A7/A8 profiling
+osm_structure_audit.py:31-82, E1/E2 $unwind mongo_audit.py:111/283-295,
+plus the window-function extension SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+
+# --- A7: per-key profiling aggregation (osm_structure_audit.py:65-82):
+# use count + distinct count + usage ratio, per event type.
+@register(
+    "a7_event_type_profile",
+    "Per-key profiling: use count, distinct users, usage-per-unique ratio "
+    "(reference A7 tag profiling, osm_structure_audit.py:31-82).",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(count(*)::DOUBLE / count(DISTINCT user_id), 2) AS events_per_user,
+           round(avg(value), 2) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "profiling"),
+)
+def q_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.countDistinct("user_id"), 2
+            ).alias("events_per_user"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+    )
+
+
+# --- A8: summary statistics incl. exact percentiles (main.ipynb cell 8
+# describe(percentiles=...)).  Exact percentile (sort-based) on both
+# sides; linear interpolation semantics match quantile_cont.
+@register(
+    "a8_summary_stats",
+    "Summary statistics with exact percentiles (reference A8 describe, "
+    "main.ipynb cell 8).",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(l_extendedprice), 2) AS mean_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "profiling"),
+)
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 2).alias("mean_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+    )
+
+
+# --- E1: $unwind with position (mongo_audit.py:111 et al.).
+@register(
+    "e1_posexplode_embeddings",
+    "Positional explode of an array column (reference E1 $unwind, "
+    "mongo_audit.py:111).",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+           round(unnest(embedding)::DOUBLE, 6) AS val
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+    tags=("explode",),
+)
+def q_posexplode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("idx"),
+        F.round("col", 6).alias("val"),
+    )
+
+
+# --- E2: $unwind preserveNullAndEmptyArrays == explode_outer
+# (mongo_audit.py:283-295): docs failing the split predicate keep a
+# null token row instead of disappearing.
+@register(
+    "e2_explode_outer_tokens",
+    "Outer explode preserving rows with null arrays (reference E2 $unwind "
+    "preserveNullAndEmptyArrays, mongo_audit.py:283-295).",
+    """
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE n_chars < 130
+    UNION ALL
+    SELECT doc_id, NULL AS token
+    FROM documents WHERE n_chars >= 130
+    """,
+    tags=("explode",),
+)
+def q_explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.when(F.col("n_chars") < 130, F.split(F.col("text"), " ")).otherwise(
+        F.lit(None).cast("array<string>")
+    )
+    return docs.select("doc_id", F.explode_outer(toks).alias("token"))
+
+
+# --- JSON path extraction (the open props space; SURVEY.md §1.3 MapType
+# long-tail analog -- the reference's dynamic tag keys).
+@register(
+    "p_json_extract_props",
+    "JSON-path field extraction from the open props column (dynamic "
+    "key space, SURVEY.md §1.3; reference open tag space §1.1).",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY k_bucket
+    """,
+    tags=("json",),
+)
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- Streaming-equivalent tumbling window aggregation.  The streaming
+# module (streaming/events.py) runs the same plan with readStream +
+# watermark; this batch twin is the oracle-checkable version.
+@register(
+    "s1_tumbling_window_counts",
+    "Tumbling 5-minute window aggregation over the event stream (batch "
+    "twin of streaming/events.py; reference has no streaming -- "
+    "SURVEY.md §2.10 extension).",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "agg"),
+)
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+# --- Window functions (extension; absent in the reference, SURVEY §2.10).
+@register(
+    "w1_running_order_totals",
+    "Row numbering + running sum per customer (window-function extension, "
+    "SURVEY.md §2.10).",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def q_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+    )
+
+
+@register(
+    "w2_top2_orders_per_customer",
+    "Per-group top-k via ranking window (extension; global top-k is "
+    "reference O1, mongo_audit.py:361-362).",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_custkey < 200
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
+    tags=("window", "topk"),
+)
+def q_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@register(
+    "w3_user_sessions",
+    "Sessionization: lag-gap > 30 min starts a new session; session count "
+    "and event count per user (window extension, SURVEY.md common OLAP "
+    "patterns).",
+    """
+    SELECT user_id,
+           CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+      )
+    )
+    GROUP BY user_id
+    """,
+    tags=("window", "sessionize"),
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn("session_id", F.sum("new_sess").over(w) - 1)
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis queries over the documents table (training-data
+pipeline surface: tokenization, quality scoring, language ID,
+fingerprinting, cleaning-function parity on synthetic strings).
+
+The reference's cleaning scalars (SURVEY.md §2.8 F1-F12) operate on
+OSM tag strings; the same expression classes (regex split/replace,
+case mapping, substring, list-ify, guarded casts) are exercised here
+over ``documents.text`` / ``events.props`` so the DuckDB oracle can
+gate them.  OSM-specific semantics are pinned by tests/test_cleaning.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from .queries import _t, register
+
+
+@register(
+    "t1_token_stats",
+    "Whitespace + BPE-ish tokenization with counts (token counting for "
+    "training pipelines; reference split semantics F5, "
+    "clean_and_write.py:168-179).",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER)
+             AS n_uniq_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS INTEGER) AS n_bpe_tokens,
+           round(n_chars::DOUBLE / len(string_split(trim(text), ' ')), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.size(TX.bpe_like_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.round(F.col("n_chars").cast("double") / F.size(toks), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "t2_quality_scores",
+    "Deterministic quality scoring: length/punctuation/diversity heuristic "
+    "(training-data quality filter).",
+    """
+    SELECT doc_id,
+           round(
+             (CASE WHEN nt BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.5 END) *
+             (CASE WHEN punct / nc <= 0.2 THEN 1.0 ELSE 0.7 END) *
+             (nu / nt), 4) AS quality
+    FROM (
+      SELECT doc_id,
+             len(string_split(trim(text), ' '))::DOUBLE AS nt,
+             len(list_distinct(string_split(trim(text), ' ')))::DOUBLE AS nu,
+             length(text)::DOUBLE AS nc,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct
+      FROM documents
+    )
+    """,
+    tags=("text",),
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lang, words in TX.LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(toks, t -> t IN ({inlist}))) AS hits_{lang}"
+        )
+    hit_cols = ", ".join(hits)
+    langs = list(TX.LANG_STOPWORDS)
+    # argmax with fixed precedence order (first language wins ties).
+    cond = "CASE "
+    for lang in langs:
+        others = [f"hits_{lang} >= hits_{o}" for o in langs if o != lang]
+        cond += f"WHEN {' AND '.join(others)} THEN '{lang}' "
+    cond += "ELSE 'und' END"
+    return f"""
+    SELECT lang_pred, count(*) AS n_docs
+    FROM (
+      SELECT {cond} AS lang_pred
+      FROM (
+        SELECT {hit_cols}
+        FROM (SELECT string_split(trim(lower(text)), ' ') AS toks FROM documents)
+      )
+    )
+    GROUP BY lang_pred
+    """
+
+
+@register(
+    "t3_language_id",
+    "Language identification via stopword-hit heuristic with fixed "
+    "tie precedence (training-data langid stage).",
+    _langid_sql(),
+    tags=("text",),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    scored = docs.select(*[
+        TX.stopword_hits(toks, words).alias(f"hits_{lang}")
+        for lang, words in TX.LANG_STOPWORDS.items()
+    ])
+    langs = list(TX.LANG_STOPWORDS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for o in langs:
+            if o == lang:
+                continue
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{o}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    pred = pred.otherwise(F.lit("und"))
+    return (
+        scored.select(pred.alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "t4_fingerprints",
+    "Portable md5 document fingerprint over normalized text "
+    "(dedup/fingerprinting stage; normalization per reference F7 "
+    "lower/collapse semantics, clean_and_write.py:195-227).",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("text", "dedup"),
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "f7_string_cleaning",
+    "Cleaning-scalar parity on synthetic strings: lower/snake-case, "
+    "substring truncation, regex digit extraction + zero-pad formatting "
+    "(reference F7 misc_val_edits / F1 phone-shaping classes, "
+    "clean_and_write.py:97-111,195-227).",
+    """
+    SELECT doc_id,
+           regexp_replace(lower(trim(source)), '\\s+', '_', 'g') AS snake_source,
+           substr(lang, 1, 2) AS lang2,
+           concat('+1-555-', lpad(regexp_extract(source, '([0-9]+)', 1), 4, '0'))
+             AS formatted_code,
+           CASE WHEN lower(lang) = 'en' THEN TRUE
+                WHEN lower(lang) = 'zh' THEN FALSE
+                ELSE NULL END AS is_en_bool
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("text", "cleaning"),
+)
+def q_string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("source"))), r"\s+", "_").alias(
+            "snake_source"
+        ),
+        F.substring("lang", 1, 2).alias("lang2"),
+        F.concat(
+            F.lit("+1-555-"),
+            F.lpad(F.regexp_extract("source", r"([0-9]+)", 1), 4, "0"),
+        ).alias("formatted_code"),
+        F.when(F.lower(F.col("lang")) == "en", F.lit(True))
+        .when(F.lower(F.col("lang")) == "zh", F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("is_en_bool"),
+    )

@@ -1,0 +1,81 @@
+"""Mutation-semantics queries: the reference's in-place updates
+re-expressed as immutable declarative transforms (SURVEY.md §2.9).
+
+M1 (mongo_audit.py:33-35): update_many + $set -> conditional column
+rewrite; the query returns the post-update state summary, matching the
+reference's Pre/Matched/Modified/Post report matrix.
+
+M2 (mongo_audit.py:235-268): the client-side foreach-update of one
+array element per document -> a single ``transform`` over the array:
+no per-row round trips, fully parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+
+@register(
+    "m1_update_set_priority",
+    "update_many + $set as a conditional rewrite, reporting the "
+    "matched/modified/post-state matrix (reference M1, mongo_audit.py:22-43).",
+    """
+    SELECT new_priority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_modified
+    FROM (
+      SELECT CASE WHEN o_totalprice > 300000.0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS new_priority,
+             (o_totalprice > 300000.0 AND o_orderpriority <> '1-URGENT') AS changed
+      FROM orders
+    )
+    GROUP BY new_priority
+    """,
+    tags=("update",),
+)
+def q_update_set_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    matched = F.col("o_totalprice") > 300000.0
+    updated = orders.select(
+        F.when(matched, F.lit("1-URGENT")).otherwise(F.col("o_orderpriority")).alias(
+            "new_priority"
+        ),
+        (matched & (F.col("o_orderpriority") != "1-URGENT")).alias("changed"),
+    )
+    return updated.groupBy("new_priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("changed").cast("int")).cast("long").alias("n_modified"),
+    )
+
+
+@register(
+    "m2_positional_array_update",
+    "Positional array-element repair as a declarative transform: clamp "
+    "negative vector components (reference M2 members.$ update, "
+    "mongo_audit.py:235-268).",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x < 0)) AS INTEGER)
+             AS n_repaired,
+           round(list_sum(list_transform(embedding::DOUBLE[],
+                                         x -> CASE WHEN x < 0 THEN 0.0 ELSE x END)), 6)
+             AS repaired_sum
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("update", "nested"),
+)
+def q_positional_array_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    vec = F.col("embedding").cast("array<double>")
+    repaired = F.transform(vec, lambda x: F.when(x < 0, F.lit(0.0)).otherwise(x))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(vec, lambda x: x < 0)).alias("n_repaired"),
+        F.round(
+            F.aggregate(repaired, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("repaired_sum"),
+    )

@@ -1,0 +1,157 @@
+"""Similarity search over the embeddings table (training-data pipeline
+surface): brute-force cosine top-k as the correctness baseline, a
+random-hyperplane LSH bucketed variant and IVF coarse centroids as the
+scale paths.
+
+All vector math is double-precision sequential folds with formula
+shapes mirrored exactly in the DuckDB oracle (functions/vectors.py), so
+even the LSH sign bits are portable.
+
+Scale notes: brute-force is O(Q x N) with the query side broadcast --
+embarrassingly parallel, no shuffle on the candidate side; the LSH
+variant turns it into an equi-join on bucket (shuffle on bucket key);
+IVF prunes candidates to the probed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..functions.hashing import HASH_PRIME, perm_params
+from .queries import _t, register
+
+
+@register(
+    "v1_ann_bruteforce_topk",
+    "Brute-force cosine top-5 neighbors for each query vector (ANN "
+    "baseline; query side broadcast, candidates scanned in place).",
+    f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({V.cosine_sql('q.embedding::DOUBLE[]', 'c.embedding::DOUBLE[]')}, 6)
+             AS cos_sim
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round({V.cosine_sql('q.embedding::DOUBLE[]', 'c.embedding::DOUBLE[]')}, 6) DESC,
+               c.vec_id ASC) <= 5
+    """,
+    tags=("vector", "topk"),
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).alias("q")
+    c = emb.alias("c")
+    sims = (
+        c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.round(V.cosine(F.col("q.v"), F.col("c.v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# --- Random-hyperplane LSH: deterministic, engine-portable planes.
+# plane[p][d] = ((a_p * (d+1) + b_p) % PRIME) / PRIME - 0.5
+_N_PLANES = 12
+_PLANES = perm_params(_N_PLANES)
+
+
+def _bucket_spark(vec: F.Column) -> F.Column:
+    """Sum of 2^p over planes with positive dot(plane_p, vec)."""
+    total = None
+    for p, (a, b) in enumerate(_PLANES):
+        plane = F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: ((d.cast("long") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).cast("double")
+            / F.lit(float(HASH_PRIME))
+            - F.lit(0.5),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        total = term if total is None else total + term
+    return total.cast("long")
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p, (a, b) in enumerate(_PLANES):
+        plane = (
+            f"list_transform(range(1, 65), "
+            f"d -> ((d * {a} + {b}) % {HASH_PRIME})::DOUBLE / {HASH_PRIME}.0 - 0.5)"
+        )
+        dot = f"list_dot_product({vec}, {plane})"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "v2_ann_lsh_buckets",
+    "Random-hyperplane LSH bucket assignment (12 deterministic planes): "
+    "the scale path that converts ANN into an equi-join on bucket.",
+    f"""
+    SELECT bucket, count(*) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM (
+      SELECT vec_id, {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    )
+    GROUP BY bucket
+    """,
+    tags=("vector", "lsh"),
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        emb.select("vec_id", _bucket_spark(F.col("v")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+@register(
+    "v3_ivf_centroids",
+    "IVF coarse-quantizer build: per-label centroid via positional "
+    "explode + per-dimension mean (IVF index-build stage).",
+    """
+    SELECT label, idx, round(avg(val), 6) AS centroid_val
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    )
+    GROUP BY label, idx
+    """,
+    tags=("vector", "ivf"),
+)
+def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).cast("long").alias("idx"), F.col("col").alias("val"))
+    return exploded.groupBy("label", "idx").agg(
+        F.round(F.avg("val"), 6).alias("centroid_val")
+    )

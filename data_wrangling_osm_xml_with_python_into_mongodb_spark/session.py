@@ -52,6 +52,13 @@ def get_spark(
         # explicit so partition counts stay sane at any SF.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The synthetic events table stores TIMESTAMP(NANOS); Spark's
+        # reader has no nanos type -- surface as long and convert in
+        # the loader (sources/tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Key rewrites (name_1 -> name) can collide in the tags map;
+        # keep the later entry like a dict update would.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,152 @@
+"""OSM XML ingestion.
+
+The reference streams one 77 MB file through ``ET.iterparse``
+(clean_and_write.py:425, osm_structure_audit.py:49).  At 100 TB the
+equivalent is a partitioned XML scan: Spark 4's built-in XML data
+source splits files by ``rowTag`` and parallelizes across executors.
+We read each top-level entity kind (node/way/relation) as its own
+DataFrame -- three cheap scans of the same splittable input beat one
+scan plus a per-row dispatch, because each scan prunes to its own
+rowTag -- and normalize into RAW_ELEMENT_SCHEMA.
+
+A ``mapPartitions`` iterparse fallback handles inputs the XML source
+can't split (e.g. one enormous element) by byte-range splitting; it is
+deliberately last-resort (Python-side parse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import RAW_ELEMENT_SCHEMA
+
+_CREATED_ATTRS = ["version", "changeset", "timestamp", "user", "uid"]
+
+
+def _attr(df: DataFrame, name: str) -> F.Column:
+    """XML attributes surface as ``_name`` columns; tolerate absence."""
+    col = f"_{name}"
+    return F.col(col) if col in df.columns else F.lit(None)
+
+
+def _created_struct(df: DataFrame) -> F.Column:
+    return F.struct(
+        *[_attr(df, a).cast("string").alias(a) for a in _CREATED_ATTRS]
+    ).alias("created")
+
+
+def _tags_array(df: DataFrame) -> F.Column:
+    if "tag" not in df.columns:
+        return F.lit(None).cast("array<struct<k:string,v:string>>").alias("tags")
+    # Single sub-element parses as struct, repeated as array: normalize.
+    dtype = dict(df.dtypes)["tag"]
+    col = F.col("tag") if dtype.startswith("array") else F.array(F.col("tag"))
+    return F.transform(
+        col,
+        lambda t: F.struct(
+            t["_k"].cast("string").alias("k"), t["_v"].cast("string").alias("v")
+        ),
+    ).alias("tags")
+
+
+def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
+    """Read an OSM XML file into the unioned RAW_ELEMENT_SCHEMA frame."""
+    frames: list[DataFrame] = []
+    for kind in ("node", "way", "relation"):
+        try:
+            raw = (
+                spark.read.format("xml")
+                .option("rowTag", kind)
+                .option("attributePrefix", "_")
+                .load(path)
+            )
+        except Exception:
+            continue
+        if not raw.columns:
+            continue
+
+        cols = [
+            F.lit(kind).alias("doc_type"),
+            _attr(raw, "id").cast("string").alias("_id"),
+            (_attr(raw, "lat").cast("double") if kind == "node" else F.lit(None).cast("double")).alias("lat"),
+            (_attr(raw, "lon").cast("double") if kind == "node" else F.lit(None).cast("double")).alias("lon"),
+            _created_struct(raw),
+        ]
+        if kind == "way" and "nd" in raw.columns:
+            nd_dtype = dict(raw.dtypes)["nd"]
+            nd = F.col("nd") if nd_dtype.startswith("array") else F.array(F.col("nd"))
+            cols.append(
+                F.transform(nd, lambda x: x["_ref"].cast("string")).alias("nds")
+            )
+        else:
+            cols.append(F.lit(None).cast("array<string>").alias("nds"))
+        if kind == "relation" and "member" in raw.columns:
+            m_dtype = dict(raw.dtypes)["member"]
+            mem = (
+                F.col("member")
+                if m_dtype.startswith("array")
+                else F.array(F.col("member"))
+            )
+            cols.append(
+                F.transform(
+                    mem,
+                    lambda m: F.struct(
+                        m["_type"].cast("string").alias("type"),
+                        m["_ref"].cast("string").alias("ref"),
+                        m["_role"].cast("string").alias("role"),
+                    ),
+                ).alias("members")
+            )
+        else:
+            cols.append(
+                F.lit(None).cast("array<struct<type:string,ref:string,role:string>>").alias("members")
+            )
+        cols.append(_tags_array(raw))
+        frames.append(raw.select(*cols))
+
+    if not frames:
+        return spark.createDataFrame([], RAW_ELEMENT_SCHEMA)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def iterparse_partition_fallback(spark: SparkSession, path: str) -> DataFrame:
+    """Last-resort single-pass parse via mapPartitions over whole files.
+
+    Used only when the splittable XML source cannot handle the input;
+    keeps the same output schema so downstream shaping is identical.
+    """
+    import xml.etree.ElementTree as ET
+
+    def parse(iterator):
+        for row in iterator:
+            file_path = row.path if hasattr(row, "path") else row[0]
+            local = file_path.replace("file:", "")
+            for _, el in ET.iterparse(local):
+                if el.tag not in ("node", "way", "relation"):
+                    continue
+                a = el.attrib
+                yield (
+                    el.tag,
+                    a.get("id"),
+                    float(a["lat"]) if "lat" in a else None,
+                    float(a["lon"]) if "lon" in a else None,
+                    tuple(a.get(x) for x in _CREATED_ATTRS),
+                    [nd.attrib["ref"] for nd in el.findall("nd")] or None,
+                    [
+                        (m.attrib.get("type"), m.attrib.get("ref"), m.attrib.get("role"))
+                        for m in el.findall("member")
+                    ]
+                    or None,
+                    [(t.attrib.get("k"), t.attrib.get("v")) for t in el.findall("tag")]
+                    or None,
+                )
+                el.clear()
+
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return spark.createDataFrame(
+        files.rdd.mapPartitions(parse), RAW_ELEMENT_SCHEMA
+    )

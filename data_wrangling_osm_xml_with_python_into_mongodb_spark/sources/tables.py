@@ -9,6 +9,7 @@ that matters most at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -25,8 +26,17 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table from ``{sf_dir}/{name}.parquet``."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one synthetic table from ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark's parquet
+    reader only surfaces as a nanos long (``nanosAsLong``, session.py);
+    normalize it back to a proper timestamp (micro truncation matches
+    DuckDB's cast semantics in the oracle).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

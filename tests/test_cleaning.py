@@ -1,0 +1,148 @@
+"""Golden tests for the cleaning expression library.
+
+Input/expected pairs come from the reference's own spot checks
+(main.ipynb cell 17 phone goldens, cell 23 street goldens) and the
+literal branch constants in clean_and_write.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.functions import cleaning as C
+
+
+def _apply1(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    return [r[0] for r in df.select(fn(F.col("v")).alias("out")).collect()]
+
+
+def _apply2(spark, fn, pairs):
+    df = spark.createDataFrame(pairs, ["k", "v"])
+    return [r[0] for r in df.select(fn(F.col("k"), F.col("v")).alias("out")).collect()]
+
+
+def test_format_phone_goldens(spark):
+    cases = {
+        # main.ipynb cell 17 goldens
+        "(360) 555-9999 ext. 1234": "+1-360-555-9999 x1234",
+        "306-398-8300": "+1-360-398-8300",
+        # already valid -> unchanged
+        "+1-360-555-1234": "+1-360-555-1234",
+        # 12 digits exactly: no extension, long hyphen tail (reference >12 rule)
+        "360-555-12345": "+1-360-555-12345",
+        # area-code typo behind country code
+        "1 (306) 398-8300": "+1-360-398-8300",
+    }
+    outs = _apply1(spark, C.format_phone, list(cases))
+    assert outs == list(cases.values())
+
+
+def test_clean_street_goldens(spark):
+    cases = {
+        # main.ipynb cell 23 goldens
+        "Ellis St. #215": "Ellis Street",
+        "Guide Meridian": "Guide Meridian Road",
+        "Meadowbrook Count": "Meadowbrook Court",
+        "Cornwall Ave": "Cornwall Avenue",
+        "Main Street": "Main Street",
+        "Northwest Road3": "Northwest Road",
+    }
+    outs = _apply1(spark, C.clean_street_type, list(cases))
+    assert outs == list(cases.values())
+    units = _apply1(spark, C.split_unit_from_street, ["Ellis St. #215", "Main Street"])
+    assert units == ["#215", None]
+
+
+def test_clean_addr_parts(spark):
+    assert _apply1(spark, C.clean_postcode, ["99248-1234", "98225-4321", "98225"]) == [
+        "98248",
+        "98225",
+        "98225",
+    ]
+    assert _apply1(spark, C.clean_housename, ["Bellingham Towers LLC building"]) == [
+        "Bellingham Towers Building"
+    ]
+    assert _apply1(spark, C.clean_addr_unit, ["Ave100", "Suite 4"]) == [
+        "Avenue100",
+        "Suite 4",
+    ]
+
+
+def test_bools_and_lists(spark):
+    assert _apply1(spark, C.to_bool_or_null, ["yes", "Yes", "no", "designated"]) == [
+        True,
+        True,
+        False,
+        None,
+    ]
+    assert _apply1(spark, C.split_list_value, ["a;b ; c", "solo"]) == [
+        ["a", "b", "c"],
+        ["solo"],
+    ]
+    assert _apply1(spark, C.isin_set, ["USA, WA,Whatcom County", "a;b;a"]) == [
+        ["USA", "WA", "Whatcom County"],
+        ["a", "b"],
+    ]
+
+
+def test_misc_val_edits(spark):
+    pairs = [
+        ("shop", "Cannabis"),
+        ("designation", "Some Words  Here"),
+        ("denomination", "Non-denominational"),
+        ("access", "privatem"),
+        ("width", "10'"),
+        ("office", "Whatcom_Educational_Credit_Union"),
+        ("other", "Unchanged Value"),
+    ]
+    assert _apply2(spark, C.misc_val_edits, pairs) == [
+        "cannabis",
+        "some_words_here",
+        "nondenominational",
+        "private",
+        "10 feet",
+        "credit_union",
+        "Unchanged Value",
+    ]
+
+
+def test_numeric_promotion(spark):
+    assert _apply2(spark, C.to_int_value, [("ele", "3.7"), ("lanes", "2"), ("name", "2")]) == [
+        3,
+        2,
+        None,
+    ]
+    outs = _apply2(
+        spark,
+        C.to_float_value,
+        [
+            ("building:levels", "3s"),
+            ("maxheight", "4.5"),
+            ("maxheight", "4'2\""),
+            ("level", "1.5"),
+            ("name", "1.5"),
+        ],
+    )
+    assert outs == [3.0, 4.5, None, 1.5, None]
+
+
+def test_rewrite_key(spark):
+    cases = {
+        "contact:phone": "phone",
+        "name_1": "name",
+        "image": "wikimedia_commons",
+        "gnis:ST_alph": "gnis:ST_alpha",
+        "tiger:cfcc": "tiger:cfcc",
+        "maxspeed:type": "source:maxspeed",
+        "reg_name": "name",
+        "symbol": "wiki:symbol",
+        "addr:street": "addr:street",
+    }
+    outs = _apply1(spark, C.rewrite_key, list(cases))
+    assert outs == list(cases.values())
+
+
+def test_problem_chars(spark):
+    outs = _apply1(spark, C.has_problem_chars, ["bad key", "fine_key", "semi;colon"])
+    assert outs == [True, False, True]

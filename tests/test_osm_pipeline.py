@@ -1,0 +1,122 @@
+"""End-to-end OSM pipeline test: XML scan -> shaping -> invariants ->
+ref_docs materialization, on the fixture exercising every cleaning
+trigger (FIXTURES.md §A1; golden semantics from the reference's own
+spot checks, main.ipynb cells 17/23)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators import (
+    build_ref_docs,
+    shape_documents,
+    validate_documents,
+)
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import read_osm_elements
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample.osm")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    raw = read_osm_elements(spark, FIXTURE)
+    return {r["_id"]: r.asDict(recursive=True) for r in shape_documents(raw).collect()}
+
+
+def test_element_counts(spark):
+    raw = read_osm_elements(spark, FIXTURE)
+    counts = dict(
+        (r["doc_type"], r["n"])
+        for r in raw.groupBy("doc_type").count().withColumnRenamed("count", "n").collect()
+    )
+    assert counts == {"node": 4, "way": 2, "relation": 1}
+
+
+def test_structural_routing(docs):
+    node = docs["1001"]
+    assert node["doc_type"] == "node"
+    assert node["pos"] == [48.75, -122.48]
+    assert node["created"]["user"] == "alice"
+    assert node["node_refs"] is None and node["members"] is None
+
+    way = docs["2001"]
+    # dedup'd + sorted (clean_and_write.py:346-347)
+    assert way["node_refs"] == ["1001", "1002", "1003"]
+    assert way["pos"] is None and way["members"] is None
+
+    rel = docs["3001"]
+    assert [m["ref"] for m in rel["members"]] == ["2001", "1004", "1001"]
+    assert rel["pos"] is None and rel["node_refs"] is None
+
+
+def test_cleaning_triggers(docs):
+    n1 = docs["1001"]
+    # phone list + format (main.ipynb cell 17 golden)
+    assert n1["phone"] == ["+1-360-555-9999 x1234"]
+    # addr struct: street type + unit pop, postcode typo fix, housename
+    assert n1["addr"]["street"] == "Ellis Street"
+    assert n1["addr"]["postcode"] == "98248"
+    assert n1["addr"]["housename"] == "Roasters Building"
+    # bool map (payment:*/fuel:*): yes/no promote, junk stays null
+    assert n1["bools"]["payment:visa"] is True
+    assert n1["bools"]["payment:cash"] is False
+    assert n1["bools"]["fuel:diesel"] is None
+    # int promotion incl. float-ish input
+    assert n1["lanes"] == 2 and n1["ele"] == 33
+    # problem-char key dropped
+    assert "bad key" not in n1["tags"]
+    # _N suffix strip + contact: prefix strip (keys merge into name/phone)
+    assert "name_1" not in n1["tags"] and "contact:phone" not in n1["tags"]
+
+    n2 = docs["1002"]
+    # semicolon list split
+    assert n2["lists"]["opening_hours"] == [
+        "Tu-Th 07:00-19:00",
+        "Sa, Su 10:00-17:00",
+    ]
+    # subdivided roots -> subdocs path maps
+    assert n2["subdocs"]["service"]["bicycle:pump"] == "yes"
+    assert n2["subdocs"]["wiki"]["symbol"] == "W"
+    # float guards: '3s' -> 3.0
+    assert n2["floats"]["building:levels"] == 3.0
+    assert n2["maxheight"] == 4.5
+    # is_in comma split + sort
+    assert n2["is_in"] == ["Bellingham", "USA", "WA"]
+    # gnis typo fix keeps gnis keys verbatim otherwise
+    assert n2["tags"]["gnis:ST_alpha"] == "53"
+
+    n3 = docs["1003"]
+    # street-type map: Guide Meridian -> Guide Meridian Road (cell 23)
+    assert n3["addr"]["street"] == "Guide Meridian Road"
+    # designation snake-cased
+    assert n3["tags"]["designation"] == "public_footpath"
+    # maxheight with quote chars skipped -> null
+    assert n3["floats"]["maxheight"] is None
+
+    # WRONG_KEY_MAP rename: image -> wikimedia_commons
+    assert docs["2002"]["tags"]["wikimedia_commons"] == "File:foo.jpg"
+    # street-type token map on name is NOT applied (names are lists)
+    assert docs["2001"]["name"] == ["Meadowbrook Count"]
+
+
+def test_invariants_all_valid(spark):
+    raw = read_osm_elements(spark, FIXTURE)
+    valid, quarantine = validate_documents(shape_documents(raw))
+    assert quarantine.count() == 0
+    assert valid.count() == 7
+
+
+def test_ref_docs_index(spark):
+    raw = read_osm_elements(spark, FIXTURE)
+    ref = {
+        r["_id"]: r["refers"]
+        for r in build_ref_docs(shape_documents(raw)).collect()
+    }
+    # node 1003 referenced by both ways
+    assert ref["1003"] == ["2001", "2002"]
+    # way 2001 referenced by the relation
+    assert ref["2001"] == ["3001"]
+    # node 1001 referenced by way 2001 and relation 3001
+    assert ref["1001"] == ["2001", "3001"]

@@ -1,0 +1,27 @@
+"""Structured Streaming twin-check: the streaming tumbling-window plan
+must produce exactly the batch result on a static input (the streaming
+extension has no DuckDB oracle -- the batch query s1_tumbling_window_counts
+is oracle-gated, and this test ties the stream to it)."""
+
+from __future__ import annotations
+
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.tables import load_table
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+    run_to_memory_sink,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch(spark):
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(load_table(spark, SF_DIR, "events")).collect()
+    }
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in run_to_memory_sink(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
