@@ -60,6 +60,8 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    etl_mb_s = _bench_etl(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -69,11 +71,37 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "etl_mb_per_s": etl_mb_s,
             }
         )
     )
     spark.stop()
     return 0
+
+
+def _bench_etl(spark, target_mb: float = 20.0) -> float:
+    """XML -> clean -> parquet throughput (the reference's only timed
+    metric is its load stage at ~14 MB/s single-threaded; BASELINE.md)."""
+    import shutil
+    import tempfile
+
+    from tools.gen_osm_xml import write_xml
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators import shape_documents
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import read_osm_elements
+
+    workdir = tempfile.mkdtemp(prefix="etl_bench_")
+    try:
+        xml_path = f"{workdir}/input.osm"
+        n_bytes = write_xml(xml_path, int(target_mb * 1024 * 1024))
+        t0 = time.time()
+        docs = shape_documents(read_osm_elements(spark, xml_path))
+        docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")
+        dt = time.time() - t0
+        mb_s = round(n_bytes / dt / 1024 / 1024, 2)
+        print(f"# etl: {n_bytes} bytes in {dt:.1f}s = {mb_s} MB/s", file=sys.stderr)
+        return mb_s
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -34,12 +34,38 @@ def _cleaned_tags() -> Column:
     empty = F.expr("array()").cast("array<struct<k:string,v:string>>")
     tags = F.coalesce(F.col("tags"), empty)
     kept = F.filter(tags, lambda t: ~C.has_problem_chars(t["k"]))
-    return F.transform(
+    rewritten = F.transform(
         kept,
+        lambda t: F.struct(C.rewrite_key(t["k"]).alias("k"), t["v"].alias("v")),
+    )
+    return F.transform(
+        rewritten,
         lambda t: F.struct(
-            C.rewrite_key(t["k"]).alias("k"),
-            C.misc_val_edits(C.rewrite_key(t["k"]), t["v"]).alias("v"),
+            t["k"].alias("k"), C.misc_val_edits(t["k"], t["v"]).alias("v")
         ),
+    )
+
+
+def clean_elements(raw: DataFrame) -> DataFrame:
+    """Phase 1: structural columns + the cleaned tag array, computed
+    ONCE per row in a single narrow projection.
+
+    Split from :func:`shape_documents` because the shaping phase reads
+    the cleaned array ~25 times (one per promoted column); if cleaning
+    were inlined there, Catalyst's project-collapse would duplicate the
+    whole interpreted higher-order cleaning tree per reference -- a
+    measured ~25x slowdown.  Reading a *stored column* 25 times is
+    free, so the pipeline materializes this boundary (bronze table in
+    production; ``localCheckpoint`` for in-session use)."""
+    return raw.select(
+        "doc_type",
+        "_id",
+        "lat",
+        "lon",
+        "created",
+        "nds",
+        "members",
+        _cleaned_tags().alias("ctags"),
     )
 
 
@@ -63,9 +89,38 @@ def _phone_list(v: Column) -> Column:
     return F.transform(C.split_list_value(v), lambda p: C.format_phone(p))
 
 
-def shape_documents(raw: DataFrame) -> DataFrame:
-    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA, one codegen'd projection."""
-    tags = _cleaned_tags()
+def shape_documents(raw: DataFrame, materialize: bool = True) -> DataFrame:
+    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA.
+
+    Two-phase: :func:`clean_elements` (clean once) then the shaping
+    projection off the stored ``ctags`` column.  ``materialize=True``
+    pins the phase boundary with a lazy ``localCheckpoint`` so the
+    optimizer cannot collapse the projections and re-inline the
+    cleaning tree per promoted column (production pipelines write the
+    phase-1 frame as a bronze table instead -- sources/sinks.py)."""
+    if materialize:
+        # A single small XML file parses as one split; spread the
+        # (expensive) cleaning + shaping across cores.  The
+        # repartition shuffle moves raw-sized rows once -- cheap
+        # relative to the expression work it parallelizes; a many-file
+        # 100 TB input already yields enough splits to skip this.
+        sc = raw.sparkSession.sparkContext
+        raw = raw.repartition(sc.defaultParallelism)
+    cleaned = clean_elements(raw)
+    if materialize:
+        # EAGER checkpoint: the lazy variant keeps the analyzed plan,
+        # letting project-collapse re-inline the cleaning tree into
+        # every promoted-column reference (measured ~20x slower).
+        # Eager materialization pins phase 1 as a LogicalRDD, so the
+        # shaping projection reads stored columns.
+        cleaned = cleaned.localCheckpoint(eager=True)
+    return shape_from_clean(cleaned)
+
+
+def shape_from_clean(cleaned: DataFrame) -> DataFrame:
+    """Phase 2: the shaping projection off a stored ``ctags`` column
+    (the :func:`clean_elements` output, typically a bronze table)."""
+    tags = F.col("ctags")
     subdiv_no_addr = [r for r in C.SUBDIVIDE_LST if r != "addr"]
 
     root = lambda t: F.split(t["k"], ":").getItem(0)  # noqa: E731
@@ -129,7 +184,7 @@ def shape_documents(raw: DataFrame) -> DataFrame:
 
     is_bool_tag = lambda t: root(t).isin(*C.BOOL_TAGS_LST) & has_colon(t)  # noqa: E731
 
-    doc = raw.select(
+    doc = cleaned.select(
         F.col("_id"),
         F.col("doc_type"),
         F.col("created"),

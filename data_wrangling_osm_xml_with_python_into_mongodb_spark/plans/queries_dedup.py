@@ -102,19 +102,28 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "join"),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: group docs per shingle (one shuffle on the shingle
+    # key), generate the co-occurrence pairs inside each group with
+    # array expressions, then count per pair.  A shingle-self-join
+    # would shuffle the exploded stream twice and blow up on hot
+    # (stopword-trigram) shingles; here a hot shingle costs one
+    # in-memory pair expansion, and AQE splits any skewed partition.
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    ids = F.col("ids")
+    pair_lists = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -203,23 +212,37 @@ def _band_sql(band: int) -> str:
     tags=("dedup", "lsh"),
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: ONE signature computation, ONE explode into
+    # (band, bucket) rows, ONE shuffle grouping docs per bucket, then
+    # pair generation inside each bucket with array expressions.  A
+    # bands-self-join instead would recompute the signature on both
+    # sides and shuffle the skewed bucket keys twice.
     sig = _minhash_sig_df(spark, sf_dir)
-    bands = None
-    for i, expr in enumerate(_band_exprs_spark()):
-        part = sig.select(
-            "doc_id", expr.alias("bucket"), F.lit(i).alias("band_idx")
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("band_idx"), e.alias("bucket"))
+            for i, e in enumerate(_band_exprs_spark())
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_idx", "b.bucket"
+    )
+    buckets = (
+        bands.groupBy("band_idx", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_lists = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        buckets.select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

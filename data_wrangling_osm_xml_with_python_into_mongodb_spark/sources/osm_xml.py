@@ -19,9 +19,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import types as T
+
 from ..schema import RAW_ELEMENT_SCHEMA
 
 _CREATED_ATTRS = ["version", "changeset", "timestamp", "user", "uid"]
+
+
+def _xml_schema(kind: str) -> T.StructType:
+    """Explicit per-rowTag read schema: skips the XML source's
+    schema-inference pass (one full extra scan per entity kind)."""
+    fields = [
+        T.StructField("_id", T.StringType()),
+        *[T.StructField(f"_{a}", T.StringType()) for a in _CREATED_ATTRS],
+        T.StructField(
+            "tag",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("_k", T.StringType()),
+                        T.StructField("_v", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+    if kind == "node":
+        fields += [
+            T.StructField("_lat", T.DoubleType()),
+            T.StructField("_lon", T.DoubleType()),
+        ]
+    if kind == "way":
+        fields.append(
+            T.StructField(
+                "nd",
+                T.ArrayType(T.StructType([T.StructField("_ref", T.StringType())])),
+            )
+        )
+    if kind == "relation":
+        fields.append(
+            T.StructField(
+                "member",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("_type", T.StringType()),
+                            T.StructField("_ref", T.StringType()),
+                            T.StructField("_role", T.StringType()),
+                        ]
+                    )
+                ),
+            )
+        )
+    return T.StructType(fields)
 
 
 def _attr(df: DataFrame, name: str) -> F.Column:
@@ -59,6 +109,7 @@ def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
                 spark.read.format("xml")
                 .option("rowTag", kind)
                 .option("attributePrefix", "_")
+                .schema(_xml_schema(kind))
                 .load(path)
             )
         except Exception:

@@ -1,0 +1,121 @@
+"""Audit-layer tests on the OSM fixture: each mongo_audit pipeline
+equivalent produces the reference-expected shapes and the repair
+operators actually repair (golden behaviors from main.ipynb cells
+37/39/45-47/50)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators import (
+    build_ref_docs,
+    shape_documents,
+)
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.audits import (
+    audit_referenced_types,
+    check_doc_counts_by,
+    count_docs_by,
+    count_unique_users,
+    find_mismatched_members,
+    fix_mismatched_members,
+    get_most_referenced,
+    update_states,
+    update_states_report,
+)
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.profile import (
+    profile_elements,
+    profile_tags,
+    summary_stats,
+)
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import read_osm_elements
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample.osm")
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return read_osm_elements(spark, FIXTURE).cache()
+
+
+@pytest.fixture(scope="module")
+def docs(raw):
+    return shape_documents(raw).cache()
+
+
+def test_count_unique_users(docs):
+    assert count_unique_users(docs).collect()[0]["unique_users"] == 3
+
+
+def test_count_docs_by(docs):
+    rows = {r["doc_type"]: r["count"] for r in count_docs_by(docs, "doc_type").collect()}
+    assert rows == {"node": 4, "way": 2, "relation": 1}
+    named = check_doc_counts_by(docs, "name").collect()
+    assert {(r["doc_type"], tuple(r["name"])) for r in named} == {
+        ("node", ("Good Coffee",)),
+        ("way", ("Meadowbrook Count",)),
+    }
+
+
+def test_audit_referenced_types(docs):
+    # Ways reference only nodes (reference cell 45 expected output).
+    assert audit_referenced_types(docs).collect()[0]["type"] == ["node"]
+
+
+def test_member_mismatch_found_and_fixed(docs):
+    # Fixture relation 3001 claims member 1004 is a way; it is a node.
+    bad = find_mismatched_members(docs).collect()
+    assert len(bad) == 1
+    assert (bad[0]["ref"], bad[0]["claimed_type"], bad[0]["actual_type"]) == (
+        "1004",
+        "way",
+        "node",
+    )
+    fixed = fix_mismatched_members(docs)
+    assert find_mismatched_members(fixed).count() == 0
+    # Untouched members stay intact.
+    rel = fixed.filter(F.col("_id") == "3001").collect()[0]
+    assert [(m["type"], m["ref"]) for m in rel["members"]] == [
+        ("way", "2001"),
+        ("node", "1004"),
+        ("node", "1001"),
+    ]
+
+
+def test_update_states(docs):
+    report = update_states_report(docs).collect()[0]
+    # One doc has addr.postcode (node 1001); none have state pre-update.
+    assert report["pre_state_count"] == 0
+    assert report["matched"] == 1
+    assert report["modified"] == 1
+    updated = update_states(docs)
+    assert (
+        updated.filter(F.col("addr.state") == "WA").count() == 1
+    )
+
+
+def test_get_most_referenced(docs):
+    ref_docs = build_ref_docs(docs)
+    top = get_most_referenced(docs, ref_docs, limit=2).collect()
+    assert len(top) == 2
+    # 1003 is referenced by both ways; ties broken by id.
+    assert top[0]["_id"] == "1001" and top[0]["refer_count"] == 2
+    assert top[1]["_id"] == "1003" and top[1]["refer_count"] == 2
+
+
+def test_profiles(raw):
+    el = {r["doc_type"]: r for r in profile_elements(raw).collect()}
+    assert el["node"]["n_elements"] == 4
+    assert el["way"]["n_nds"] == 6
+    assert el["relation"]["n_members"] == 3
+
+    tags = {r["k"]: r for r in profile_tags(raw).collect()}
+    assert tags["name"]["tag_use_count"] == 2
+    assert tags["name"]["uniq_count"] == 2
+    assert tags["highway"]["usage_per_uniq"] == 1.0
+
+    stats = summary_stats(profile_tags(raw)).collect()[0]
+    assert stats["n_keys"] == len(tags)
+    assert stats["max_use"] == 2
