@@ -1,16 +1,34 @@
 """Document shaping: raw XML elements -> canonical cleaned documents.
 
-This is the Spark-native re-expression of the reference's ETL core
-``shape_element`` (clean_and_write.py:230-381): one narrow ``select``
-of pure column expressions -- no shuffle, no Python in the row path,
-whole-stage-codegen'd end to end.  At 100 TB this pipeline is
-embarrassingly parallel: cost scales linearly with input splits.
+Spark-native re-expression of the reference's ETL core ``shape_element``
+(clean_and_write.py:230-381), designed around Spark's execution model:
+
+1. **Explode** only ``(_id, tag)`` into flat (k, v) rows -- structural
+   columns stay behind in a parallel frame, so per-tag fan-out never
+   copies the (potentially large) ``nds``/``members`` arrays.
+2. **Clean on flat columns** -- key drop/rewrite and all value edits are
+   top-level ``Column`` expressions (regexp/when/map-literal), which
+   whole-stage codegen compiles.  Each non-trivial tree (key rewrite,
+   value edits, list split, float guards, phone format, addr dispatch)
+   is computed EXACTLY ONCE in its own projection layer; CollapseProject
+   inlines a non-cheap expression only when it has a single downstream
+   consumer, so the multi-consumer trees stay put.  Without the dedup
+   the fused stage's generated method grows past what HotSpot will JIT
+   and Janino compile time explodes (measured 7-40x slower end to end).
+3. **Re-aggregate per element** -- one hash aggregation on ``_id``
+   builds every promoted column (conditional ``max(when(k=..))``), the
+   typed side-maps (``map_from_entries(collect_list(when(..)))``, null
+   entries skipped by collect_list), and the lossless tags map.
+   Partial aggregation runs map-side, so the shuffle carries ~one
+   compact row per element.
+4. **Join back** to the structural frame on ``_id`` (left join; both
+   sides co-shuffle on the same key, AQE sizes the strategy).
 
 Mapping of the reference's per-element steps:
 
 * attribute routing (clean_and_write.py:240-254)  -> structural columns
-* problem-char tag drop (:14,283)                  -> ``filter`` on the tag array
-* key rewrites (:15,42-45,285-299)                 -> ``rewrite_key`` per entry
+* problem-char tag drop (:14,283)                  -> flat filter
+* key rewrites (:15,42-45,285-299)                 -> ``rewrite_key``
 * per-key value edits (:195-227)                   -> ``misc_val_edits``
 * list keys (:146-179), phone (:97-111)            -> promoted list columns + ``lists`` map
 * int/float promotion (:51-58,218-226)             -> ``ints``/``floats`` maps + columns
@@ -29,138 +47,172 @@ from pyspark.sql import functions as F
 from ..functions import cleaning as C
 from ..schema import ADDR_FIELDS
 
-def _cleaned_tags() -> Column:
-    """Tag array after problem-char drop, key rewrite, and value edits."""
-    empty = F.expr("array()").cast("array<struct<k:string,v:string>>")
-    tags = F.coalesce(F.col("tags"), empty)
-    kept = F.filter(tags, lambda t: ~C.has_problem_chars(t["k"]))
-    rewritten = F.transform(
-        kept,
-        lambda t: F.struct(C.rewrite_key(t["k"]).alias("k"), t["v"].alias("v")),
-    )
-    return F.transform(
-        rewritten,
-        lambda t: F.struct(
-            t["k"].alias("k"), C.misc_val_edits(t["k"], t["v"]).alias("v")
-        ),
-    )
+_STRUCTURAL = ["doc_type", "lat", "lon", "created", "nds", "members"]
 
 
-def clean_elements(raw: DataFrame) -> DataFrame:
-    """Phase 1: structural columns + the cleaned tag array, computed
-    ONCE per row in a single narrow projection.
-
-    Split from :func:`shape_documents` because the shaping phase reads
-    the cleaned array ~25 times (one per promoted column); if cleaning
-    were inlined there, Catalyst's project-collapse would duplicate the
-    whole interpreted higher-order cleaning tree per reference -- a
-    measured ~25x slowdown.  Reading a *stored column* 25 times is
-    free, so the pipeline materializes this boundary (bronze table in
-    production; ``localCheckpoint`` for in-session use)."""
-    return raw.select(
-        "doc_type",
-        "_id",
-        "lat",
-        "lon",
-        "created",
-        "nds",
-        "members",
-        _cleaned_tags().alias("ctags"),
-    )
+def _split_list(v: Column) -> Column:
+    """Semicolon split with per-element trim, singleton otherwise
+    (clean_and_write.py:168-179) -- regex split keeps it codegen'd."""
+    return F.when(
+        v.contains(";"), F.split(F.trim(v), r"\s*;\s*")
+    ).otherwise(F.array(v))
 
 
-def _tag_val(tags: Column, key: str) -> Column:
-    hits = F.filter(tags, lambda t: t["k"] == key)
-    return F.get(hits, 0)["v"]
+def _isin_list(v: Column) -> Column:
+    """',' split if present else ';', trim, dedup, sort
+    (clean_and_write.py:114-125)."""
+    parts = F.when(
+        v.contains(","), F.split(F.trim(v), r"\s*,\s*")
+    ).otherwise(F.split(F.trim(v), r"\s*;\s*"))
+    return F.array_sort(F.array_distinct(parts))
 
 
-def _entries(tags: Column, pred, val) -> Column:
-    """map_from_entries over the tag subset matching ``pred``, with
-    values transformed by ``val(k, v)``."""
-    subset = F.filter(tags, pred)
-    return F.map_from_entries(
-        F.transform(subset, lambda t: F.struct(t["k"], val(t["k"], t["v"])))
-    )
+def _layer(df: DataFrame, *cols: Column) -> DataFrame:
+    """Add derived columns as their own projection layer.  CollapseProject
+    inlines a non-cheap producer expression only when it is referenced at
+    most once downstream, so every multi-consumer tree added here is
+    evaluated once per row; single-consumer trees are inlined, which is
+    the same work.  (Verified against the optimized plan -- no barrier
+    column needed.)"""
+    return df.select("*", *cols)
 
 
-def _phone_list(v: Column) -> Column:
-    """Semicolon-split then per-element phone normalization
-    (clean_and_write.py:300-305 list-ify, then :97-111 per element)."""
-    return F.transform(C.split_list_value(v), lambda p: C.format_phone(p))
-
-
-def shape_documents(raw: DataFrame, materialize: bool = True) -> DataFrame:
-    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA.
-
-    Two-phase: :func:`clean_elements` (clean once) then the shaping
-    projection off the stored ``ctags`` column.  ``materialize=True``
-    pins the phase boundary with a lazy ``localCheckpoint`` so the
-    optimizer cannot collapse the projections and re-inline the
-    cleaning tree per promoted column (production pipelines write the
-    phase-1 frame as a bronze table instead -- sources/sinks.py)."""
-    if materialize:
-        # A single small XML file parses as one split; spread the
-        # (expensive) cleaning + shaping across cores.  The
-        # repartition shuffle moves raw-sized rows once -- cheap
-        # relative to the expression work it parallelizes; a many-file
-        # 100 TB input already yields enough splits to skip this.
-        sc = raw.sparkSession.sparkContext
-        raw = raw.repartition(sc.defaultParallelism)
-    cleaned = clean_elements(raw)
-    if materialize:
-        # EAGER checkpoint: the lazy variant keeps the analyzed plan,
-        # letting project-collapse re-inline the cleaning tree into
-        # every promoted-column reference (measured ~20x slower).
-        # Eager materialization pins phase 1 as a LogicalRDD, so the
-        # shaping projection reads stored columns.
-        cleaned = cleaned.localCheckpoint(eager=True)
-    return shape_from_clean(cleaned)
-
-
-def shape_from_clean(cleaned: DataFrame) -> DataFrame:
-    """Phase 2: the shaping projection off a stored ``ctags`` column
-    (the :func:`clean_elements` output, typically a bronze table)."""
-    tags = F.col("ctags")
+def shape_documents(raw: DataFrame) -> DataFrame:
+    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA via explode + flat clean +
+    re-aggregation + structural join (see module docstring)."""
     subdiv_no_addr = [r for r in C.SUBDIVIDE_LST if r != "addr"]
 
-    root = lambda t: F.split(t["k"], ":").getItem(0)  # noqa: E731
-    has_colon = lambda t: t["k"].contains(":")  # noqa: E731
+    structural = raw.select("_id", *_STRUCTURAL)
 
-    addr_sub = lambda f: _tag_val(tags, f"addr:{f}")
-    addr_struct = F.struct(
+    k, v = F.col("k"), F.col("v")
+    root = F.col("root")
+    has_colon = F.col("has_colon")
+    subpath = F.col("subpath")
+
+    kv = (
+        raw.select("_id", F.explode("tags").alias("t"))
+        .select("_id", F.col("t.k").alias("k0"), F.col("t.v").alias("v0"))
+        .filter(
+            F.col("k0").isNotNull() & ~C.has_problem_chars(F.col("k0"))
+        )
+    )
+    # One cleaning tree per projection layer: the key rewrite feeds the
+    # value edits, the value edits feed everything.
+    kv = _layer(kv, C.rewrite_key(F.col("k0")).alias("k")).drop("k0")
+    kv = _layer(kv, C.misc_val_edits(k, F.col("v0")).alias("v")).drop("v0")
+
+    # Shared typed/cleaned variants -- each tree exactly once, gated by
+    # cheap `when`s so the expensive branches stay lazy per row.
+    kv = _layer(
+        kv,
+        F.split(k, ":").getItem(0).alias("root"),
+        k.contains(":").alias("has_colon"),
+        F.regexp_replace(k, r"^[^:]*:", "").alias("subpath"),
+    )
+    kv = _layer(
+        kv,
+        F.when(k.isin(*C.LIST_KEYS) & (k != "phone"), _split_list(v)).alias(
+            "list_v"
+        ),
+        # List-ify then per-element normalization (clean_and_write.py:
+        # 300-305 + :97-111); trim+split yields a singleton for values
+        # without ';', so one lambda covers both paths.
+        F.when(
+            k == "phone",
+            F.transform(
+                F.split(F.trim(v), r"\s*;\s*"), lambda p: C.format_phone(p)
+            ),
+        ).alias("phone_v"),
+        F.when(k == "is_in", _isin_list(v)).alias("isin_v"),
+        C.to_int_value(k, v).alias("int_v"),
+        C.to_float_value(k, v).alias("float_v"),
+        F.when(
+            root.isin(*C.BOOL_TAGS_LST) & has_colon, C.to_bool_or_null(v)
+        ).alias("bool_v"),
+        F.when(
+            (root == "addr") & has_colon, C.clean_addr_value(subpath, v)
+        ).alias("addr_v"),
+    )
+
+    # Dispatch into per-output columns: every expression here is a
+    # trivial `when` over already-computed columns, so the fused stage
+    # stays small enough to JIT.
+    list_v, phone_v = F.col("list_v"), F.col("phone_v")
+    int_v, float_v = F.col("int_v"), F.col("float_v")
+    kv = kv.select(
+        "_id",
+        "k",
+        F.when(k == "name", list_v).alias("name_v"),
+        phone_v,
+        F.when(k == "amenity", list_v).alias("amenity_v"),
+        F.when(k == "shop", list_v).alias("shop_v"),
+        F.col("isin_v"),
         *[
-            C.clean_addr_value(F.lit(f), addr_sub(f)).alias(f)
+            F.when(k == f"addr:{f}", F.col("addr_v")).alias(f"addr_{f}_v")
             for f in ADDR_FIELDS
-        ]
-    )
-    # Null out the struct when no addr:* key exists at all.
-    any_addr = F.exists(tags, lambda t: t["k"].startswith("addr:"))
-    addr_struct = F.when(any_addr, addr_struct).otherwise(
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{f}:string" for f in ADDR_FIELDS) + ">"
-        )
+        ],
+        F.when(k.startswith("addr:"), F.lit(1)).alias("has_addr_v"),
+        F.when(k == "ele", int_v).alias("ele_v"),
+        F.when(k == "population", int_v).alias("population_v"),
+        F.when(k == "lanes", int_v).alias("lanes_v"),
+        F.when(k == "building:levels", float_v).alias("building_levels_v"),
+        F.when(k == "maxheight", float_v).alias("maxheight_v"),
+        F.when(
+            k.isin(*C.LIST_KEYS),
+            F.struct(
+                k.alias("k"),
+                F.when(k == "phone", phone_v).otherwise(list_v).alias("v"),
+            ),
+        ).alias("entry_list"),
+        F.when(k.isin(*C.TO_INT_LST), F.struct(k.alias("k"), int_v.alias("v"))).alias(
+            "entry_int"
+        ),
+        F.when(
+            k.isin(*C.TO_FLOAT_LST), F.struct(k.alias("k"), float_v.alias("v"))
+        ).alias("entry_float"),
+        F.when(
+            F.col("root").isin(*C.BOOL_TAGS_LST) & F.col("has_colon"),
+            F.struct(k.alias("k"), F.col("bool_v").alias("v")),
+        ).alias("entry_bool"),
+        F.when(
+            F.col("has_colon") & F.col("root").isin(*subdiv_no_addr),
+            F.struct(
+                F.col("root").alias("r"),
+                F.col("subpath").alias("p"),
+                v.alias("val"),
+            ),
+        ).alias("entry_sub"),
+        F.struct(k.alias("k"), v.alias("v")).alias("entry_tag"),
     )
 
-    def promoted_list(key: str) -> Column:
-        v = _tag_val(tags, key)
-        if key == "phone":
-            out = _phone_list(v)
-        elif key == "is_in":
-            out = C.isin_set(v)
-        else:
-            out = C.split_list_value(v)
-        return F.when(v.isNotNull(), out).otherwise(
-            F.lit(None).cast("array<string>")
-        )
+    def mapped(entry_col: str, name: str) -> Column:
+        return F.map_from_entries(F.collect_list(entry_col)).alias(name)
 
-    # subdocs: colon-keyed entries under the non-addr SUBDIVIDE roots,
-    # root -> map(subpath -> value). Reference subdiv_key recursion
-    # (clean_and_write.py:128-143) flattened to path-keyed maps --
-    # same information, columnar-friendly.
-    sub_tags = F.filter(
-        tags, lambda t: has_colon(t) & root(t).isin(*subdiv_no_addr)
+    grp = kv.groupBy("_id").agg(
+        F.max("name_v").alias("name"),
+        F.max("phone_v").alias("phone"),
+        F.max("amenity_v").alias("amenity"),
+        F.max("shop_v").alias("shop"),
+        F.max("isin_v").alias("is_in"),
+        *[F.max(f"addr_{f}_v").alias(f"addr_{f}") for f in ADDR_FIELDS],
+        F.max("has_addr_v").alias("has_addr"),
+        F.max("ele_v").alias("ele"),
+        F.max("population_v").alias("population"),
+        F.max("lanes_v").alias("lanes"),
+        F.max("building_levels_v").alias("building_levels"),
+        F.max("maxheight_v").alias("maxheight"),
+        mapped("entry_list", "lists"),
+        mapped("entry_int", "ints"),
+        mapped("entry_float", "floats"),
+        mapped("entry_bool", "bools"),
+        F.collect_list("entry_sub").alias("_sub_entries"),
+        mapped("entry_tag", "tags"),
     )
-    sub_roots = F.array_distinct(F.transform(sub_tags, root))
+    grp = structural.join(grp, "_id", "left")
+
+    # Post-agg: per-document array ops on small arrays (one pass each).
+    sub = F.col("_sub_entries")
+    sub_roots = F.array_distinct(F.transform(sub, lambda e: e["r"]))
     subdocs = F.map_from_entries(
         F.transform(
             sub_roots,
@@ -168,84 +220,64 @@ def shape_from_clean(cleaned: DataFrame) -> DataFrame:
                 r,
                 F.map_from_entries(
                     F.transform(
-                        F.filter(sub_tags, lambda t: root(t) == r),
-                        lambda t: F.struct(
-                            F.regexp_replace(t["k"], r"^[^:]*:", "").alias("k"),
-                            t["v"].alias("v"),
-                        ),
+                        F.filter(sub, lambda e: e["r"] == r),
+                        lambda e: F.struct(e["p"], e["val"]),
                     )
                 ),
             ),
         )
     )
-    subdocs = F.when(F.size(sub_tags) > 0, subdocs).otherwise(
-        F.lit(None).cast("map<string,map<string,string>>")
+
+    addr_struct = F.struct(
+        *[F.col(f"addr_{f}").alias(f) for f in ADDR_FIELDS]
     )
 
-    is_bool_tag = lambda t: root(t).isin(*C.BOOL_TAGS_LST) & has_colon(t)  # noqa: E731
-
-    doc = cleaned.select(
-        F.col("_id"),
-        F.col("doc_type"),
-        F.col("created"),
-        F.when(
-            F.col("doc_type") == "node", F.array(F.col("lat"), F.col("lon"))
-        )
+    return grp.select(
+        "_id",
+        "doc_type",
+        "created",
+        F.when(F.col("doc_type") == "node", F.array("lat", "lon"))
         .otherwise(F.lit(None).cast("array<double>"))
         .alias("pos"),
         F.when(
-            F.col("doc_type") == "way",
-            F.array_sort(F.array_distinct(F.col("nds"))),
+            F.col("doc_type") == "way", F.array_sort(F.array_distinct("nds"))
         )
         .otherwise(F.lit(None).cast("array<string>"))
         .alias("node_refs"),
         F.when(F.col("doc_type") == "relation", F.col("members"))
-        .otherwise(F.lit(None).cast("array<struct<type:string,ref:string,role:string>>"))
+        .otherwise(
+            F.lit(None).cast("array<struct<type:string,ref:string,role:string>>")
+        )
         .alias("members"),
-        promoted_list("name").alias("name"),
-        promoted_list("phone").alias("phone"),
-        promoted_list("amenity").alias("amenity"),
-        promoted_list("shop").alias("shop"),
-        promoted_list("is_in").alias("is_in"),
-        addr_struct.alias("addr"),
-        C.to_int_value(F.lit("ele"), _tag_val(tags, "ele")).alias("ele"),
-        C.to_int_value(F.lit("population"), _tag_val(tags, "population")).alias(
-            "population"
-        ),
-        C.to_int_value(F.lit("lanes"), _tag_val(tags, "lanes")).alias("lanes"),
-        C.to_float_value(
-            F.lit("building:levels"), _tag_val(tags, "building:levels")
-        ).alias("building_levels"),
-        C.to_float_value(F.lit("maxheight"), _tag_val(tags, "maxheight")).alias(
-            "maxheight"
-        ),
-        _entries(
-            tags,
-            lambda t: t["k"].isin(*C.LIST_KEYS),
-            lambda k, v: F.when(k == "phone", _phone_list(v)).otherwise(
-                C.split_list_value(v)
-            ),
-        ).alias("lists"),
-        _entries(
-            tags,
-            lambda t: t["k"].isin(*C.TO_INT_LST),
-            lambda k, v: C.to_int_value(k, v),
-        ).alias("ints"),
-        _entries(
-            tags,
-            lambda t: t["k"].isin(*C.TO_FLOAT_LST),
-            lambda k, v: C.to_float_value(k, v),
-        ).alias("floats"),
-        _entries(tags, is_bool_tag, lambda k, v: C.to_bool_or_null(v)).alias(
-            "bools"
-        ),
-        subdocs.alias("subdocs"),
-        # Lossless long tail: every cleaned tag, raw string value.
-        F.map_from_entries(
-            F.transform(tags, lambda t: F.struct(t["k"], t["v"]))
-        ).alias("tags"),
+        F.col("name"),
+        F.col("phone"),
+        F.col("amenity"),
+        F.col("shop"),
+        F.col("is_in"),
+        F.when(F.col("has_addr") == 1, addr_struct)
+        .otherwise(
+            F.lit(None).cast(
+                "struct<" + ",".join(f"{f}:string" for f in ADDR_FIELDS) + ">"
+            )
+        )
+        .alias("addr"),
+        F.col("ele"),
+        F.col("population"),
+        F.col("lanes"),
+        F.col("building_levels"),
+        F.col("maxheight"),
+        # Tagless docs fall out of the left join with null maps; the
+        # canonical schema says empty map (what the agg yields for docs
+        # whose tags all miss a bucket).
+        F.coalesce("lists", F.expr("map()").cast("map<string,array<string>>")).alias("lists"),
+        F.coalesce("ints", F.expr("map()").cast("map<string,bigint>")).alias("ints"),
+        F.coalesce("floats", F.expr("map()").cast("map<string,double>")).alias("floats"),
+        F.coalesce("bools", F.expr("map()").cast("map<string,boolean>")).alias("bools"),
+        F.when(F.size("_sub_entries") > 0, subdocs)
+        .otherwise(F.lit(None).cast("map<string,map<string,string>>"))
+        .alias("subdocs"),
+        F.coalesce("tags", F.expr("map()").cast("map<string,string>")).alias("tags"),
     )
-    return doc
 
 
 def validate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:

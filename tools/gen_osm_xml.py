@@ -18,8 +18,28 @@ AMENITIES = ["cafe", "restaurant", "fuel", "library", "school;college"]
 PHONES = ["(360) 555-%04d ext. 12", "306-398-%04d", "+1-360-555-%04d"]
 
 
-def write_xml(path: str, target_bytes: int) -> int:
-    i = 0
+def write_xml_sharded(
+    dir_path: str, target_bytes: int, n_shards: int = 8
+) -> int:
+    """Write ``n_shards`` files (disjoint id ranges) totalling
+    ~target_bytes -- the multi-file layout a real large extract ships
+    in, which also gives the (per-file) XML scan its parallelism."""
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    per = target_bytes // n_shards
+    total = 0
+    for s in range(n_shards):
+        total += write_xml(
+            os.path.join(dir_path, f"part-{s:04d}.osm"),
+            per,
+            id_offset=s * 50_000_000,
+        )
+    return total
+
+
+def write_xml(path: str, target_bytes: int, id_offset: int = 0) -> int:
+    i = id_offset
     with open(path, "w", encoding="utf-8") as f:
         f.write('<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n')
         written = f.tell()
