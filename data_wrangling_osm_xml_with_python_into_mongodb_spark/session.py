@@ -28,6 +28,7 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(int(cpus), 4)
@@ -60,14 +61,32 @@ def get_spark(
         # keep the later entry like a dict update would.
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
-        # Local mode runs every executor thread inside the driver JVM;
-        # size the heap for 32 concurrent tasks with agg/join buffers
-        # (the box has 128 GiB -- an 8g heap GC-thrashes under load).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Local mode runs every executor thread inside the driver JVM.
+        # Keep the heap SMALL and PINNED: this environment's first-touch
+        # page-fault bandwidth is ~20-100 MB/s (measured; warm pages are
+        # ~4 GB/s), so a large growing heap keeps expanding into cold
+        # pages and a 10 s job degrades to 200 s.  A small Xms=Xmx heap
+        # warms once and is recycled by GC; capped direct memory forces
+        # buffer reuse instead of fresh allocateDirect zeroing.
+        .config("spark.driver.memory", driver_mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:MaxDirectMemorySize=2g",
+        )
         # Split generated code into smaller methods: keeps wide
         # projections/aggregations under HotSpot's JIT size limits
         # (measured 7x on the OSM shaping stage vs the 1024 default).
         .config("spark.sql.codegen.methodSplitThreshold", "128")
+        # ObjectHashAggregate (collect_list/map_from_entries aggs) falls
+        # back to sort-based aggregation after 128 distinct keys per
+        # partition -- i.e. always, for any real group-by.  Raising the
+        # threshold keeps the hash path (measured ~1.7x on the OSM
+        # shaping agg); partition sizing caps per-partition key counts,
+        # so memory stays bounded at scale.
+        .config(
+            "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "5000000",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
