@@ -62,6 +62,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-few-splits scan before CPU-heavy per-row work.
+
+    Small-SF tables arrive as one parquet file -> one input split,
+    which serializes expression-heavy pipelines (shingling, hashing,
+    vector math) on a single core.  At real scale the scan has
+    thousands of splits and this is a no-op -- the round-robin shuffle
+    only fires when the scan yields fewer partitions than the cluster
+    has task slots; locally it spreads the work across every core for
+    the cost of shuffling the tiny input once.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Flagship: TPC-H Q1 style grouped aggregation (reference A3/A4/A8 class:
 # mongo_audit.py:46-62 group-count generalized to multi-aggregate).

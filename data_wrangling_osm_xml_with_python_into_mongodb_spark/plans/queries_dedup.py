@@ -28,7 +28,7 @@ from ..functions.hashing import (
     md5_int64_sql,
     perm_params,
 )
-from .queries import _t, register
+from .queries import _spread, _t, register
 
 # Shared shingle SQL fragment: distinct lowercase 3-word shingles.
 # Matches TX.word_shingles(text, 3) for documents with >= 3 tokens
@@ -45,7 +45,7 @@ _SHINGLES_SQL = """
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle")
     )
@@ -66,7 +66,7 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -315,7 +315,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(V.cosine(F.col("a.v"), F.col("b.v"), dim=64), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)

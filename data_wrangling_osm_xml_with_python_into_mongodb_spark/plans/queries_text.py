@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from .queries import _t, register
+from .queries import _spread, _t, register
 
 
 @register(
@@ -37,7 +37,7 @@ from .queries import _t, register
     tags=("text",),
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
     return docs.select(
         "doc_id",
@@ -72,7 +72,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
@@ -112,7 +112,7 @@ def _langid_sql() -> str:
     tags=("text",),
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.lower(F.col("text"))), " ")
     scored = docs.select(*[
         TX.stopword_hits(toks, words).alias(f"hits_{lang}")

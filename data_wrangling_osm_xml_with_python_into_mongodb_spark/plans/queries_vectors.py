@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions.hashing import HASH_PRIME, perm_params
-from .queries import _t, register
+from .queries import _spread, _t, register
 
 
 @register(
@@ -44,14 +44,19 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
+    # Query side: tiny, read straight off the scan (vec_id filter is
+    # pushed down) and broadcast.  Candidate side: spread across cores
+    # before the per-row vector math.
     q = emb.filter(F.col("vec_id") < 10).alias("q")
-    c = emb.alias("c")
+    c = _spread(emb).alias("c")
     sims = (
         c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id"))
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.round(V.cosine(F.col("q.v"), F.col("c.v")), 6).alias("cos_sim"),
+            F.round(V.cosine(F.col("q.v"), F.col("c.v"), dim=EMBED_DIM), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -68,23 +73,26 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plane[p][d] = ((a_p * (d+1) + b_p) % PRIME) / PRIME - 0.5
 _N_PLANES = 12
 _PLANES = perm_params(_N_PLANES)
+EMBED_DIM = 64  # embeddings table width (TESTDATA.md)
+
+
+def _plane_weights(a: int, b: int) -> list[float]:
+    """Plane components as Python doubles -- exact IEEE match for the
+    oracle's ((d*a+b) % p)::DOUBLE / p - 0.5 (all steps exact/deterministic
+    in int64 + double)."""
+    return [
+        ((d * a + b) % HASH_PRIME) / HASH_PRIME - 0.5
+        for d in range(1, EMBED_DIM + 1)
+    ]
 
 
 def _bucket_spark(vec: F.Column) -> F.Column:
-    """Sum of 2^p over planes with positive dot(plane_p, vec)."""
+    """Sum of 2^p over planes with positive dot(plane_p, vec).  Plane
+    constants fold to literals driver-side; the per-row work is an
+    unrolled codegen'd multiply-add chain, not an interpreted HOF."""
     total = None
     for p, (a, b) in enumerate(_PLANES):
-        plane = F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda d: ((d.cast("long") * F.lit(a) + F.lit(b)) % F.lit(HASH_PRIME)).cast("double")
-            / F.lit(float(HASH_PRIME))
-            - F.lit(0.5),
-        )
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        dot = V.dot_literal(vec, _plane_weights(a, b))
         term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
         total = term if total is None else total + term
     return total.cast("long")
@@ -118,7 +126,7 @@ def _bucket_sql(vec: str) -> str:
     tags=("vector", "lsh"),
 )
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
     return (
@@ -148,7 +156,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "ivf"),
 )
 def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     ).select("label", (F.col("pos") + 1).cast("long").alias("idx"), F.col("col").alias("val"))
