@@ -1,0 +1,270 @@
+"""Remaining reference operator classes as first-class oracle-gated
+queries (SURVEY.md §2 line-item coverage): filtered/existence counts,
+list-aggregation, count reconciliation, before/after update reports,
+projection-with-rename, $ne filters, conditional projection, literal
+map-lookup joins, and set-dedup -- each on the synthetic tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import _t, register
+
+
+@register(
+    "a2_exists_filtered_count",
+    "Filtered count gated on JSON field existence (reference A2 filtered "
+    "count, mongo_audit.py:15-19, + P4 $exists predicate, "
+    "mongo_audit.py:16-18; Mongo dot-path existence maps to JSON-path / "
+    "nested-column isNotNull).",
+    """
+    SELECT count(*) AS n_events
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    tags=("filter", "json"),
+)
+def q_exists_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.filter(k.isNotNull() & (k.cast("long") >= 50)).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "a6_push_list_agg",
+    "List-aggregation of order priorities per customer (reference A6 "
+    "$push, mongo_audit.py:314-322; sorted for deterministic compare -- "
+    "reference O2 client-side sort, clean_and_write.py:347).",
+    """
+    SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
+           count(*) AS n_orders
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "nested"),
+)
+def q_push_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "a9_count_reconciliation",
+    "Count reconciliation across two derivations of the same total "
+    "(reference A9, main.ipynb cell 36: XML element counts == loaded doc "
+    "counts): full-table count vs sum of per-group counts.",
+    """
+    SELECT total.n AS n_total, by_status.n AS n_by_status,
+           total.n = by_status.n AS counts_match
+    FROM (SELECT count(*) AS n FROM orders) total,
+         (SELECT CAST(sum(n) AS BIGINT) AS n
+          FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderstatus)) by_status
+    """,
+    tags=("agg", "audit"),
+)
+def q_count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    total = orders.agg(F.count(F.lit(1)).alias("n"))
+    by_status = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
+    )
+    return total.crossJoin(by_status.withColumnRenamed("n", "n2")).select(
+        F.col("n").alias("n_total"),
+        F.col("n2").alias("n_by_status"),
+        (F.col("n") == F.col("n2")).alias("counts_match"),
+    )
+
+
+@register(
+    "a10_before_after_report",
+    "Pre/Matched/Modified/Post report matrix around a conditional update "
+    "(reference A10 update_states report, mongo_audit.py:22-43).",
+    """
+    SELECT 'pre' AS phase,
+           count(*) AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_matched, CAST(NULL AS BIGINT) AS n_modified
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'post' AS phase,
+           count(CASE WHEN o_totalprice > 300000.0
+                        OR o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+           count(CASE WHEN o_totalprice > 300000.0 THEN 1 END) AS n_matched,
+           count(CASE WHEN o_totalprice > 300000.0
+                       AND o_orderpriority <> '1-URGENT' THEN 1 END) AS n_modified
+    FROM orders
+    """,
+    tags=("agg", "update", "audit"),
+)
+def q_before_after_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    matched = F.col("o_totalprice") > 300000.0
+    pre = orders.filter(urgent).agg(
+        F.lit("pre").alias("phase"),
+        F.count(F.lit(1)).alias("n_urgent"),
+        F.lit(None).cast("long").alias("n_matched"),
+        F.lit(None).cast("long").alias("n_modified"),
+    )
+    post = orders.agg(
+        F.lit("post").alias("phase"),
+        F.count(F.when(matched | urgent, 1)).alias("n_urgent"),
+        F.count(F.when(matched, 1)).alias("n_matched"),
+        F.count(F.when(matched & ~urgent, 1)).alias("n_modified"),
+    )
+    return pre.unionByName(post)
+
+
+@register(
+    "p6_projection_rename",
+    "Field projection with rename and computed column (reference P6 "
+    "$project incl. rename, mongo_audit.py:90-92,177-183).",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderpriority AS priority,
+           o_totalprice * 0.5 AS half_price
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    tags=("projection",),
+)
+def q_projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_orderpriority").alias("priority"),
+            (F.col("o_totalprice") * 0.5).alias("half_price"),
+        )
+    )
+
+
+@register(
+    "p7_ne_filter",
+    "$ne inequality filter + grouped count (reference P7, "
+    "mongo_audit.py:120,138,184).",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE event_type <> 'click'
+    GROUP BY event_type
+    """,
+    tags=("filter",),
+)
+def q_ne_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "click")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "p9_cond_projection",
+    "Conditional projection rebuilding a value by predicate (reference P9 "
+    "$cond, mongo_audit.py:209-220, and P8 $cmp 3-way compare, "
+    "mongo_audit.py:180,208).",
+    """
+    SELECT CASE WHEN o_totalprice > 250000.0 THEN 'high'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           CASE WHEN o_totalprice > 150000.0 THEN 1
+                WHEN o_totalprice = 150000.0 THEN 0
+                ELSE -1 END AS cmp_150k,
+           count(*) AS n
+    FROM orders
+    GROUP BY bucket, cmp_150k
+    """,
+    tags=("projection", "filter"),
+)
+def q_cond_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price = F.col("o_totalprice")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.when(price > 250000.0, "high")
+            .when(price > 100000.0, "mid")
+            .otherwise("low")
+            .alias("bucket"),
+            F.when(price > 150000.0, 1)
+            .when(price == 150000.0, 0)
+            .otherwise(-1)
+            .alias("cmp_150k"),
+        )
+        .groupBy("bucket", "cmp_150k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Literal mapping table (reference J5 dict-lookup joins during cleaning:
+# STREET_TYPE_MAP / WRONG_KEY_MAP, clean_and_write.py:22-28,34-39).
+_REGION_CODE = {
+    "AFRICA": "af",
+    "AMERICA": "am",
+    "ASIA": "as",
+    "EUROPE": "eu",
+    "MIDDLE EAST": "me",
+}
+
+
+@register(
+    "j5_literal_map_join",
+    "Dimension mapping via a literal map lookup -- the Spark shape of the "
+    "reference's cleaning-dict joins (J5, clean_and_write.py:22-45,73-75): "
+    "create_map literal applied per row, no shuffle (vs a broadcast join "
+    "for larger dims).",
+    f"""
+    SELECT n_name, r_name,
+           CASE r_name {" ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _REGION_CODE.items())}
+                ELSE NULL END AS region_code
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("join", "cleaning"),
+)
+def q_literal_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    code_map = F.create_map(
+        *[F.lit(x) for kv in _REGION_CODE.items() for x in kv]
+    )
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .select("n_name", "r_name", code_map[F.col("r_name")].alias("region_code"))
+    )
+
+
+@register(
+    "u1_set_dedup_agg",
+    "Set-dedup aggregation: sorted distinct event types per user "
+    "(reference U1 set-dedup, clean_and_write.py:258,271-272,346-347, in "
+    "aggregated form).",
+    """
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+           CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_distinct
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    tags=("agg", "dedup"),
+)
+def q_set_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.size(F.collect_set("event_type")).alias("n_distinct"),
+    )

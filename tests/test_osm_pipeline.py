@@ -120,3 +120,20 @@ def test_ref_docs_index(spark):
     assert ref["2001"] == ["3001"]
     # node 1001 referenced by way 2001 and relation 3001
     assert ref["1001"] == ["2001", "3001"]
+
+
+def test_iterparse_fallback_matches_xml_source(spark):
+    """The last-resort Python iterparse source must yield exactly the
+    rows the rowTag XML source yields (same schema, same values)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        read_osm_elements_iterparse,
+    )
+
+    a = read_osm_elements(spark, FIXTURE)
+    b = read_osm_elements_iterparse(spark, FIXTURE)
+    # simpleString ignores nullability flags (the union relaxes them).
+    assert a.schema.simpleString() == b.schema.simpleString()
+    key = lambda r: r["_id"]  # noqa: E731
+    rows_a = sorted((r.asDict(recursive=True) for r in a.collect()), key=key)
+    rows_b = sorted((r.asDict(recursive=True) for r in b.collect()), key=key)
+    assert rows_a == rows_b
