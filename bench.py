@@ -113,7 +113,7 @@ def _bench_etl(spark, target_mb: float = 20.0) -> float:
         xml_path = f"{workdir}/input_shards"
         n_bytes = write_xml_sharded(xml_path, int(target_mb * 1024 * 1024), 8)
         mb_s = 0.0
-        for _pass in range(2):  # best-of-2, same rationale as queries
+        for _pass in range(3):  # best-of-3, same rationale as queries
             t0 = time.time()
             docs = shape_documents(read_osm_elements(spark, xml_path))
             docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")

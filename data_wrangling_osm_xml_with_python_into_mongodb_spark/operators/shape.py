@@ -3,9 +3,10 @@
 Spark-native re-expression of the reference's ETL core ``shape_element``
 (clean_and_write.py:230-381), designed around Spark's execution model:
 
-1. **Explode** only ``(_id, tag)`` into flat (k, v) rows -- structural
-   columns stay behind in a parallel frame, so per-tag fan-out never
-   copies the (potentially large) ``nds``/``members`` arrays.
+1. **Outer-explode** tags into flat (k, v) rows, structural columns
+   riding along (fan-out averages ~2.5 tags/element; within the fused
+   stage pass-through columns cost a row-pointer copy, and partial
+   aggregation collapses them before the shuffle).
 2. **Clean on flat columns** -- key drop/rewrite and all value edits are
    top-level ``Column`` expressions (regexp/when/map-literal), which
    whole-stage codegen compiles.  Each non-trivial tree (key rewrite,
@@ -18,11 +19,12 @@ Spark-native re-expression of the reference's ETL core ``shape_element``
 3. **Re-aggregate per element** -- one hash aggregation on ``_id``
    builds every promoted column (conditional ``max(when(k=..))``), the
    typed side-maps (``map_from_entries(collect_list(when(..)))``, null
-   entries skipped by collect_list), and the lossless tags map.
-   Partial aggregation runs map-side, so the shuffle carries ~one
-   compact row per element.
-4. **Join back** to the structural frame on ``_id`` (left join; both
-   sides co-shuffle on the same key, AQE sizes the strategy).
+   entries skipped by collect_list), the lossless tags map, and the
+   structural columns (``first()`` -- functionally dependent on
+   ``_id``, carried through the outer explode so the source is scanned
+   exactly once).  Partial aggregation runs map-side, so the shuffle
+   carries ~one compact row per element and no separate join is
+   needed.
 
 Mapping of the reference's per-element steps:
 
@@ -78,23 +80,36 @@ def _layer(df: DataFrame, *cols: Column) -> DataFrame:
 
 
 def shape_documents(raw: DataFrame) -> DataFrame:
-    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA via explode + flat clean +
-    re-aggregation + structural join (see module docstring)."""
-    subdiv_no_addr = [r for r in C.SUBDIVIDE_LST if r != "addr"]
+    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA via outer-explode + flat
+    clean + one re-aggregation (see module docstring).
 
-    structural = raw.select("_id", *_STRUCTURAL)
+    Single-pass: the source is scanned ONCE -- structural columns ride
+    along through the explode and come back out of the same hash
+    aggregation as ``first()`` (they are functionally dependent on
+    ``_id``).  A structural-frame + join design would scan the source
+    twice (fatal when the source is a 3-rowTag XML scan: 6 parses) and
+    add a join shuffle; carrying the structural columns costs only the
+    per-tag fan-out of one row pointer, and map-side partial agg
+    reduces them back to one row per element before the shuffle."""
+    subdiv_no_addr = [r for r in C.SUBDIVIDE_LST if r != "addr"]
 
     k, v = F.col("k"), F.col("v")
     root = F.col("root")
     has_colon = F.col("has_colon")
     subpath = F.col("subpath")
 
-    kv = (
-        raw.select("_id", F.explode("tags").alias("t"))
-        .select("_id", F.col("t.k").alias("k0"), F.col("t.v").alias("v0"))
-        .filter(
-            F.col("k0").isNotNull() & ~C.has_problem_chars(F.col("k0"))
-        )
+    # explode_outer keeps tagless elements (null t); a problem-char or
+    # null key nulls out k0 so the row still reaches the aggregation
+    # (every promoted/entry expression is when()-guarded on k).
+    t = F.col("t")
+    k_ok = t["k"].isNotNull() & ~C.has_problem_chars(t["k"])
+    kv = raw.select(
+        "_id", *_STRUCTURAL, F.explode_outer("tags").alias("t")
+    ).select(
+        "_id",
+        *_STRUCTURAL,
+        F.when(k_ok, t["k"]).alias("k0"),
+        t["v"].alias("v0"),
     )
     # One cleaning tree per projection layer: the key rewrite feeds the
     # value edits, the value edits feed everything.
@@ -141,6 +156,7 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     int_v, float_v = F.col("int_v"), F.col("float_v")
     kv = kv.select(
         "_id",
+        *_STRUCTURAL,
         "k",
         F.when(k == "name", list_v).alias("name_v"),
         phone_v,
@@ -182,13 +198,18 @@ def shape_documents(raw: DataFrame) -> DataFrame:
                 v.alias("val"),
             ),
         ).alias("entry_sub"),
-        F.struct(k.alias("k"), v.alias("v")).alias("entry_tag"),
+        # Null-guarded: tagless/problem-char rows must not feed the map
+        # (map keys cannot be null); collect_list skips the nulls.
+        F.when(k.isNotNull(), F.struct(k.alias("k"), v.alias("v"))).alias(
+            "entry_tag"
+        ),
     )
 
     def mapped(entry_col: str, name: str) -> Column:
         return F.map_from_entries(F.collect_list(entry_col)).alias(name)
 
     grp = kv.groupBy("_id").agg(
+        *[F.first(c).alias(c) for c in _STRUCTURAL],
         F.max("name_v").alias("name"),
         F.max("phone_v").alias("phone"),
         F.max("amenity_v").alias("amenity"),
@@ -208,7 +229,6 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         F.collect_list("entry_sub").alias("_sub_entries"),
         mapped("entry_tag", "tags"),
     )
-    grp = structural.join(grp, "_id", "left")
 
     # Post-agg: per-document array ops on small arrays (one pass each).
     sub = F.col("_sub_entries")
@@ -266,9 +286,8 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         F.col("lanes"),
         F.col("building_levels"),
         F.col("maxheight"),
-        # Tagless docs fall out of the left join with null maps; the
-        # canonical schema says empty map (what the agg yields for docs
-        # whose tags all miss a bucket).
+        # Defensive: the agg yields empty (not null) maps, but keep the
+        # canonical-schema guarantee explicit.
         F.coalesce("lists", F.expr("map()").cast("map<string,array<string>>")).alias("lists"),
         F.coalesce("ints", F.expr("map()").cast("map<string,bigint>")).alias("ints"),
         F.coalesce("floats", F.expr("map()").cast("map<string,double>")).alias("floats"),
