@@ -1,3 +1,12 @@
+from .geo import cluster_by_geo, geo_cell, geohash, with_geo_cell
 from .shape import build_ref_docs, shape_documents, validate_documents
 
-__all__ = ["shape_documents", "validate_documents", "build_ref_docs"]
+__all__ = [
+    "shape_documents",
+    "validate_documents",
+    "build_ref_docs",
+    "geo_cell",
+    "geohash",
+    "with_geo_cell",
+    "cluster_by_geo",
+]

@@ -42,8 +42,14 @@ from .queries import _spread, _t, register
 )
 def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", V.as_double(F.col("embedding")).alias("v")
+        "vec_id",
+        V.as_double(F.col("embedding")).alias("v"),
     )
+    # Hoist each row's norm out of the pairwise loop: sqrt(dot(x,x)) is
+    # computed once per vector instead of once per pair, and
+    # dot(a,b)/(na*nb) is IEEE-identical to the unhoisted formula (same
+    # operations on the same doubles, just not recomputed).
+    emb = emb.withColumn("n", V.norm(F.col("v"), dim=EMBED_DIM))
     # Query side: tiny, read straight off the scan (vec_id filter is
     # pushed down) and broadcast.  Candidate side: spread across cores
     # before the per-row vector math.
@@ -54,9 +60,11 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
-            F.round(V.cosine(F.col("q.v"), F.col("c.v"), dim=EMBED_DIM), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                V.dot(F.col("q.v"), F.col("c.v"), dim=EMBED_DIM)
+                / (F.col("q.n") * F.col("c.n")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
