@@ -89,3 +89,94 @@ def run_to_memory_sink(
     finally:
         q.stop()
     return spark.table(table_name)
+
+
+def sliding_window_rates(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window event rates (each event lands in window/slide
+    overlapping windows).  Batch/stream dual like
+    :func:`windowed_event_counts`."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stateful_user_sessions(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the reference has no streaming; this is
+    the SURVEY §2.10 extension's stateful half, semantics identical to
+    the batch ``w3_user_sessions`` query -- a >30 min gap starts a new
+    session).
+
+    State per user: (n_sessions, n_events, last_ts_epoch_s).  Each
+    micro-batch folds its (sorted) events into the carried state and
+    emits the updated totals, so the operator is incremental: state is
+    O(users), not O(events).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_sessions bigint, n_events bigint"
+    state_schema = "n_sessions bigint, n_events bigint, last_ts bigint"
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        n_sessions, n_events, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
+        ev = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for ts in ev["ts"]:
+            ts_s = int(ts.value // 1_000_000_000)
+            if last_ts is None or ts_s - last_ts > 1800:
+                n_sessions += 1
+            n_events += 1
+            last_ts = ts_s
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessions_to_memory_sink(
+    spark: SparkSession, sf_dir: str, table_name: str = "streamed_sessions"
+) -> DataFrame:
+    """Drive the stateful sessionization over a static directory (single
+    micro-batch) and return the materialized per-user totals."""
+    sessions = stateful_user_sessions(read_event_stream(spark, sf_dir))
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)

@@ -25,3 +25,39 @@ def test_stream_equals_batch(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_stateful_sessions_equal_batch(spark):
+    """The applyInPandasWithState sessionizer must reproduce the
+    oracle-gated batch w3_user_sessions result on a static input."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_profile import (
+        q_user_sessions,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        run_sessions_to_memory_sink,
+    )
+
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_user_sessions(spark, SF_DIR).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in run_sessions_to_memory_sink(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
+def test_sliding_window_overlap(spark):
+    """Each event must appear in exactly window/slide sliding windows."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        sliding_window_rates,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    total = sum(
+        r["n"] for r in sliding_window_rates(ev).collect()
+    )
+    assert total == 2 * n_events  # 10 min window / 5 min slide
