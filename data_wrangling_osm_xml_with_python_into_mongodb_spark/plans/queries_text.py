@@ -193,3 +193,131 @@ def q_string_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("boolean"))
         .alias("is_en_bool"),
     )
+
+
+def _phone_sql() -> str:
+    """DuckDB mirror of functions/cleaning.py format_phone (reference F1,
+    clean_and_write.py:97-111) over synthetic raw phone strings."""
+    return r"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '(306) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN 1 THEN '+1-360-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN 2 THEN '360-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ' ext. 77'
+               ELSE '1 (360) 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             END AS raw_phone
+      FROM documents WHERE doc_id < 300
+    ),
+    d1 AS (SELECT doc_id, raw_phone,
+                  regexp_replace(raw_phone, '[^0-9]', '', 'g') AS d FROM raw),
+    d2 AS (SELECT doc_id, raw_phone,
+                  CASE WHEN regexp_matches(d, '^1*306')
+                       THEN regexp_replace(d, '^(1*)306', '\1360') ELSE d END AS d
+           FROM d1),
+    d3 AS (SELECT doc_id, raw_phone,
+                  CASE WHEN d LIKE '1%' THEN d ELSE '1' || d END AS d FROM d2)
+    SELECT doc_id, raw_phone,
+           CASE WHEN regexp_matches(raw_phone, '^\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}$')
+                THEN raw_phone
+                ELSE '+' || substr(d, 1, 1) || '-' || substr(d, 2, 3) || '-'
+                     || substr(d, 5, 3) || '-'
+                     || CASE WHEN length(d) > 12
+                             THEN substr(d, 8, 4) || ' x' || substr(d, 12)
+                             ELSE substr(d, 8) END
+           END AS phone
+    FROM d3
+    """
+
+
+@register(
+    "f1_phone_format",
+    "Phone normalization to +1-AAA-NNN-NNNN[ xEXT] with the 306->360 "
+    "area-code repair and extension splicing (reference F1 format_phone, "
+    "clean_and_write.py:9-10,97-111), over deterministic synthetic raw "
+    "strings; the oracle mirrors every step in SQL.",
+    _phone_sql(),
+    tags=("text", "cleaning"),
+)
+def q_phone_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cleaning as C
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    num = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("(306) 555-"), num))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("+1-360-555-"), num))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("360-555-"), num, F.lit(" ext. 77")),
+        )
+        .otherwise(F.concat(F.lit("1 (360) 555 "), num))
+    )
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_phone"),
+        C.format_phone(raw).alias("phone"),
+    )
+
+
+def _street_sql() -> str:
+    from ..functions.cleaning import STREET_TYPE_MAP
+
+    types = ["Ave.", "St", "Rd", "Boulevard", "Hwy", "street"]
+    type_case = (
+        "CASE doc_id % 6 "
+        + " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(types))
+        + " END"
+    )
+    map_case = (
+        "CASE last_tok "
+        + " ".join(
+            f"WHEN '{k}' THEN '{v}'"
+            for k, v in STREET_TYPE_MAP.items()
+            if "\\" not in k and "'" not in k
+        )
+        + " ELSE NULL END"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, 'North Garden ' || {type_case} AS street
+      FROM documents WHERE doc_id < 240
+    ),
+    toks AS (
+      SELECT doc_id, street,
+             string_split(street, ' ')[-1] AS last_tok,
+             array_to_string(string_split(street, ' ')[1:-2], ' ') AS head
+      FROM raw
+    )
+    SELECT doc_id, street AS raw_street,
+           CASE WHEN {map_case} IS NOT NULL
+                THEN head || ' ' || {map_case}
+                ELSE street END AS cleaned_street
+    FROM toks
+    """
+
+
+@register(
+    "f2_street_types",
+    "Street-type suffix normalization through the literal mapping table "
+    "(reference F2 clean_street_type, clean_and_write.py:66-77), over "
+    "deterministic synthetic street strings.",
+    _street_sql(),
+    tags=("text", "cleaning"),
+)
+def q_street_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cleaning as C
+
+    types = ["Ave.", "St", "Rd", "Boulevard", "Hwy", "street"]
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    type_col = None
+    for i, t in enumerate(types):
+        cond = F.col("doc_id") % 6 == i
+        type_col = F.when(cond, t) if type_col is None else type_col.when(cond, t)
+    raw = F.concat(F.lit("North Garden "), type_col)
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_street"),
+        C.clean_street_type(raw).alias("cleaned_street"),
+    )
