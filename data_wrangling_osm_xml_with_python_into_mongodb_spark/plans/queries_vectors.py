@@ -171,3 +171,120 @@ def q_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "idx").agg(
         F.round(F.avg("val"), 6).alias("centroid_val")
     )
+
+
+def _centroids_sql() -> str:
+    """Per-label centroid vectors (list ordered by dimension), rounded to
+    6 places so both engines carry identical doubles."""
+    return """
+      SELECT label,
+             list(cv ORDER BY idx) AS cvec
+      FROM (
+        SELECT label, idx, round(avg(val), 6) AS cv
+        FROM (
+          SELECT label,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) AS idx,
+                 unnest(embedding)::DOUBLE AS val
+          FROM embeddings
+        )
+        GROUP BY label, idx
+      )
+      GROUP BY label
+    """
+
+
+@register(
+    "v4_ivf_probe_search",
+    "IVF probe search: assign each query vector to its nearest coarse "
+    "centroid (cosine, nprobe=1), then exact top-3 within that cell only "
+    "-- the candidate-pruning scale path over the v3 index build.",
+    f"""
+    WITH centroids AS ({_centroids_sql()}),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5
+    ),
+    assign AS (
+      SELECT vec_id, label FROM (
+        SELECT q.vec_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {V.cosine_sql('q.v', 'c.cvec')} DESC, c.label ASC
+               ) AS rn
+        FROM q CROSS JOIN centroids c
+      ) WHERE rn = 1
+    )
+    SELECT q.vec_id AS query_id, assign.label AS probed_label,
+           cand.vec_id AS neighbor_id,
+           round({V.cosine_sql('q.v', 'cand.embedding::DOUBLE[]')}, 6) AS cos_sim
+    FROM q
+    JOIN assign ON q.vec_id = assign.vec_id
+    JOIN embeddings cand
+      ON cand.label = assign.label AND cand.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round({V.cosine_sql('q.v', 'cand.embedding::DOUBLE[]')}, 6) DESC,
+               cand.vec_id ASC) <= 3
+    """,
+    tags=("vector", "ivf", "topk"),
+)
+def q_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    # Index build: per-label centroids (tiny: |labels| rows), ordered by
+    # dimension via sort-by-struct so collect_list order is defined.
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", F.col("pos").alias("idx"), F.col("col").alias("val"))
+    centroids = (
+        exploded.groupBy("label", "idx")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    # nprobe=1 assignment: centroids are tiny -> broadcast cross join,
+    # argmin by window (label tiebreak for determinism).
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("label")
+    )
+    assign = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", V.cosine(F.col("v"), F.col("cvec"), dim=EMBED_DIM))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("probed_label"), "v")
+    )
+    # Probe: scan ONLY the assigned cell (join on label prunes the
+    # candidate set; at scale the cell is a partition of the index).
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        V.as_double(F.col("embedding")).alias("cv"),
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        assign.join(
+            cand,
+            (cand["label"] == assign["probed_label"])
+            & (cand["neighbor_id"] != assign["vec_id"]),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "probed_label",
+            "neighbor_id",
+            F.round(V.cosine(F.col("v"), F.col("cv"), dim=EMBED_DIM), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
