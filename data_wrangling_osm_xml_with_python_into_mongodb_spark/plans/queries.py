@@ -75,7 +75,13 @@ def _spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # inputFiles() is metadata-only; df.rdd.getNumPartitions() would
+    # force a Python-RDD conversion of the plan per query.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = target
+    if 0 < n_splits < max(2, target // 2):
         return df.repartition(target)
     return df
 
@@ -198,7 +204,8 @@ def q_counts_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Set-aggregate of market segments per nation (reference A5 $addToSet, "
     "mongo_audit.py:139-140).",
     """
-    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
            count(*) AS n_customers
     FROM customer
     GROUP BY c_nationkey
@@ -206,11 +213,16 @@ def q_counts_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "nested"),
 )
 def q_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The set is serialized '|'-joined (not returned as array<string>):
+    # the correctness driver canonicalizes results through pandas, which
+    # cannot hash list cells.  Deterministic because the array is sorted.
     return (
         _t(spark, sf_dir, "customer")
         .groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("c_mktsegment"))
+            ).alias("segments"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
@@ -229,7 +241,7 @@ def q_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders (reference M3 write_ref_docs, mongo_audit.py:271-329).",
     """
     SELECT l_partkey AS ref_id,
-           list_sort(list(l_orderkey)) AS refers,
+           array_to_string(list_sort(list(l_orderkey)), '|') AS refers,
            count(*) AS refer_count
     FROM lineitem
     GROUP BY l_partkey
@@ -237,11 +249,15 @@ def q_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "nested", "mview"),
 )
 def q_ref_index_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # refers serialized '|'-joined (sorted, so deterministic): the
+    # correctness driver's pandas canonicalizer cannot hash list cells.
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("ref_id"))
         .agg(
-            F.sort_array(F.collect_list("l_orderkey")).alias("refers"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_list("l_orderkey"))
+            ).alias("refers"),
             F.count(F.lit(1)).alias("refer_count"),
         )
     )

@@ -41,7 +41,8 @@ def q_exists_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "$push, mongo_audit.py:314-322; sorted for deterministic compare -- "
     "reference O2 client-side sort, clean_and_write.py:347).",
     """
-    SELECT o_custkey, list_sort(list(o_orderpriority)) AS priorities,
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderpriority)), '|') AS priorities,
            count(*) AS n_orders
     FROM orders
     WHERE o_custkey < 100
@@ -50,9 +51,13 @@ def q_exists_filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "nested"),
 )
 def q_push_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # priorities serialized '|'-joined (sorted, so deterministic): the
+    # correctness driver's pandas canonicalizer cannot hash list cells.
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     return orders.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.concat_ws(
+            "|", F.sort_array(F.collect_list("o_orderpriority"))
+        ).alias("priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -254,7 +259,8 @@ def q_literal_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference U1 set-dedup, clean_and_write.py:258,271-272,346-347, in "
     "aggregated form).",
     """
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types,
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), '|') AS event_types,
            CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_distinct
     FROM events
     WHERE user_id < 50
@@ -263,8 +269,12 @@ def q_literal_map_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "dedup"),
 )
 def q_set_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single collect_set, reused for both the serialized list and its
+    # size; '|'-joined (sorted, so deterministic) because the driver's
+    # pandas canonicalizer cannot hash list cells.
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    types = F.sort_array(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
-        F.size(F.collect_set("event_type")).alias("n_distinct"),
+        F.concat_ws("|", types).alias("event_types"),
+        F.size(types).alias("n_distinct"),
     )

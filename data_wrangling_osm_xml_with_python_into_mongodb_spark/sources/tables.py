@@ -29,10 +29,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from ``{sf_dir}/{name}.parquet``.
 
     ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark's parquet
-    reader only surfaces as a nanos long (``nanosAsLong``, session.py);
-    normalize it back to a proper timestamp (micro truncation matches
-    DuckDB's cast semantics in the oracle).
+    reader only surfaces as a nanos long (``nanosAsLong``); normalize it
+    back to a proper timestamp (micro truncation matches DuckDB's cast
+    semantics in the oracle).
+
+    The ``nanosAsLong`` runtime conf is set here, not just in
+    ``session.py``'s builder, so the loader is self-sufficient under any
+    caller-provided SparkSession (the correctness driver constructs its
+    own vanilla session).
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

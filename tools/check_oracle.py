@@ -56,12 +56,21 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as ent
-    from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # Deliberately a VANILLA session (not session.py's tuned builder):
+    # the correctness driver constructs its own plain SparkSession, so
+    # every queries() callable must be self-sufficient under one.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "6g")
+        .appName("check_oracle")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -78,6 +87,12 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # Emulate the driver's pandas canonicalizer: it sort_values()
+            # over every column, which raises on unhashable cells (lists/
+            # dicts).  Catch that here so it fails locally, not per-round.
+            import pandas as pd
+
+            pd.DataFrame(srows, columns=scols).sort_values(by=list(scols))
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
