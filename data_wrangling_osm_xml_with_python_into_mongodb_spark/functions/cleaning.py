@@ -236,8 +236,23 @@ def misc_val_edits(k: Column, v: Column) -> Column:
             (k == "office") & (v == "Whatcom_Educational_Credit_Union"),
             F.lit("credit_union"),
         )
+        # gnis value typo fix (clean_and_write.py:287) -- applies even
+        # though gnis keys are protected from *key* rewrites.
+        .when((k == "gnis:County_num") & (v == "73"), F.lit("073"))
         .otherwise(v)
     )
+
+
+def isin_map_value(k: Column) -> Column:
+    """IS_IN_MAP constant replacement (clean_and_write.py:216-217): the
+    reference overwrites the value of ``is_in`` and the known ``is_in:*``
+    keys with dataset constants (list-valued), regardless of the raw
+    value.  Returns null for keys outside IS_IN_MAP."""
+    expr = None
+    for key, vals in IS_IN_MAP.items():
+        arr = F.array(*[F.lit(x) for x in vals])
+        expr = F.when(k == key, arr) if expr is None else expr.when(k == key, arr)
+    return expr.otherwise(F.lit(None).cast("array<string>"))
 
 
 def to_int_value(k: Column, v: Column) -> Column:

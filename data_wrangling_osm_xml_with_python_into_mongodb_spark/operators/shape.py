@@ -36,6 +36,9 @@ Mapping of the reference's per-element steps:
 * int/float promotion (:51-58,218-226)             -> ``ints``/``floats`` maps + columns
 * bool tags (:47-48,182-192)                       -> ``bools`` map
 * subdivided roots (:60-61,128-143,309-332)        -> ``addr`` struct + ``subdocs`` map
+  (recursive ``{a:{b:{c:v}}}`` nesting is untypeable at arbitrary depth in
+  Spark's static schemas; the equivalent is the dot-path-addressable map
+  ``subdocs['a']['b.c']`` -- :func:`subdoc_path` resolves Mongo dot paths)
 * nd dedup + sort (:258,271-272,346-347)           -> ``array_sort(array_distinct(...))``
 * validation invariants (:358-379)                 -> :func:`validate_documents`
 * ref_docs materialization (mongo_audit.py:271-329)-> :func:`build_ref_docs`
@@ -60,13 +63,7 @@ def _split_list(v: Column) -> Column:
     ).otherwise(F.array(v))
 
 
-def _isin_list(v: Column) -> Column:
-    """',' split if present else ';', trim, dedup, sort
-    (clean_and_write.py:114-125)."""
-    parts = F.when(
-        v.contains(","), F.split(F.trim(v), r"\s*,\s*")
-    ).otherwise(F.split(F.trim(v), r"\s*;\s*"))
-    return F.array_sort(F.array_distinct(parts))
+_ISIN_KEYS = list(C.IS_IN_MAP)
 
 
 def _layer(df: DataFrame, *cols: Column) -> DataFrame:
@@ -138,7 +135,10 @@ def shape_documents(raw: DataFrame) -> DataFrame:
                 F.split(F.trim(v), r"\s*;\s*"), lambda p: C.format_phone(p)
             ),
         ).alias("phone_v"),
-        F.when(k == "is_in", _isin_list(v)).alias("isin_v"),
+        # IS_IN_MAP constant replacement (clean_and_write.py:216-217):
+        # the reference overwrites is_in / is_in:* values with dataset
+        # constants; the raw string stays in the lossless tags map.
+        F.when(k == "is_in", C.isin_map_value(k)).alias("isin_v"),
         C.to_int_value(k, v).alias("int_v"),
         C.to_float_value(k, v).alias("float_v"),
         F.when(
@@ -147,6 +147,12 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         F.when(
             (root == "addr") & has_colon, C.clean_addr_value(subpath, v)
         ).alias("addr_v"),
+        # Reference pops a trailing '#unit' token off addr:street BEFORE
+        # type-mapping and stores it in addr.unit (clean_and_write.py:
+        # 66-77,323-326); split from the raw value here.
+        F.when(k == "addr:street", C.split_unit_from_street(v)).alias(
+            "addr_unit_street_v"
+        ),
     )
 
     # Dispatch into per-output columns: every expression here is a
@@ -167,6 +173,7 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             F.when(k == f"addr:{f}", F.col("addr_v")).alias(f"addr_{f}_v")
             for f in ADDR_FIELDS
         ],
+        F.col("addr_unit_street_v"),
         F.when(k.startswith("addr:"), F.lit(1)).alias("has_addr_v"),
         F.when(k == "ele", int_v).alias("ele_v"),
         F.when(k == "population", int_v).alias("population_v"),
@@ -179,7 +186,12 @@ def shape_documents(raw: DataFrame) -> DataFrame:
                 k.alias("k"),
                 F.when(k == "phone", phone_v).otherwise(list_v).alias("v"),
             ),
-        ).alias("entry_list"),
+        )
+        .when(
+            k.isin(*_ISIN_KEYS),
+            F.struct(k.alias("k"), C.isin_map_value(k).alias("v")),
+        )
+        .alias("entry_list"),
         F.when(k.isin(*C.TO_INT_LST), F.struct(k.alias("k"), int_v.alias("v"))).alias(
             "entry_int"
         ),
@@ -194,7 +206,12 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             F.col("has_colon") & F.col("root").isin(*subdiv_no_addr),
             F.struct(
                 F.col("root").alias("r"),
-                F.col("subpath").alias("p"),
+                # Dot-joined remainder path: the reference nests a:b:c
+                # recursively ({a:{b:{c:v}}}, clean_and_write.py:128-143);
+                # arbitrary-depth structs are untypeable in Spark, so the
+                # addressable equivalent is the Mongo dot path --
+                # subdocs['a']['b.c'] ≡ a.b.c (see subdoc_path()).
+                F.translate(F.col("subpath"), ":", ".").alias("p"),
                 v.alias("val"),
             ),
         ).alias("entry_sub"),
@@ -216,6 +233,7 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         F.max("shop_v").alias("shop"),
         F.max("isin_v").alias("is_in"),
         *[F.max(f"addr_{f}_v").alias(f"addr_{f}") for f in ADDR_FIELDS],
+        F.max("addr_unit_street_v").alias("addr_unit_street"),
         F.max("has_addr_v").alias("has_addr"),
         F.max("ele_v").alias("ele"),
         F.max("population_v").alias("population"),
@@ -248,15 +266,30 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         )
     )
 
+    # Explicit addr:unit wins; else the '#unit' token split off
+    # addr:street (reference audit_addr, clean_and_write.py:323-326).
     addr_struct = F.struct(
-        *[F.col(f"addr_{f}").alias(f) for f in ADDR_FIELDS]
+        *[
+            F.coalesce(F.col("addr_unit"), F.col("addr_unit_street")).alias("unit")
+            if f == "unit"
+            else F.col(f"addr_{f}").alias(f)
+            for f in ADDR_FIELDS
+        ]
     )
 
     return grp.select(
         "_id",
         "doc_type",
         "created",
-        F.when(F.col("doc_type") == "node", F.array("lat", "lon"))
+        # pos only when BOTH coordinates exist (clean_and_write.py:
+        # 251-252); a coordinate-less node keeps pos null and is
+        # quarantined by validate_documents, as the reference flags it.
+        F.when(
+            (F.col("doc_type") == "node")
+            & F.col("lat").isNotNull()
+            & F.col("lon").isNotNull(),
+            F.array("lat", "lon"),
+        )
         .otherwise(F.lit(None).cast("array<double>"))
         .alias("pos"),
         F.when(
@@ -297,6 +330,16 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         .alias("subdocs"),
         F.coalesce("tags", F.expr("map()").cast("map<string,string>")).alias("tags"),
     )
+
+
+def subdoc_path(subdocs: Column, path: str) -> Column:
+    """Resolve a Mongo dot path (``service.bicycle.pump``) against the
+    ``subdocs`` map -- the query-side equivalent of the reference's
+    recursive subdocument nesting (clean_and_write.py:128-143): the
+    first segment is the subdoc root, the dot-joined remainder is the
+    inner key.  Null-safe (missing root or leaf -> null)."""
+    root, _, rest = path.partition(".")
+    return F.element_at(F.element_at(subdocs, F.lit(root)), F.lit(rest))
 
 
 def validate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -46,12 +46,12 @@ def docs(raw):
 
 
 def test_count_unique_users(docs):
-    assert count_unique_users(docs).collect()[0]["unique_users"] == 3
+    assert count_unique_users(docs).collect()[0]["unique_users"] == 4
 
 
 def test_count_docs_by(docs):
     rows = {r["doc_type"]: r["count"] for r in count_docs_by(docs, "doc_type").collect()}
-    assert rows == {"node": 4, "way": 2, "relation": 1}
+    assert rows == {"node": 5, "way": 2, "relation": 1}
     named = check_doc_counts_by(docs, "name").collect()
     assert {(r["doc_type"], tuple(r["name"])) for r in named} == {
         ("node", ("Good Coffee",)),
@@ -107,7 +107,7 @@ def test_get_most_referenced(docs):
 
 def test_profiles(raw):
     el = {r["doc_type"]: r for r in profile_elements(raw).collect()}
-    assert el["node"]["n_elements"] == 4
+    assert el["node"]["n_elements"] == 5
     assert el["way"]["n_nds"] == 6
     assert el["relation"]["n_members"] == 3
 

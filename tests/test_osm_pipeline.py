@@ -31,7 +31,7 @@ def test_element_counts(spark):
         (r["doc_type"], r["n"])
         for r in raw.groupBy("doc_type").count().withColumnRenamed("count", "n").collect()
     )
-    assert counts == {"node": 4, "way": 2, "relation": 1}
+    assert counts == {"node": 5, "way": 2, "relation": 1}
 
 
 def test_structural_routing(docs):
@@ -57,6 +57,8 @@ def test_cleaning_triggers(docs):
     assert n1["phone"] == ["+1-360-555-9999 x1234"]
     # addr struct: street type + unit pop, postcode typo fix, housename
     assert n1["addr"]["street"] == "Ellis Street"
+    # popped '#unit' token lands in addr.unit (clean_and_write.py:323-326)
+    assert n1["addr"]["unit"] == "#215"
     assert n1["addr"]["postcode"] == "98248"
     assert n1["addr"]["housename"] == "Roasters Building"
     # bool map (payment:*/fuel:*): yes/no promote, junk stays null
@@ -76,16 +78,22 @@ def test_cleaning_triggers(docs):
         "Tu-Th 07:00-19:00",
         "Sa, Su 10:00-17:00",
     ]
-    # subdivided roots -> subdocs path maps
-    assert n2["subdocs"]["service"]["bicycle:pump"] == "yes"
+    # subdivided roots -> dot-path subdoc maps (depth-2 key nests as
+    # the dot-joined remainder, matching Mongo path service.bicycle.pump)
+    assert n2["subdocs"]["service"]["bicycle.pump"] == "yes"
     assert n2["subdocs"]["wiki"]["symbol"] == "W"
     # float guards: '3s' -> 3.0
     assert n2["floats"]["building:levels"] == 3.0
     assert n2["maxheight"] == 4.5
-    # is_in comma split + sort
-    assert n2["is_in"] == ["Bellingham", "USA", "WA"]
+    # IS_IN_MAP constant replacement (clean_and_write.py:216-217):
+    # raw values are overwritten with the dataset constants
+    assert n2["is_in"] == ["USA", "WA", "Whatcom County", "Bellingham"]
+    assert n2["lists"]["is_in:country"] == ["USA"]
+    assert n2["tags"]["is_in:country"] == "United States"  # lossless raw
     # gnis typo fix keeps gnis keys verbatim otherwise
     assert n2["tags"]["gnis:ST_alpha"] == "53"
+    # gnis:County_num '73' -> '073' value fix (clean_and_write.py:287)
+    assert n2["tags"]["gnis:County_num"] == "073"
 
     n3 = docs["1003"]
     # street-type map: Guide Meridian -> Guide Meridian Road (cell 23)
@@ -101,11 +109,32 @@ def test_cleaning_triggers(docs):
     assert docs["2001"]["name"] == ["Meadowbrook Count"]
 
 
-def test_invariants_all_valid(spark):
+def test_invariants_quarantine_coordless_node(spark, docs):
+    # Node 1005 has no lat/lon: pos stays null (clean_and_write.py:
+    # 251-252) and validation quarantines it (:363-367).
+    assert docs["1005"]["pos"] is None
     raw = read_osm_elements(spark, FIXTURE)
     valid, quarantine = validate_documents(shape_documents(raw))
-    assert quarantine.count() == 0
+    assert [r["_id"] for r in quarantine.collect()] == ["1005"]
     assert valid.count() == 7
+
+
+def test_subdoc_path_addressing(spark):
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import subdoc_path
+
+    raw = read_osm_elements(spark, FIXTURE)
+    got = (
+        shape_documents(raw)
+        .select(
+            "_id",
+            subdoc_path(F.col("subdocs"), "service.bicycle.pump").alias("pump"),
+        )
+        .filter(F.col("pump").isNotNull())
+        .collect()
+    )
+    assert [(r["_id"], r["pump"]) for r in got] == [("1002", "yes")]
 
 
 def test_ref_docs_index(spark):

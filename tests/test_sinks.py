@@ -34,7 +34,7 @@ def test_parquet_roundtrip_partitioned(spark, tmp_path):
     out = str(tmp_path / "docs_parquet")
     write_parquet(docs, out, partition_by=["doc_type"], sort_by="_id")
     back = spark.read.parquet(out)
-    assert back.count() == 7
+    assert back.count() == 8
     # Partition pruning path exists: doc_type is a partition column.
-    assert back.filter(back.doc_type == "node").count() == 4
+    assert back.filter(back.doc_type == "node").count() == 5
     assert [f.name for f in os.scandir(out) if f.is_dir()] != []
