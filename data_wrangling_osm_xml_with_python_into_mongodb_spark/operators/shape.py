@@ -342,10 +342,9 @@ def subdoc_path(subdocs: Column, path: str) -> Column:
     return F.element_at(F.element_at(subdocs, F.lit(root)), F.lit(rest))
 
 
-def validate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Document-kind invariants (clean_and_write.py:358-379) as a
-    filter pair: (valid, quarantine).  The reference prints violations;
-    at scale a quarantine table is the auditable equivalent."""
+def validity_predicate() -> Column:
+    """The document-kind invariants (clean_and_write.py:358-379) as one
+    boolean column expression over DOCUMENT_SCHEMA."""
     is_node = (
         (F.col("doc_type") == "node")
         & F.col("pos").isNotNull()
@@ -365,7 +364,14 @@ def validate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         & F.col("pos").isNull()
         & F.col("node_refs").isNull()
     )
-    ok = is_node | is_way | is_rel
+    return is_node | is_way | is_rel
+
+
+def validate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Document-kind invariants as a filter pair: (valid, quarantine).
+    The reference prints violations; at scale a quarantine table is the
+    auditable equivalent."""
+    ok = validity_predicate()
     return docs.filter(ok), docs.filter(~ok)
 
 

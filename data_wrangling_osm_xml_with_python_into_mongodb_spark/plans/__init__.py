@@ -3,6 +3,7 @@ from .queries import REGISTRY, QueryDef, oracle_sql_map, queries_map
 # Importing these modules populates REGISTRY via @register.
 from . import (  # noqa: E402,F401
     queries_dedup,
+    queries_etl,
     queries_ops,
     queries_profile,
     queries_text,

@@ -1,0 +1,156 @@
+"""Oracle-gated end-to-end OSM ETL audit.
+
+The reference's core capability is the XML -> cleaned-documents ETL
+(clean_and_write.py:230-381).  This module puts that pipeline under the
+hard correctness signal: a deterministic raw-elements parquet fixture
+(tools/gen_osm_fixture_parquet.py, committed at
+tests/fixtures/osm_raw.parquet) is shaped with the REAL pipeline
+(:func:`shape_documents` + :func:`validity_predicate`) and summarized
+into per-doc_type audit aggregates; the DuckDB oracle RE-IMPLEMENTS the
+cleaning semantics (phone formatting clean_and_write.py:97-111, street
+type mapping :66-77, int promotion :218-226, list splitting :168-179,
+validation :358-379) in independent pure SQL over the same parquet, so
+a deviation anywhere in the expression tree breaks the value hash.
+
+The fixture is SF-independent on purpose (the ETL is a fixed input ->
+fixed output audit, not a scan of the benchmark tables): the callable
+ignores ``sf_dir``.
+
+Scale: the Spark side is the production path -- one XML/parquet scan,
+flat cleaning expressions, one hash aggregation keyed by _id, then a
+6-row groupBy(doc_type); nothing here is fixture-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.shape import shape_documents, validity_predicate
+from ..schema import RAW_ELEMENT_SCHEMA
+from .queries import register
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+FIXTURE_PARQUET = os.path.join(_REPO_ROOT, "tests", "fixtures", "osm_raw.parquet")
+
+_ETL_ORACLE = r"""
+WITH raw AS (
+  SELECT * FROM read_parquet('/root/repo/tests/fixtures/osm_raw.parquet')
+), ext AS (
+  SELECT doc_type, lat, lon, nds, members, created,
+         list_filter(tags, x -> x.k = 'lanes')[1].v       AS lanes_raw,
+         list_filter(tags, x -> x.k = 'phone')[1].v       AS phone_raw,
+         list_filter(tags, x -> x.k = 'addr:street')[1].v AS street_raw,
+         list_filter(tags, x -> x.k = 'amenity')[1].v     AS amenity_raw
+  FROM raw
+), ph1 AS (  -- format_phone (clean_and_write.py:97-111), re-derived
+  SELECT *, regexp_replace(phone_raw, '\D', '', 'g') AS d0 FROM ext
+), ph2 AS (
+  SELECT *, CASE WHEN regexp_matches(d0, '^1*306')
+                 THEN regexp_replace(d0, '^(1*)306', '\1360')
+                 ELSE d0 END AS d1 FROM ph1
+), ph3 AS (
+  SELECT *, CASE WHEN d1 LIKE '1%' THEN d1 ELSE '1' || d1 END AS d2 FROM ph2
+), ph4 AS (
+  SELECT *,
+    CASE WHEN phone_raw IS NULL THEN NULL
+         WHEN regexp_full_match(phone_raw, '\+1-\d{3}-\d{3}-\d{4}') THEN phone_raw
+         WHEN length(d2) > 12 THEN
+           '+' || substr(d2,1,1) || '-' || substr(d2,2,3) || '-' ||
+           substr(d2,5,3) || '-' || substr(d2,8,4) || ' x' || substr(d2,12)
+         ELSE
+           '+' || substr(d2,1,1) || '-' || substr(d2,2,3) || '-' ||
+           substr(d2,5,3) || '-' || substr(d2,8)
+    END AS phone_fmt
+  FROM ph3
+), st1 AS (  -- clean_street_type (clean_and_write.py:66-77), re-derived
+  SELECT *, string_split(street_raw, ' ') AS stoks FROM ph4
+), st2 AS (
+  SELECT *, stoks[len(stoks)] AS last_tok FROM st1
+), st3 AS (
+  SELECT *,
+    CASE last_tok
+      WHEN 'Ave' THEN 'Avenue' WHEN 'Ave.' THEN 'Avenue'
+      WHEN 'Blvd' THEN 'Boulevard' WHEN 'Bakerview' THEN 'Bakerview Road'
+      WHEN 'Count' THEN 'Court' WHEN 'Dr' THEN 'Drive'
+      WHEN 'Forest' THEN 'Forest Street' WHEN 'Hwy' THEN 'Highway'
+      WHEN 'Meridian' THEN 'Meridian Road' WHEN 'Pkwy' THEN 'Parkway'
+      WHEN 'Rd' THEN 'Road' WHEN 'Rd.' THEN 'Road' WHEN 'Road3' THEN 'Road'
+      WHEN 'St' THEN 'Street' WHEN 'St.' THEN 'Street'
+      WHEN 'Street,' THEN 'Street' WHEN 'street' THEN 'Street'
+      ELSE NULL END AS type_mapped
+  FROM st2
+), st4 AS (
+  SELECT *,
+    CASE WHEN street_raw IS NULL THEN NULL
+         WHEN type_mapped IS NOT NULL THEN
+           CASE WHEN len(stoks) > 1
+                THEN array_to_string(list_slice(stoks, 1, len(stoks)-1), ' ')
+                     || ' ' || type_mapped
+                ELSE type_mapped END
+         ELSE street_raw END AS street_clean
+  FROM st3
+)
+SELECT doc_type,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (WHERE  -- validation (clean_and_write.py:358-379)
+         (doc_type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL
+          AND nds IS NULL AND members IS NULL)
+         OR (doc_type = 'way' AND nds IS NOT NULL AND members IS NULL)
+         OR (doc_type = 'relation' AND members IS NOT NULL AND nds IS NULL)
+       ) AS BIGINT) AS n_valid,
+       CAST(count(*) FILTER (WHERE lat IS NOT NULL AND lon IS NOT NULL)
+            AS BIGINT) AS n_pos,
+       CAST(sum(CAST(CAST(lanes_raw AS DOUBLE) AS BIGINT)) AS BIGINT) AS sum_lanes,
+       CAST(sum(length(phone_fmt)) AS BIGINT) AS sum_phone_len,
+       CAST(count(DISTINCT phone_fmt) AS BIGINT) AS n_phones,
+       coalesce(array_to_string(list_sort(list(DISTINCT street_clean)), '|'), '')
+         AS streets,
+       CAST(count(*) FILTER (WHERE contains(stoks[len(stoks)], '#'))
+            AS BIGINT) AS n_units,
+       CAST(sum(len(list_distinct(nds))) AS BIGINT) AS sum_refs,
+       CAST(sum(len(members)) AS BIGINT) AS sum_members,
+       CAST(count(DISTINCT created."user") AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN amenity_raw IS NULL THEN NULL
+                ELSE len(string_split(amenity_raw, ';')) END) AS BIGINT)
+         AS sum_amenities
+FROM st4
+GROUP BY doc_type
+"""
+
+
+@register(
+    "etl_osm_document_audit",
+    "End-to-end OSM ETL under the oracle: shape_documents + validation "
+    "over the committed raw-elements fixture, per-doc_type cleaning "
+    "aggregates; the DuckDB side re-implements phone/street/int/list/"
+    "validation semantics independently (clean_and_write.py:230-381).",
+    _ETL_ORACLE,
+    tags=("etl", "osm", "flagship"),
+)
+def q_etl_osm_document_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    docs = shape_documents(raw)
+    phone0 = F.element_at(F.col("phone"), 1)
+    return docs.groupBy("doc_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(validity_predicate().cast("long")).alias("n_valid"),
+        F.count("pos").alias("n_pos"),
+        F.sum("lanes").alias("sum_lanes"),
+        F.sum(F.length(phone0)).cast("long").alias("sum_phone_len"),
+        F.count_distinct(phone0).alias("n_phones"),
+        F.concat_ws(
+            "|", F.sort_array(F.collect_set(F.col("addr")["street"]))
+        ).alias("streets"),
+        F.sum(
+            F.when(F.col("addr")["unit"].isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_units"),
+        F.sum(F.size("node_refs")).cast("long").alias("sum_refs"),
+        F.sum(F.size("members")).cast("long").alias("sum_members"),
+        F.count_distinct(F.col("created")["user"]).alias("n_users"),
+        F.sum(F.size("amenity")).cast("long").alias("sum_amenities"),
+    )
