@@ -51,6 +51,24 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for pair generation (dd2 shingles, dd3 LSH
+# buckets).  A stop-phrase shingle shared by D documents would expand to
+# D^2/2 candidate pairs inside ONE aggregated row -- a single task that
+# AQE cannot split; at web scale D reaches 10^6+ and the job never
+# finishes.  Standard MinHash practice drops keys above a df threshold
+# (they carry no near-dup signal: sharing a ubiquitous phrase is not
+# similarity evidence).  The cap is applied AFTER the one hash
+# aggregation as a size filter on the grouped id-array -- same single
+# shuffle, and the per-task pair expansion is bounded by CAP^2.  (A
+# pre-count + anti-join variant would also bound the aggregated row
+# itself, but it re-scans and re-shuffles the full shingle stream --
+# 2-3x the I/O at any realistic cap; the grouped row at CAP*16B is
+# negligible next to that.)  64 is comfortably above the max legit df
+# in the synthetic corpus (25 at sf0.1), so gated results are
+# unchanged; production would tune it per-corpus.
+PAIR_DF_CAP = 64
+
+
 @register(
     "dd1_exact_dedup",
     "Exact deduplication via hash-groupBy on the normalized fingerprint "
@@ -85,9 +103,15 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH shingles AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    kept AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN sh_df d ON s.shingle = d.shingle
+      WHERE d.df <= {PAIR_DF_CAP}
+    ),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM shingles a JOIN shingles b
+      FROM kept a JOIN kept b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
@@ -106,8 +130,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key), generate the co-occurrence pairs inside each group with
     # array expressions, then count per pair.  A shingle-self-join
     # would shuffle the exploded stream twice and blow up on hot
-    # (stopword-trigram) shingles; here a hot shingle costs one
-    # in-memory pair expansion, and AQE splits any skewed partition.
+    # (stopword-trigram) shingles; here pair expansion is bounded by
+    # the PAIR_DF_CAP df filter (see its comment), so no task exceeds
+    # CAP^2 pairs per shingle.
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ids = F.col("ids")
@@ -121,7 +146,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
         .select(F.explode(F.flatten(pair_lists)).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -203,9 +228,19 @@ def _band_sql(band: int) -> str:
         f"SELECT doc_id, {b} AS bucket, {b2} AS band_idx FROM sig"
         for b, b2 in ((_band_sql(i), i) for i in range(_N_BANDS))
       )}
+    ),
+    bsize AS (
+      SELECT band_idx, bucket, count(*) AS df
+      FROM bands GROUP BY band_idx, bucket
+    ),
+    kept AS (
+      SELECT bands.doc_id, bands.band_idx, bands.bucket FROM bands
+      JOIN bsize ON bands.band_idx = bsize.band_idx
+                AND bands.bucket = bsize.bucket
+      WHERE bsize.df <= {PAIR_DF_CAP}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.band_idx = b.band_idx AND a.bucket = b.bucket
          AND a.doc_id < b.doc_id
     """,
@@ -216,7 +251,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (band, bucket) rows, ONE shuffle grouping docs per bucket, then
     # pair generation inside each bucket with array expressions.  A
     # bands-self-join instead would recompute the signature on both
-    # sides and shuffle the skewed bucket keys twice.
+    # sides and shuffle the skewed bucket keys twice.  Hot buckets
+    # (degenerate near-constant signatures) are dropped by the same
+    # PAIR_DF_CAP df filter as dd2, bounding per-task pair expansion.
     sig = _minhash_sig_df(spark, sf_dir)
     band_arr = F.array(
         *[
@@ -230,7 +267,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band_idx", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
     )
     ids = F.col("ids")
     pair_lists = F.transform(
