@@ -76,18 +76,10 @@ def _layer(df: DataFrame, *cols: Column) -> DataFrame:
     return df.select("*", *cols)
 
 
-def shape_documents(raw: DataFrame) -> DataFrame:
-    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA via outer-explode + flat
-    clean + one re-aggregation (see module docstring).
-
-    Single-pass: the source is scanned ONCE -- structural columns ride
-    along through the explode and come back out of the same hash
-    aggregation as ``first()`` (they are functionally dependent on
-    ``_id``).  A structural-frame + join design would scan the source
-    twice (fatal when the source is a 3-rowTag XML scan: 6 parses) and
-    add a join shuffle; carrying the structural columns costs only the
-    per-tag fan-out of one row pointer, and map-side partial agg
-    reduces them back to one row per element before the shuffle."""
+def _dispatch_frame(raw: DataFrame) -> DataFrame:
+    """The pre-aggregation half of :func:`shape_documents`: explode,
+    clean on flat columns, dispatch into per-output columns.  Split out
+    so the stage can be profiled/tested in isolation."""
     subdiv_no_addr = [r for r in C.SUBDIVIDE_LST if r != "addr"]
 
     k, v = F.col("k"), F.col("v")
@@ -115,11 +107,13 @@ def shape_documents(raw: DataFrame) -> DataFrame:
 
     # Shared typed/cleaned variants -- each tree exactly once, gated by
     # cheap `when`s so the expensive branches stay lazy per row.
+    # Regex-free key anatomy (hot path, once per tag): substring_index /
+    # instr scan bytes directly instead of entering the regex engine.
     kv = _layer(
         kv,
-        F.split(k, ":").getItem(0).alias("root"),
+        F.substring_index(k, ":", 1).alias("root"),
         k.contains(":").alias("has_colon"),
-        F.regexp_replace(k, r"^[^:]*:", "").alias("subpath"),
+        k.substr(F.instr(k, ":") + 1, F.length(k)).alias("subpath"),
     )
     kv = _layer(
         kv,
@@ -221,9 +215,40 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             "entry_tag"
         ),
     )
+    return kv
 
-    def mapped(entry_col: str, name: str) -> Column:
-        return F.map_from_entries(F.collect_list(entry_col)).alias(name)
+
+def shape_documents(raw: DataFrame) -> DataFrame:
+    """RAW_ELEMENT_SCHEMA -> DOCUMENT_SCHEMA via outer-explode + flat
+    clean + one re-aggregation (see module docstring).
+
+    Single-pass: the source is scanned ONCE -- structural columns ride
+    along through the explode and come back out of the same hash
+    aggregation as ``first()`` (they are functionally dependent on
+    ``_id``).  A structural-frame + join design would scan the source
+    twice (fatal when the source is a 3-rowTag XML scan: 6 parses) and
+    add a join shuffle; carrying the structural columns costs only the
+    per-tag fan-out of one row pointer, and map-side partial agg
+    reduces them back to one row per element before the shuffle."""
+    kv = _dispatch_frame(raw)
+
+    # ONE imperative aggregate: the six entry streams ride in a single
+    # collect_list of a combined struct (TypedImperativeAggregate buffer
+    # updates are interpreted per row -- six separate collect_lists cost
+    # ~6x the buffer work; measured ~0.5s of a 2.4s ETL pass at 20 MB).
+    # The per-entry maps are split back out post-agg with array folds
+    # over the ~tags-per-element-sized collected array.
+    entry_all = F.when(
+        F.col("k").isNotNull(),
+        F.struct(
+            F.col("entry_list"),
+            F.col("entry_int"),
+            F.col("entry_float"),
+            F.col("entry_bool"),
+            F.col("entry_sub"),
+            F.col("entry_tag"),
+        ),
+    )
 
     grp = kv.groupBy("_id").agg(
         *[F.first(c).alias(c) for c in _STRUCTURAL],
@@ -240,12 +265,30 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         F.max("lanes_v").alias("lanes"),
         F.max("building_levels_v").alias("building_levels"),
         F.max("maxheight_v").alias("maxheight"),
-        mapped("entry_list", "lists"),
-        mapped("entry_int", "ints"),
-        mapped("entry_float", "floats"),
-        mapped("entry_bool", "bools"),
-        F.collect_list("entry_sub").alias("_sub_entries"),
-        mapped("entry_tag", "tags"),
+        F.collect_list(entry_all).alias("_entries"),
+    )
+
+    ent = F.col("_entries")
+
+    def entries_map(field: str) -> Column:
+        """Split one entry stream back out of the combined collect_list
+        and build its map (nulls = rows that weren't this entry kind)."""
+        return F.map_from_entries(
+            F.filter(
+                F.transform(ent, lambda e: e[field]), lambda x: x.isNotNull()
+            )
+        )
+
+    grp = grp.select(
+        "*",
+        entries_map("entry_list").alias("lists"),
+        entries_map("entry_int").alias("ints"),
+        entries_map("entry_float").alias("floats"),
+        entries_map("entry_bool").alias("bools"),
+        F.filter(
+            F.transform(ent, lambda e: e["entry_sub"]), lambda x: x.isNotNull()
+        ).alias("_sub_entries"),
+        entries_map("entry_tag").alias("tags"),
     )
 
     # Post-agg: per-document array ops on small arrays (one pass each).
