@@ -127,6 +127,51 @@ def format_phone(num: Column) -> Column:
     return F.when(num.rlike(f"^{PHONE_RE}$"), num).otherwise(formatted)
 
 
+# --- F11: phone area-code audit (main.ipynb:799-821 ex_audit_phone) -------
+
+def audit_phone_single(num: Column) -> Column:
+    """Flag one number whose area code does not look like ``1*360``:
+    returns its digit string when suspicious, null when acceptable.
+
+    Reference semantics exactly: truncate at the first literal ``x``
+    (which also hits the 'x' in ' ext. ' -- so did the reference),
+    strip non-digits, then accept iff >= 10 digits AND the FIRST FOUR
+    digits match ``1*360`` (the reference applies the regex to
+    ``num[:4]``, so at most one leading country-code 1)."""
+    x_idx = F.instr(num, "x")
+    trimmed = F.when(x_idx > 0, num.substr(F.lit(1), x_idx - 1)).otherwise(num)
+    digits = F.regexp_replace(trimmed, r"\D", "")
+    ok = (F.length(digits) >= 10) & F.substring(digits, 1, 4).rlike(r"^1*360")
+    return F.when(~ok, digits)
+
+
+def audit_phone(num: Column) -> Column:
+    """The F11 audit with the reference's ``;``-list recursion: the
+    array of suspicious digit strings among the list members (a value
+    without ';' is a singleton list; the reference returns None/scalar
+    there, which serializes the same once nulls are dropped)."""
+    return F.filter(
+        F.transform(F.split(num, ";"), audit_phone_single),
+        lambda x: x.isNotNull(),
+    )
+
+
+# --- F12: street-type exception finder (main.ipynb:955-975) ---------------
+
+ALLOWED_STREET_TYPES = [
+    "Street", "Avenue", "Boulevard", "Drive", "Court", "Place",
+    "Square", "Lane", "Road", "Trail", "Parkway", "Highway", "Way",
+]
+
+
+def street_type_exception(street: Column) -> Column:
+    """The trailing token of a street value when it is NOT one of the
+    acceptable street-type formats; null when conforming (the audit the
+    reference runs to BUILD the STREET_TYPE_MAP)."""
+    tok = F.element_at(F.split(street, r"\s+"), -1)
+    return F.when(~tok.isin(*ALLOWED_STREET_TYPES), tok)
+
+
 # --- F2: street-type normalization (clean_and_write.py:66-77) -------------
 
 def split_unit_from_street(street: Column) -> Column:

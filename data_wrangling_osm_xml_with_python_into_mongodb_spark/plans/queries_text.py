@@ -321,3 +321,140 @@ def q_street_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw_street"),
         C.clean_street_type(raw).alias("cleaned_street"),
     )
+
+
+def _phone_audit_sql() -> str:
+    """DuckDB mirror of cleaning.audit_phone (reference F11
+    ex_audit_phone, main.ipynb:799-821) over synthetic raw phones."""
+    flag = """(
+      CASE WHEN length(d) >= 10 AND regexp_matches(substr(d, 1, 4), '^1*360')
+           THEN NULL ELSE d END
+    )""".replace(
+        "d",
+        "regexp_replace(CASE WHEN strpos(s, 'x') > 0 "
+        "THEN substr(s, 1, strpos(s, 'x') - 1) ELSE s END, '\\D', '', 'g')",
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 0 THEN '(360) 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN 1 THEN '306-398-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN 2 THEN '253-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               WHEN 3 THEN '+1-360-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' x99'
+               WHEN 4 THEN '360-111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           || ';306-222-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             END AS raw_phone
+      FROM documents WHERE doc_id < 300
+    ),
+    aud AS (
+      SELECT doc_id, raw_phone,
+             list_filter(
+               list_transform(string_split(raw_phone, ';'), s -> {flag}),
+               x -> x IS NOT NULL) AS sus
+      FROM raw
+    )
+    SELECT doc_id, raw_phone,
+           coalesce(array_to_string(sus, '|'), '') AS suspicious,
+           CAST(len(sus) AS INT) AS n_suspicious
+    FROM aud
+    """
+
+
+@register(
+    "f11_phone_audit",
+    "Phone area-code audit: flag numbers whose digits do not start with "
+    "1*360, recursing into ';'-lists (reference F11 ex_audit_phone, "
+    "main.ipynb:799-821), over deterministic synthetic raw phones; the "
+    "oracle mirrors the x-truncation / digit-strip / prefix test in SQL.",
+    _phone_audit_sql(),
+    tags=("text", "audit"),
+)
+def q_phone_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cleaning as C
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    num = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    raw = (
+        F.when(F.col("doc_id") % 6 == 0, F.concat(F.lit("(360) 555-"), num))
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit("306-398-"), num))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit("253-555-"), num))
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("+1-360-555-"), num, F.lit(" x99")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("360-111-"), num, F.lit(";306-222-"), num),
+        )
+        .otherwise(F.concat(F.lit("555-"), num))
+    )
+    sus = C.audit_phone(raw)
+    return docs.select(
+        "doc_id",
+        raw.alias("raw_phone"),
+        F.concat_ws("|", sus).alias("suspicious"),
+        F.size(sus).alias("n_suspicious"),
+    )
+
+
+def _street_exceptions_sql() -> str:
+    from ..functions.cleaning import ALLOWED_STREET_TYPES
+
+    allowed = ", ".join(f"'{t}'" for t in ALLOWED_STREET_TYPES)
+    types = [
+        "Street", "Ave.", "Rd", "Meridian", "Boulevard",
+        "Hwy", "Court", "street",
+    ]
+    type_case = (
+        "CASE doc_id % 8 "
+        + " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(types))
+        + " END"
+    )
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, 'North Garden ' || {type_case} AS street
+      FROM documents WHERE doc_id < 400
+    ),
+    toks AS (
+      SELECT doc_id, string_split(street, ' ')[-1] AS tok FROM raw
+    )
+    SELECT tok AS exception, count(*) AS n_values, min(doc_id) AS first_doc
+    FROM toks
+    WHERE tok NOT IN ({allowed})
+    GROUP BY tok
+    """
+
+
+@register(
+    "f12_street_exceptions",
+    "Street-type exception finder: distinct trailing tokens not in the "
+    "acceptable street-type list, with usage counts (reference F12 audit "
+    "that builds STREET_TYPE_MAP, main.ipynb:955-975), over "
+    "deterministic synthetic streets.",
+    _street_exceptions_sql(),
+    tags=("text", "audit"),
+)
+def q_street_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cleaning as C
+
+    types = [
+        "Street", "Ave.", "Rd", "Meridian", "Boulevard",
+        "Hwy", "Court", "street",
+    ]
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    type_col = None
+    for i, t in enumerate(types):
+        cond = F.col("doc_id") % 8 == i
+        type_col = F.when(cond, t) if type_col is None else type_col.when(cond, t)
+    street = F.concat(F.lit("North Garden "), type_col)
+    return (
+        docs.select("doc_id", C.street_type_exception(street).alias("exception"))
+        .filter(F.col("exception").isNotNull())
+        .groupBy("exception")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

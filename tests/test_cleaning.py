@@ -146,3 +146,32 @@ def test_rewrite_key(spark):
 def test_problem_chars(spark):
     outs = _apply1(spark, C.has_problem_chars, ["bad key", "fine_key", "semi;colon"])
     assert outs == [True, False, True]
+
+
+def test_audit_phone_goldens(spark):
+    # main.ipynb:799-821 ex_audit_phone semantics: suspicious numbers
+    # surface as their digit strings, acceptable 1*360 numbers vanish.
+    cases = {
+        "(360) 555-9999": [],                      # expected area code
+        "306-398-8300": ["3063988300"],            # typo area code
+        "253-555-1000": ["2535551000"],            # neighboring area code
+        "+1-360-555-1234 x99": [],                 # ext stripped, then ok
+        "555-12": ["55512"],                       # too short to trust
+        "360-111-0001;306-222-0002": ["3062220002"],  # ;-list recursion
+        # the literal 'x' in ' ext. ' truncates there, like the reference
+        "(360) 555-9999 ext. 1234": [],
+    }
+    outs = _apply1(spark, C.audit_phone, list(cases))
+    assert outs == list(cases.values())
+
+
+def test_street_type_exception_goldens(spark):
+    cases = {
+        "North Garden Street": None,
+        "North Garden Ave.": "Ave.",
+        "Guide Meridian": "Meridian",
+        "North Garden Hwy": "Hwy",
+        "Meadow Lane": None,
+    }
+    outs = _apply1(spark, C.street_type_exception, list(cases))
+    assert outs == list(cases.values())
