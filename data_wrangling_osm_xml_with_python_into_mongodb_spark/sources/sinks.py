@@ -48,6 +48,17 @@ def write_parquet(
     writer.parquet(path)
 
 
+def mongo_write_options(uri: str, database: str, collection: str) -> dict[str, str]:
+    """The mongo-spark-connector option map (its documented option
+    names); factored out so the wiring is unit-testable without the
+    connector jar."""
+    return {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+    }
+
+
 def write_mongodb(
     docs: DataFrame,
     uri: str,
@@ -56,17 +67,22 @@ def write_mongodb(
     mode: str = "overwrite",
 ) -> bool:
     """MongoDB sink via mongo-spark-connector (reference S4 mongoimport,
-    main.ipynb cell 31).  Returns False when the connector jar is not
-    on the classpath (optional dependency)."""
+    main.ipynb cell 31).  Returns False when the connector is not on
+    the classpath (optional dependency); any OTHER failure (bad URI,
+    auth, write error) raises -- a real write error must not be
+    silently swallowed."""
+    writer = docs.write.format("mongodb").mode(mode).options(
+        **mongo_write_options(uri, database, collection)
+    )
     try:
-        (
-            docs.write.format("mongodb")
-            .mode(mode)
-            .option("connection.uri", uri)
-            .option("database", database)
-            .option("collection", collection)
-            .save()
-        )
+        writer.save()
         return True
-    except Exception:
-        return False
+    except Exception as e:  # connector absent <=> datasource unresolvable
+        msg = str(e)
+        if (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source" in msg
+            or "ClassNotFoundException" in msg
+        ):
+            return False
+        raise
