@@ -288,3 +288,144 @@ def q_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+def _kmeans_probe_sql() -> str:
+    """v5 oracle: one Lloyd iteration over the v3 seed centroids, then
+    an nprobe=2 probe against the REFINED centroids, candidates drawn
+    from the refined assignment."""
+    return f"""
+    WITH c0 AS (SELECT label AS cluster, cvec FROM ({_centroids_sql()})),
+    vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assign1 AS (
+      SELECT vec_id, cluster, v FROM (
+        SELECT vecs.vec_id, c0.cluster, vecs.v,
+               row_number() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY {V.cosine_sql('vecs.v', 'c0.cvec')} DESC,
+                          c0.cluster ASC) AS rn
+        FROM vecs CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cluster, list(cv ORDER BY idx) AS cvec FROM (
+        SELECT cluster, idx, round(avg(val), 6) AS cv FROM (
+          SELECT cluster,
+                 CAST(generate_subscripts(v, 1) AS BIGINT) AS idx,
+                 unnest(v)::DOUBLE AS val
+          FROM assign1
+        ) GROUP BY cluster, idx
+      ) GROUP BY cluster
+    ),
+    probes AS (
+      SELECT query_id, qv, cluster FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c1.cluster,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {V.cosine_sql('q.v', 'c1.cvec')} DESC,
+                          c1.cluster ASC) AS rn
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 5) q
+        CROSS JOIN c1
+      ) WHERE rn <= 2
+    )
+    SELECT p.query_id, p.cluster AS neighbor_cluster, a.vec_id AS neighbor_id,
+           round({V.cosine_sql('p.qv', 'a.v')}, 6) AS cos_sim
+    FROM probes p
+    JOIN assign1 a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY p.query_id
+      ORDER BY round({V.cosine_sql('p.qv', 'a.v')}, 6) DESC, a.vec_id ASC) <= 3
+    """
+
+
+def _centroid_agg(df: DataFrame, key: str) -> DataFrame:
+    """Per-key per-dimension mean -> ordered centroid vector (round 6 so
+    both engines carry identical doubles)."""
+    exploded = df.select(key, F.posexplode("v")).select(
+        key, F.col("pos").alias("idx"), F.col("col").alias("val")
+    )
+    return (
+        exploded.groupBy(key, "idx")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy(key)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+
+
+@register(
+    "v5_ivf_kmeans_probe",
+    "IVF with one Lloyd refinement + nprobe=2: re-assign every vector to "
+    "its nearest v3 seed centroid (cosine), recompute centroids from the "
+    "new assignment, then probe the TWO nearest refined cells per query "
+    "for the exact top-3 -- the index is a real k-means step, not a "
+    "one-shot label average.",
+    _kmeans_probe_sql(),
+    tags=("vector", "ivf", "topk"),
+)
+def q_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    # Seed centroids (the v3 build), keyed as cluster ids.
+    c0 = _centroid_agg(
+        vecs.select(F.col("label").alias("cluster"), "v"), "cluster"
+    )
+    # One Lloyd iteration: nearest-centroid assignment of EVERY vector.
+    # Centroids are tiny (|labels| rows) -> broadcast cross join; argmin
+    # via ranking window with cluster tiebreak for determinism.
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("a_sim"), F.asc("cluster")
+    )
+    assign1 = (
+        vecs.crossJoin(F.broadcast(c0))
+        .withColumn("a_sim", V.cosine(F.col("v"), F.col("cvec"), dim=EMBED_DIM))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "v")
+    )
+    # Refined centroids from the new assignment.
+    c1 = _centroid_agg(assign1.select("cluster", "v"), "cluster")
+    # nprobe=2: the two nearest refined cells per query.
+    q = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("p_sim"), F.asc("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(c1))
+        .withColumn("p_sim", V.cosine(F.col("qv"), F.col("cvec"), dim=EMBED_DIM))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "cluster")
+    )
+    # Probe: candidates ONLY from the two assigned cells (the join on
+    # cluster prunes; at scale each cell is a partition of the index).
+    cand = assign1.select(
+        F.col("vec_id").alias("neighbor_id"), "cluster", F.col("v").alias("cv2")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        probes.join(cand, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("cluster").alias("neighbor_cluster"),
+            "neighbor_id",
+            F.round(V.cosine(F.col("qv"), F.col("cv2"), dim=EMBED_DIM), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
