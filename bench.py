@@ -30,11 +30,38 @@ HEADLINE = [
     "j4_most_referenced_parts",
     "m3_ref_index_parts",
     "dd1_exact_dedup",
+    "dd2_ngram_jaccard_pairs",  # exercises the df-capped skew path
     "dd3_minhash_lsh_pairs",
     "t2_quality_scores",
     "v1_ann_bruteforce_topk",
     "w2_top2_orders_per_customer",
 ]
+
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+
+
+def _append_history(result: dict) -> None:
+    """Per-run history so per-query regressions between rounds are
+    visible (the driver only keeps the latest BENCH_r{N}.json)."""
+    try:
+        prev = None
+        if os.path.exists(HISTORY_PATH):
+            with open(HISTORY_PATH) as f:
+                lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            prev = json.loads(lines[-1]) if lines else None
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps(result) + "\n")
+        if prev and prev.get("queries"):
+            for name, sec in result["queries"].items():
+                p = prev["queries"].get(name)
+                if p:
+                    sign = "+" if sec > p else "-"
+                    print(
+                        f"# delta {name}: {p}s -> {sec}s ({sign}{abs(sec - p):.3f}s)",
+                        file=sys.stderr,
+                    )
+    except Exception as e:  # history must never break the bench output
+        print(f"# history error: {e}", file=sys.stderr)
 
 
 def main() -> int:
@@ -70,18 +97,17 @@ def main() -> int:
     etl_mb_s = _bench_etl(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "etl_mb_per_s": etl_mb_s,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "etl_mb_per_s": etl_mb_s,
+        "ts": int(time.time()),
+    }
+    _append_history(result)
+    print(json.dumps(result))
     spark.stop()
     return 0
 

@@ -230,6 +230,12 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     add a join shuffle; carrying the structural columns costs only the
     per-tag fan-out of one row pointer, and map-side partial agg
     reduces them back to one row per element before the shuffle."""
+    # Self-sufficiency under ANY caller-provided session: duplicate tag
+    # keys (e.g. name + name_1 after the _N strip) must resolve
+    # last-writer-wins like the reference's dict update
+    # (clean_and_write.py:355-356); the vanilla default policy EXCEPTION
+    # would instead fail the whole job on the first duplicate.
+    raw.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     kv = _dispatch_frame(raw)
 
     # ONE imperative aggregate: the six entry streams ride in a single
