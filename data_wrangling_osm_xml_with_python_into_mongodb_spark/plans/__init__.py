@@ -4,6 +4,7 @@ from .queries import REGISTRY, QueryDef, oracle_sql_map, queries_map
 from . import (  # noqa: E402,F401
     queries_dedup,
     queries_etl,
+    queries_geo,
     queries_ops,
     queries_profile,
     queries_text,

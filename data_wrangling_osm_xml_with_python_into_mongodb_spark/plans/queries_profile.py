@@ -277,3 +277,32 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("session_id") + 1).cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "s2_sliding_window_rates",
+    "Sliding 10-minute window with 5-minute slide over the event stream "
+    "(batch twin of streaming/events.py sliding_window_rates -- the SAME "
+    "operator runs under readStream with a watermark; SURVEY.md §2.10 "
+    "extension).  Each event lands in window/slide = 2 windows.",
+    """
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           event_type, count(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+             event_type
+      FROM events
+    )
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def q_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import sliding_window_rates
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_rates(ev, window="10 minutes", slide="5 minutes")
