@@ -414,8 +414,11 @@ def q_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_top = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
+    # probes is |queries| x nprobe rows -- broadcast it so the probe is
+    # a map-side hash join against the (large, partitioned) index side,
+    # not a sort-merge shuffle of the index.
     return (
-        probes.join(cand, "cluster")
+        cand.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
