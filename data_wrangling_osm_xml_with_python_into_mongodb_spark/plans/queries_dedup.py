@@ -134,7 +134,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PAIR_DF_CAP df filter (see its comment), so no task exceeds
     # CAP^2 pairs per shingle.
     sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Per-doc shingle-set size straight off the scan (word_shingles is
+    # already distinct): no explode, no shuffle -- the old
+    # groupBy(doc_id).count() over the exploded stream re-scanned and
+    # re-shuffled the whole corpus just to recount what F.size knows.
+    sizes = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.word_shingles(F.col("text"), 3)).alias("n_sh")
+    )
     ids = F.col("ids")
     pair_lists = F.transform(
         ids,
@@ -151,11 +157,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # No broadcast hint on sizes: locally AQE broadcasts it anyway
+    # (tiny), but at corpus scale sizes is |docs| rows while the capped
+    # candidate-pair set is the small side -- AQE picks the right side
+    # at runtime; a hard hint would force building a |docs|-sized hash
+    # table on every executor.
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
-        common.join(F.broadcast(sa), F.col("id_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.doc_id"))
+        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
         .select(
             "id_a",
             "id_b",
