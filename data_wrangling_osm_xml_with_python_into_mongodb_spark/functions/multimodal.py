@@ -161,3 +161,39 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+BYTE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("last_byte", T.IntegerType()),
+    ]
+)
+
+
+def media_byte_stats(media: DataFrame) -> DataFrame:
+    """Payload integrity audit over binary media columns: byte length,
+    byte sum, first/last byte per payload -- the smallest real
+    exercise of binary columns crossing the Arrow boundary into a
+    pandas iterator (same batch shape as the decode path), with
+    results an independent engine can recompute."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            datas = [bytes(d) if d is not None else b"" for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(d) for d in datas],
+                    "byte_sum": [int(sum(d)) for d in datas],
+                    "first_byte": [d[0] if d else None for d in datas],
+                    "last_byte": [d[-1] if d else None for d in datas],
+                }
+            )
+
+    return media.mapInPandas(run, BYTE_STATS_SCHEMA)

@@ -154,3 +154,50 @@ def q_etl_osm_document_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("created")["user"]).alias("n_users"),
         F.sum(F.size("amenity")).cast("long").alias("sum_amenities"),
     )
+
+
+_MM_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind
+  FROM documents WHERE doc_id < 200
+),
+p AS (
+  SELECT doc_id, kind,
+         list_transform(range(0, 16), i ->
+           (strpos('0123456789abcdef', substr(h, 2*i+1, 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(h, 2*i+2, 1)) - 1)) AS dig
+  FROM d
+)
+SELECT doc_id AS media_id, kind,
+       CAST(128 AS INT) AS n_bytes,
+       CAST(8 * list_sum(dig) AS BIGINT) AS byte_sum,
+       CAST(dig[1] AS INT) AS first_byte,
+       CAST(dig[16] AS INT) AS last_byte
+FROM p
+"""
+
+
+@register(
+    "mm1_media_byte_stats",
+    "Multimodal binary-column plumbing under the oracle: synthesize "
+    "128-byte payloads (repeated md5-of-text digest) as a binary media "
+    "table, push them through the Arrow mapInPandas byte-stats audit, "
+    "and have DuckDB recompute every stat from the md5 hex digits "
+    "(functions/multimodal.py; decode itself stays a documented stub).",
+    _MM_ORACLE,
+    tags=("multimodal", "audit"),
+)
+def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import media_byte_stats, synth_media
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    kind = (
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = synth_media(docs).withColumn("kind", kind)
+    return media_byte_stats(media)

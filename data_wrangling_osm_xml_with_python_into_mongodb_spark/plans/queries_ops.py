@@ -278,3 +278,39 @@ def q_set_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", types).alias("event_types"),
         F.size(types).alias("n_distinct"),
     )
+
+
+_SQL1 = """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+"""
+
+
+@register(
+    "sql1_shipping_priority",
+    "The spark.sql(...) surface: TPC-H Q3-style shipping-priority query "
+    "run as LITERAL SQL over registered temp views -- the same string "
+    "(modulo nothing) is the DuckDB oracle, demonstrating that the "
+    "engine's SQL entry point matches its DataFrame entry point.",
+    _SQL1,
+    tags=("sql", "join", "topk"),
+)
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Register the needed tables as temp views, then execute the SAME
+    # SQL string the oracle runs.  Catalyst plans it like any DataFrame
+    # chain: pushed filters on both scan sides, broadcast of the small
+    # dimension, partial/final aggregation, TakeOrderedAndProject.
+    for name in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL1)
