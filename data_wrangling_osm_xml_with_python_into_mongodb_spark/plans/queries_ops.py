@@ -314,3 +314,47 @@ def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_SQL1)
+
+
+@register(
+    "j6_salted_skew_join",
+    "Skew-resistant salted join: a manufactured hot key (most events "
+    "collapse to key 0) joined to a small dimension through "
+    "operators/skew.salted_join -- results identical to the plain join "
+    "(the oracle IS the plain join); only the partitioning changes, "
+    "spreading the hot key across n_salt tasks.",
+    """
+    SELECT d.k AS k, d.region_name,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM (SELECT CASE WHEN user_id % 7 <> 0 THEN 0 ELSE user_id END AS k,
+                 value
+          FROM events) e
+    JOIN (SELECT n_nationkey AS k, n_name AS region_name FROM nation) d
+      ON e.k = d.k
+    GROUP BY d.k, d.region_name
+    """,
+    tags=("join", "skew"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 7 != 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    dim = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"),
+        F.col("n_name").alias("region_name"),
+    )
+    return (
+        salted_join(ev, dim, "k", n_salt=8)
+        .groupBy("k", "region_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
