@@ -241,7 +241,7 @@ def q_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders (reference M3 write_ref_docs, mongo_audit.py:271-329).",
     """
     SELECT l_partkey AS ref_id,
-           array_to_string(list_sort(list(l_orderkey)), '|') AS refers,
+           array_to_string(list_sort(list(l_orderkey))[1:100], '|') AS refers,
            count(*) AS refer_count
     FROM lineitem
     GROUP BY l_partkey
@@ -251,12 +251,18 @@ def q_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ref_index_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # refers serialized '|'-joined (sorted, so deterministic): the
     # correctness driver's pandas canonicalizer cannot hash list cells.
+    # The serialized posting list is CAPPED at the first 100 ids (the
+    # full cardinality stays in refer_count): an unbounded list for a
+    # hot referenced id would build a multi-MB string inside one
+    # aggregation buffer at corpus scale.  Real ref-doc
+    # materializations truncate or page posting lists the same way.
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("ref_id"))
         .agg(
             F.concat_ws(
-                "|", F.sort_array(F.collect_list("l_orderkey"))
+                "|",
+                F.slice(F.sort_array(F.collect_list("l_orderkey")), 1, 100),
             ).alias("refers"),
             F.count(F.lit(1)).alias("refer_count"),
         )

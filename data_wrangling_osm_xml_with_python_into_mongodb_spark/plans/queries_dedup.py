@@ -134,13 +134,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PAIR_DF_CAP df filter (see its comment), so no task exceeds
     # CAP^2 pairs per shingle.
     sh = _shingles_df(spark, sf_dir)
-    # Per-doc shingle-set size straight off the scan (word_shingles is
-    # already distinct): no explode, no shuffle -- the old
-    # groupBy(doc_id).count() over the exploded stream re-scanned and
-    # re-shuffled the whole corpus just to recount what F.size knows.
-    sizes = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.size(TX.word_shingles(F.col("text"), 3)).alias("n_sh")
-    )
+    # sizes from the exploded stream (count per doc).  A shuffle-free
+    # F.size(word_shingles(text)) variant was measured 2x SLOWER end to
+    # end: higher-order functions are interpreted (codegen fallback),
+    # and the sizes subtree is evaluated once per join side, so two
+    # extra interpreted shingle builds cost far more than this small
+    # codegen'd explode+count shuffle.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ids = F.col("ids")
     pair_lists = F.transform(
         ids,
