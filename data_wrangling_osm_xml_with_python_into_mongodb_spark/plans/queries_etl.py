@@ -201,3 +201,45 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = synth_media(docs).withColumn("kind", kind)
     return media_byte_stats(media)
+
+
+_TAG_PROFILE_ORACLE = f"""
+WITH kv AS (
+  SELECT t.k AS k, t.v AS v
+  FROM (SELECT unnest(tags) AS t
+        FROM read_parquet('{FIXTURE_PARQUET}')
+        WHERE tags IS NOT NULL)
+)
+SELECT k,
+       count(*) AS tag_use_count,
+       CAST(count(DISTINCT v) AS BIGINT) AS uniq_count,
+       array_to_string(list_sort(list(DISTINCT v))[1:20], '|') AS val_sample,
+       round(count(*)::DOUBLE / count(DISTINCT v), 2) AS usage_per_uniq
+FROM kv
+GROUP BY k
+"""
+
+
+@register(
+    "a7_osm_tag_profile",
+    "The reference's tag-structure profile over the OSM fixture "
+    "(osm_structure_audit.py:65-82 / A7): per tag key, use count, "
+    "distinct values, capped sorted value sample, usage ratio -- the "
+    "operators/profile.py path under the oracle (it was pytest-only).",
+    _TAG_PROFILE_ORACLE,
+    tags=("profile", "osm", "agg"),
+)
+def q_osm_tag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_tags
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    prof = profile_tags(raw, value_sample_cap=20)
+    # Serialize the sampled array (sorted, so deterministic) for the
+    # driver's pandas canonicalizer.
+    return prof.select(
+        "k",
+        "tag_use_count",
+        "uniq_count",
+        F.concat_ws("|", F.col("val_sample")).alias("val_sample"),
+        "usage_per_uniq",
+    )
