@@ -164,3 +164,31 @@ def get_most_referenced(docs: DataFrame, ref_docs: DataFrame, limit: int = 3) ->
         .select("_id", "doc_type", "name", "refer_count")
         .orderBy(F.desc("refer_count"), F.asc("_id"))
     )
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE semantics without a transactional table format: WHEN
+    MATCHED take the source row wholesale, WHEN NOT MATCHED BY TARGET
+    insert the source row, else keep the target row (the reference's
+    replace-into-collection idiom, and Delta/Iceberg ``MERGE`` as a
+    pure transform over immutable inputs).
+
+    One full-outer join on the key; matched-ness decides per ROW (not
+    per column -- a source row with nulls still replaces its target
+    row, exactly like ``WHEN MATCHED THEN UPDATE SET *``).
+
+    Scale: a single key-partitioned shuffle join; with both sides
+    bucketed on the key (operators/skew.write_bucketed) it is
+    exchange-free, which is how a recurring ingest upsert should run.
+    """
+    cols = target.columns
+    t = target.alias("t")
+    s = source.alias("s")
+    matched = F.col(f"s.{key}").isNotNull()
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    return joined.select(
+        *[
+            F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
+    )

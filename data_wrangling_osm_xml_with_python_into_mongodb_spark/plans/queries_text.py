@@ -458,3 +458,39 @@ def q_street_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "t5_bpe_token_stats",
+    "BPE-ish pre-tokenization stats (functions/text.py bpe_like_tokens: "
+    "words | digit runs | single punctuation): token and distinct-token "
+    "counts plus a punctuation ratio per document -- the token-counting "
+    "surface a training-data pipeline budgets with.",
+    r"""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_bpe_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_uniq_bpe,
+           round(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$')))::DOUBLE
+                 / greatest(len(toks), 1), 4) AS punct_ratio
+    FROM (
+      SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+      FROM documents WHERE doc_id < 400
+    )
+    """,
+    tags=("text", "tokens"),
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = TX.bpe_like_tokens(F.col("text"))
+    punct = F.size(
+        F.filter(toks, lambda x: x.rlike("^[^A-Za-z0-9]$"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_bpe"),
+        F.round(
+            punct.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
+        ).alias("punct_ratio"),
+    )

@@ -79,3 +79,57 @@ def q_positional_array_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(repaired, F.lit(0.0), lambda acc, x: acc + x), 6
         ).alias("repaired_sum"),
     )
+
+
+@register(
+    "m5_merge_upsert",
+    "MERGE-style upsert as a pure transform (operators/audits.py "
+    "merge_upsert): matched keys take the source row wholesale, "
+    "unmatched source rows insert, remaining target rows persist -- "
+    "the Delta/Iceberg MERGE shape over immutable inputs; summarized "
+    "per priority after the merge.",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey < 800
+    ),
+    source AS (
+      SELECT o_orderkey, '0-MERGED' AS o_orderpriority,
+             round(o_totalprice + 1000.0, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 1200
+    ),
+    merged AS (
+      SELECT * FROM source
+      UNION ALL
+      SELECT t.* FROM target t
+      WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM source)
+    )
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    tags=("update", "merge"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.audits import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") < 800).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    source = orders.filter(
+        (F.col("o_orderkey") >= 400) & (F.col("o_orderkey") < 1200)
+    ).select(
+        "o_orderkey",
+        F.lit("0-MERGED").alias("o_orderpriority"),
+        F.round(F.col("o_totalprice") + 1000.0, 2).alias("o_totalprice"),
+    )
+    return (
+        merge_upsert(target, source, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
