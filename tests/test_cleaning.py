@@ -131,6 +131,10 @@ def test_rewrite_key(spark):
     cases = {
         "contact:phone": "phone",
         "name_1": "name",
+        # reference strips ONLY when the last TWO chars are _<digit>
+        # (SUBNUM_RE.search(k[-2:]), clean_and_write.py:15,294): a
+        # multi-digit suffix is NOT stripped
+        "name_12": "name_12",
         "image": "wikimedia_commons",
         "gnis:ST_alph": "gnis:ST_alpha",
         "tiger:cfcc": "tiger:cfcc",
