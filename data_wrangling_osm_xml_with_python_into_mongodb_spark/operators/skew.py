@@ -39,7 +39,15 @@ def salted_join(
     The salt is deterministic (hash of the fact row's columns), so the
     plan stays reproducible; the dim side is exploded once per salt
     value (|dim| * n_salt rows -- fine for dimension-sized inputs).
+
+    Only ``inner``/``left`` are valid: a right/full join would emit
+    each UNMATCHED dim row once per salt replica.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got how={how!r}: "
+            "the replicated dim side would duplicate unmatched rows"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
     fact_s = fact.withColumn("_salt", salt)
     dim_s = dim.withColumn(
