@@ -51,7 +51,7 @@ def _append_history(result: dict) -> None:
             prev = json.loads(lines[-1]) if lines else None
         with open(HISTORY_PATH, "a") as f:
             f.write(json.dumps(result) + "\n")
-        if prev and prev.get("queries"):
+        if prev and prev.get("queries") and prev.get("sf") == result.get("sf"):
             for name, sec in result["queries"].items():
                 p = prev["queries"].get(name)
                 if p:

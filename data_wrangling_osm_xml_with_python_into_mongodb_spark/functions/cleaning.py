@@ -84,7 +84,6 @@ LIST_KEYS = [
     "turn:lanes:forward", "website",
 ]
 
-PROBLEMCHARS_RE = r"""[=\+/&<>;'"\?%#\$@,\. \t\r\n]"""
 
 
 def _map_literal(mapping: dict[str, str]) -> Column:

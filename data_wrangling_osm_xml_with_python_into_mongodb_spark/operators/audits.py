@@ -183,8 +183,11 @@ def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     """
     cols = target.columns
     t = target.alias("t")
-    s = source.alias("s")
-    matched = F.col(f"s.{key}").isNotNull()
+    # Presence marker instead of testing s.key IS NOT NULL: a source
+    # row with a null key never matches the join condition but must
+    # still be emitted as an insert (not collapse to an all-null row).
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
+    matched = F.col("s._s_present").isNotNull()
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
     return joined.select(
         *[

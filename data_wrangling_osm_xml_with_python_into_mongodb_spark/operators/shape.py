@@ -235,6 +235,10 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     # last-writer-wins like the reference's dict update
     # (clean_and_write.py:355-356); the vanilla default policy EXCEPTION
     # would instead fail the whole job on the first duplicate.
+    # NOTE this conf intentionally persists on the session (it must be
+    # live at EXECUTION time, which may be long after this builder
+    # returns) -- callers who rely on EXCEPTION-policy duplicate-key
+    # detection elsewhere should reset it after running the pipeline.
     raw.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     kv = _dispatch_frame(raw)
 

@@ -75,14 +75,18 @@ def _spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # inputFiles() is metadata-only; df.rdd.getNumPartitions() would
-    # force a Python-RDD conversion of the plan per query.
+    # Cheap first pass: inputFiles() is metadata-only.  Only when the
+    # FILE count looks low do we pay the RDD conversion to ask for the
+    # real split count -- a single multi-GB parquet file still splits
+    # into many size-based partitions, and repartitioning it here would
+    # force a pointless full shuffle.
     try:
-        n_splits = len(df.inputFiles())
+        n_files = len(df.inputFiles())
     except Exception:
-        n_splits = target
-    if 0 < n_splits < max(2, target // 2):
-        return df.repartition(target)
+        n_files = target
+    if 0 < n_files < max(2, target // 2):
+        if df.rdd.getNumPartitions() < max(2, target // 2):
+            return df.repartition(target)
     return df
 
 

@@ -37,9 +37,9 @@ _REPO_ROOT = os.path.dirname(
 )
 FIXTURE_PARQUET = os.path.join(_REPO_ROOT, "tests", "fixtures", "osm_raw.parquet")
 
-_ETL_ORACLE = r"""
+_ETL_ORACLE = rf"""
 WITH raw AS (
-  SELECT * FROM read_parquet('/root/repo/tests/fixtures/osm_raw.parquet')
+  SELECT * FROM read_parquet('{FIXTURE_PARQUET}')
 ), ext AS (
   SELECT doc_type, lat, lon, nds, members, created,
          list_filter(tags, x -> x.k = 'lanes')[1].v       AS lanes_raw,

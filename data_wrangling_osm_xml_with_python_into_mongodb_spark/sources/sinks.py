@@ -82,6 +82,7 @@ def write_mongodb(
         if (
             "DATA_SOURCE_NOT_FOUND" in msg
             or "Failed to find the data source" in msg
+            or "Failed to find data source" in msg  # Spark <= 3.3 phrasing
             or "ClassNotFoundException" in msg
         ):
             return False

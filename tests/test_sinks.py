@@ -57,13 +57,20 @@ def test_mongodb_sink_wiring(spark):
         "collection": "docs",
     }
 
-    docs = shape_documents(read_osm_elements(spark, FIXTURE))
+    import pytest
+
     try:
-        ok = write_mongodb(
-            docs, "mongodb://127.0.0.1:1/?connectTimeoutMS=200", "osm", "docs"
+        spark._jvm.java.lang.Class.forName(
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
         )
+        pytest.skip("mongo connector present; needs a live server to test")
     except Exception:
-        # Connector present but no server reachable: the write path was
-        # exercised end-to-end; that is all this sandbox can verify.
-        ok = False
+        pass  # connector absent: the graceful-degradation path applies
+
+    docs = shape_documents(read_osm_elements(spark, FIXTURE))
+    # Must return False WITHOUT raising -- a blanket except here would
+    # make the assertion unfalsifiable against sniffing regressions.
+    ok = write_mongodb(
+        docs, "mongodb://127.0.0.1:1/?connectTimeoutMS=200", "osm", "docs"
+    )
     assert ok is False
