@@ -243,3 +243,50 @@ def q_osm_tag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("val_sample")).alias("val_sample"),
         "usage_per_uniq",
     )
+
+
+_REF_DOCS_ORACLE = rf"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{FIXTURE_PARQUET}')
+),
+way_refs AS (
+  SELECT _id AS src, unnest(list_distinct(nds)) AS ref
+  FROM raw WHERE doc_type = 'way'
+),
+rel_refs AS (
+  SELECT _id AS src, m.ref AS ref
+  FROM (SELECT _id, unnest(members) AS m FROM raw WHERE doc_type = 'relation')
+),
+refs AS (
+  SELECT src, ref FROM way_refs WHERE ref IS NOT NULL
+  UNION ALL
+  SELECT src, ref FROM rel_refs WHERE ref IS NOT NULL
+)
+SELECT ref AS _id,
+       array_to_string(list_sort(list(src)), '|') AS refers,
+       count(*) AS refer_count
+FROM refs
+GROUP BY ref
+"""
+
+
+@register(
+    "m6_osm_ref_docs",
+    "The reference's ref_docs materialized view in its NATIVE form "
+    "(mongo_audit.py:271-329 write_ref_docs): per referenced OSM id, "
+    "the sorted list of referencing way/relation ids, built by "
+    "operators/shape.build_ref_docs over the shaped fixture; the "
+    "oracle re-derives it from the raw nds/members arrays.",
+    _REF_DOCS_ORACLE,
+    tags=("mview", "osm", "agg"),
+)
+def q_osm_ref_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shape import build_ref_docs
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    ref = build_ref_docs(shape_documents(raw))
+    return ref.select(
+        "_id",
+        F.concat_ws("|", F.col("refers")).alias("refers"),
+        F.size("refers").cast("long").alias("refer_count"),
+    )
