@@ -56,24 +56,41 @@ def q_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(l_extendedprice), 2) AS mean_price,
            round(min(l_extendedprice), 2) AS min_price,
            round(max(l_extendedprice), 2) AS max_price,
-           round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+           round(list_sort(list(l_extendedprice))
+                 [CAST(floor(0.25 * (count(*) - 1)) AS BIGINT) + 1], 2) AS p25,
+           round(list_sort(list(l_extendedprice))
+                 [CAST(floor(0.50 * (count(*) - 1)) AS BIGINT) + 1], 2) AS p50,
+           round(list_sort(list(l_extendedprice))
+                 [CAST(floor(0.75 * (count(*) - 1)) AS BIGINT) + 1], 2) AS p75
     FROM lineitem
     GROUP BY l_returnflag
     """,
     tags=("agg", "profiling"),
 )
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DISCRETE (lower) percentiles -- the element at floor(p*(n-1)) of
+    # the sorted group -- because interpolating percentiles are
+    # engine-formula-dependent at the half-ulp level: Spark's
+    # percentile() and DuckDB's quantile_cont produce values one cent
+    # apart after round(.., 2) on knife-edge midpoints (observed at
+    # sf0.001).  The discrete index rule is bit-identical everywhere.
+    # At corpus scale swap collect_list for approx_percentile; this is
+    # the reference's exact-profiling twin (main.ipynb cell 8).
     li = _t(spark, sf_dir, "lineitem")
+
+    def pdisc(p: float) -> F.Column:
+        arr = F.array_sort(F.collect_list("l_extendedprice"))
+        idx = F.floor(F.lit(p) * (F.count(F.lit(1)) - 1)).cast("int")
+        return F.round(F.get(arr, idx), 2)
+
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("l_extendedprice"), 2).alias("mean_price"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 2).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+        pdisc(0.25).alias("p25"),
+        pdisc(0.50).alias("p50"),
+        pdisc(0.75).alias("p75"),
     )
 
 
