@@ -368,3 +368,92 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
     )
+
+
+@register(
+    "dd6_lsh_candidate_pairs",
+    "Embedding near-dup at scale: random-hyperplane LSH candidate "
+    "generation (the v2 bucketing) + exact cosine verification, top-10 "
+    "candidate pairs -- the production shape whose bounded baseline is "
+    "dd5: candidates come only from shared buckets (equi-join, df-capped), "
+    "never from an all-pairs product.",
+    None,  # oracle installed below (needs the v2 bucket SQL)
+    tags=("dedup", "lsh", "vector"),
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vectors as V
+    from .queries_vectors import EMBED_DIM, _bucket_spark
+
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.select("vec_id", "v", _bucket_spark(F.col("v")).alias("bucket"))
+    ids = F.col("ids")
+    pair_lists = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(
+                x["vec_id"].alias("id_a"),
+                x["v"].alias("va"),
+                y["vec_id"].alias("id_b"),
+                y["v"].alias("vb"),
+            ),
+        ),
+    )
+    pairs = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "v"))
+            ).alias("ids")
+        )
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
+        .select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.round(
+                V.cosine(F.col("p.va"), F.col("p.vb"), dim=EMBED_DIM), 6
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a pair may share several buckets
+    )
+    return pairs.orderBy(
+        F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")
+    ).limit(10)
+
+
+def _install_dd6_oracle() -> None:
+    from ..functions import vectors as V
+    from .queries import REGISTRY, QueryDef
+    from .queries_vectors import _bucket_sql
+
+    sql = f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings
+    ),
+    bsize AS (SELECT bucket, count(*) AS df FROM b GROUP BY bucket),
+    kept AS (
+      SELECT b.* FROM b JOIN bsize ON b.bucket = bsize.bucket
+      WHERE bsize.df > 1 AND bsize.df <= {PAIR_DF_CAP}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b,
+             round({V.cosine_sql('x.v', 'y.v')}, 6) AS cos_sim
+      FROM kept x JOIN kept y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+    LIMIT 10
+    """
+    qd = REGISTRY["dd6_lsh_candidate_pairs"]
+    REGISTRY["dd6_lsh_candidate_pairs"] = QueryDef(
+        name=qd.name, doc=qd.doc, spark=qd.spark, oracle=sql, tags=qd.tags
+    )
+
+
+_install_dd6_oracle()
