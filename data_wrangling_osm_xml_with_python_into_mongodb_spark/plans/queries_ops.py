@@ -358,3 +358,31 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "u4_intersect_except",
+    "Set operations beyond union (SURVEY §2.6): customers ordering in "
+    "BOTH halves of the date range (INTERSECT) and only in the first "
+    "half (EXCEPT), as one labeled union of the two set results.",
+    """
+    WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+    h2 AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+    UNION ALL
+    SELECT 'first_only' AS cohort, o_custkey FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+    """,
+    tags=("setop",),
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cut = "1998-01-01 00:00:00"
+    h1 = orders.filter(F.col("o_orderdate") < cut).select("o_custkey").distinct()
+    h2 = orders.filter(F.col("o_orderdate") >= cut).select("o_custkey").distinct()
+    both = h1.intersect(h2).select(F.lit("both").alias("cohort"), "o_custkey")
+    first_only = h1.exceptAll(h2).select(
+        F.lit("first_only").alias("cohort"), "o_custkey"
+    )
+    return both.unionByName(first_only)
