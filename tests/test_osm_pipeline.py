@@ -166,3 +166,50 @@ def test_iterparse_fallback_matches_xml_source(spark):
     rows_a = sorted((r.asDict(recursive=True) for r in a.collect()), key=key)
     rows_b = sorted((r.asDict(recursive=True) for r in b.collect()), key=key)
     assert rows_a == rows_b
+
+
+def test_iterparse_chunked_flush_boundaries(spark):
+    """Chunk feeding must tolerate splits landing mid-element and
+    mid-flush: a pathological 64-byte chunk size with a 3-row batch
+    cap must yield exactly the rows the default path yields."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        read_osm_elements_iterparse,
+    )
+
+    a = read_osm_elements(spark, FIXTURE)
+    b = read_osm_elements_iterparse(spark, FIXTURE, batch_rows=3, chunk_bytes=64)
+    key = lambda r: r["_id"]  # noqa: E731
+    rows_a = sorted((r.asDict(recursive=True) for r in a.collect()), key=key)
+    rows_b = sorted((r.asDict(recursive=True) for r in b.collect()), key=key)
+    assert rows_a == rows_b
+
+
+def test_materialize_raw_bronze_roundtrip_and_no_exchange(spark, tmp_path):
+    """The single-pass bronze materialization must (a) round-trip the
+    exact rows the direct XML read yields, and (b) leave the bucketed
+    layout that makes shape_documents' groupBy(_id) exchange-free --
+    the property that kills the ETL shuffle at 100 TB."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import materialize_raw
+
+    bronze = materialize_raw(
+        spark,
+        FIXTURE,
+        str(tmp_path / "bronze"),
+        table="test_bronze",
+        buckets=4,
+    )
+    try:
+        key = lambda r: r["_id"]  # noqa: E731
+        rows_a = sorted(
+            (r.asDict(recursive=True) for r in read_osm_elements(spark, FIXTURE).collect()),
+            key=key,
+        )
+        rows_b = sorted((r.asDict(recursive=True) for r in bronze.collect()), key=key)
+        assert rows_a == rows_b
+
+        docs = shape_documents(bronze)
+        plan = docs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert docs.count() == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_bronze")
