@@ -3,18 +3,26 @@ as two grouped aggregations over the raw element frame.
 
 The reference hand-rolls hash aggregation in pandas Series with
 unbounded value sets (its author flags the memory hazard at
-osm_structure_audit.py:15-18).  The Spark form is two shuffles:
+osm_structure_audit.py:15-18).  The Spark form:
 
 * element profile: count + attribute/subelement presence per kind;
-* tag profile: per-key use count, distinct-value count, and a CAPPED
-  sample of values (``slice(sort_array(collect_set), 1, cap)``) --
-  the bounded stand-in for the reference's full val_set, safe at any
-  scale; exact distinct counts stay cheap via partial aggregation.
+* tag profile: per-key use count, EXACT distinct-value count (cheap
+  via partial aggregation), and a min-by-fingerprint value sample --
+  the ``cap`` distinct values with the smallest md5 digest, i.e. a
+  deterministic uniform sample whose selection is rank-based, so NO
+  aggregation buffer ever holds more than ``cap`` values per key.
+  (An earlier version collected the full distinct set and sliced the
+  OUTPUT -- exactly the unbounded buffer the reference's author
+  warns about; at millions of distinct ``name`` values that is the
+  memory cliff.)  The rank filter runs as a sort-based window, which
+  spills instead of buffering, and the sample is md5-keyed so an
+  engine-independent oracle (DuckDB computes identical md5 hex) can
+  reproduce it bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,23 +44,34 @@ def profile_elements(raw: DataFrame) -> DataFrame:
 def profile_tags(raw: DataFrame, value_sample_cap: int = 20) -> DataFrame:
     """Per tag key: use count, distinct values, usage ratio, sampled
     values (reference osm_structure_audit.py:65-82; the ratio column is
-    ``usage_per_uniq`` from :79-81)."""
+    ``usage_per_uniq`` from :79-81).
+
+    ``val_sample`` is the ``value_sample_cap`` distinct values with
+    the smallest md5 digest, shown sorted: a deterministic uniform
+    sample selected by RANK, not by collecting the full distinct set
+    -- per-key memory is bounded at ``cap`` regardless of
+    cardinality.  Plan shape: one shuffle for the counting agg, one
+    distinct + windowed rank for the sample (sort-based, spills), one
+    broadcast-or-shuffle join keyed the same way."""
     kv = raw.select(F.explode("tags").alias("t")).select(
         F.col("t.k").alias("k"), F.col("t.v").alias("v")
     )
-    return (
-        kv.groupBy("k")
-        .agg(
-            F.count(F.lit(1)).alias("tag_use_count"),
-            F.countDistinct("v").alias("uniq_count"),
-            F.slice(
-                F.sort_array(F.collect_set("v")), 1, value_sample_cap
-            ).alias("val_sample"),
-        )
-        .withColumn(
-            "usage_per_uniq",
-            F.round(F.col("tag_use_count") / F.col("uniq_count"), 2),
-        )
+    counts = kv.groupBy("k").agg(
+        F.count(F.lit(1)).alias("tag_use_count"),
+        F.countDistinct("v").alias("uniq_count"),
+    )
+    # Tiebreak on v itself: md5 collisions don't break determinism.
+    rank = Window.partitionBy("k").orderBy(F.md5("v"), F.col("v"))
+    sample = (
+        kv.distinct()
+        .withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") <= value_sample_cap)
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("v")).alias("val_sample"))
+    )
+    return counts.join(sample, "k", "left").withColumn(
+        "usage_per_uniq",
+        F.round(F.col("tag_use_count") / F.col("uniq_count"), 2),
     )
 
 

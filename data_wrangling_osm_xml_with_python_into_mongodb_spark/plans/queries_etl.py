@@ -209,14 +209,26 @@ WITH kv AS (
   FROM (SELECT unnest(tags) AS t
         FROM read_parquet('{FIXTURE_PARQUET}')
         WHERE tags IS NOT NULL)
+), sample AS (  -- min-by-md5 top-20: the bounded rank-based sample
+  SELECT k, list_sort(list(v)) AS vs
+  FROM (
+    SELECT k, v,
+           row_number() OVER (PARTITION BY k ORDER BY md5(v), v) AS rn
+    FROM (SELECT DISTINCT k, v FROM kv)
+  )
+  WHERE rn <= 20
+  GROUP BY k
 )
-SELECT k,
-       count(*) AS tag_use_count,
-       CAST(count(DISTINCT v) AS BIGINT) AS uniq_count,
-       array_to_string(list_sort(list(DISTINCT v))[1:20], '|') AS val_sample,
-       round(count(*)::DOUBLE / count(DISTINCT v), 2) AS usage_per_uniq
-FROM kv
-GROUP BY k
+SELECT c.k AS k,
+       count_all AS tag_use_count,
+       uniq_count,
+       array_to_string(vs, '|') AS val_sample,
+       round(count_all::DOUBLE / uniq_count, 2) AS usage_per_uniq
+FROM (
+  SELECT k, count(*) AS count_all,
+         CAST(count(DISTINCT v) AS BIGINT) AS uniq_count
+  FROM kv GROUP BY k
+) c LEFT JOIN sample ON c.k = sample.k
 """
 
 
@@ -224,8 +236,10 @@ GROUP BY k
     "a7_osm_tag_profile",
     "The reference's tag-structure profile over the OSM fixture "
     "(osm_structure_audit.py:65-82 / A7): per tag key, use count, "
-    "distinct values, capped sorted value sample, usage ratio -- the "
-    "operators/profile.py path under the oracle (it was pytest-only).",
+    "exact distinct count, bounded min-by-md5 value sample (rank-"
+    "selected, so no agg buffer exceeds the cap -- the memory hazard "
+    "the reference's author flags at osm_structure_audit.py:15-18), "
+    "usage ratio; DuckDB reproduces the md5 rank rule bit-for-bit.",
     _TAG_PROFILE_ORACLE,
     tags=("profile", "osm", "agg"),
 )
