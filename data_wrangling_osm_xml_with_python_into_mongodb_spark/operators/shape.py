@@ -428,13 +428,19 @@ def validate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return docs.filter(ok), docs.filter(~ok)
 
 
-def build_ref_docs(docs: DataFrame) -> DataFrame:
+def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:
     """The inverted reference index (mongo_audit.py:271-329): for every
-    referenced id, the sorted list of referencing document ids.
+    referenced id, the sorted list of referencing document ids, plus
+    ``refer_count`` (the exact full cardinality) when capped.
 
-    Scale: explode is narrow; the single shuffle is the groupBy on the
-    referenced id.  Per-key fanout is bounded by real-world node reuse;
-    AQE skew-join/partition handling covers hot keys."""
+    Scale: explode is narrow; the single shuffle is keyed on the
+    referenced id.  Uncapped (reference parity at its 77 MB scale) the
+    posting list buffer is bounded only by per-key fanout; pass
+    ``cap`` for the production shape -- the list is truncated to the
+    ``cap`` smallest referencing ids by RANK (row_number over one
+    window exchange, sort-based and spill-safe, which also yields the
+    exact total per key), so no aggregation buffer ever holds more
+    than ``cap`` entries even for a hot referenced id."""
     way_refs = docs.select(
         F.col("_id").alias("src_id"), F.explode_outer("node_refs").alias("ref")
     )
@@ -442,10 +448,30 @@ def build_ref_docs(docs: DataFrame) -> DataFrame:
         F.col("_id").alias("src_id"),
         F.explode_outer(F.col("members")["ref"]).alias("ref"),
     )
+    refs = (
+        way_refs.unionByName(rel_refs).filter(F.col("ref").isNotNull())
+    )
+    if cap is None:
+        return (
+            refs.groupBy("ref")
+            .agg(F.array_sort(F.collect_list("src_id")).alias("refers"))
+            .select(F.col("ref").alias("_id"), "refers")
+        )
+    from pyspark.sql import Window
+
+    by_ref = Window.partitionBy("ref")
+    ranked = refs.select(
+        "ref",
+        "src_id",
+        F.count(F.lit(1)).over(by_ref).alias("_total"),
+        F.row_number().over(by_ref.orderBy("src_id")).alias("_rn"),
+    )
     return (
-        way_refs.unionByName(rel_refs)
-        .filter(F.col("ref").isNotNull())
+        ranked.filter(F.col("_rn") <= cap)
         .groupBy("ref")
-        .agg(F.array_sort(F.collect_list("src_id")).alias("refers"))
-        .select(F.col("ref").alias("_id"), "refers")
+        .agg(
+            F.array_sort(F.collect_list("src_id")).alias("refers"),
+            F.first("_total").alias("refer_count"),
+        )
+        .select(F.col("ref").alias("_id"), "refers", "refer_count")
     )

@@ -260,6 +260,12 @@ def q_ref_index_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot referenced id would build a multi-MB string inside one
     # aggregation buffer at corpus scale.  Real ref-doc
     # materializations truncate or page posting lists the same way.
+    # Buffer note: per-key fanout here is the lineitems-per-part ratio
+    # (~30 at every SF), so the pre-slice buffer is bounded by data
+    # shape; the rank-window form that also bounds the buffer (used by
+    # build_ref_docs(cap=...) where fanout is open-ended) measured
+    # 4.7x slower steady-state at sf0.1 (0.80s vs 0.17s -- window
+    # sort forfeits map-side partial aggregation) and was rejected.
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("ref_id"))

@@ -277,7 +277,7 @@ refs AS (
   SELECT src, ref FROM rel_refs WHERE ref IS NOT NULL
 )
 SELECT ref AS _id,
-       array_to_string(list_sort(list(src)), '|') AS refers,
+       array_to_string(list_sort(list(src))[1:100], '|') AS refers,
        count(*) AS refer_count
 FROM refs
 GROUP BY ref
@@ -288,9 +288,11 @@ GROUP BY ref
     "m6_osm_ref_docs",
     "The reference's ref_docs materialized view in its NATIVE form "
     "(mongo_audit.py:271-329 write_ref_docs): per referenced OSM id, "
-    "the sorted list of referencing way/relation ids, built by "
-    "operators/shape.build_ref_docs over the shaped fixture; the "
-    "oracle re-derives it from the raw nds/members arrays.",
+    "the posting list of referencing way/relation ids CAPPED at the "
+    "100 rank-smallest (bounded agg buffer; exact cardinality kept in "
+    "refer_count), built by operators/shape.build_ref_docs(cap=100) "
+    "over the shaped fixture; the oracle re-derives it from the raw "
+    "nds/members arrays.",
     _REF_DOCS_ORACLE,
     tags=("mview", "osm", "agg"),
 )
@@ -298,9 +300,9 @@ def q_osm_ref_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.shape import build_ref_docs
 
     raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
-    ref = build_ref_docs(shape_documents(raw))
+    ref = build_ref_docs(shape_documents(raw), cap=100)
     return ref.select(
         "_id",
         F.concat_ws("|", F.col("refers")).alias("refers"),
-        F.size("refers").cast("long").alias("refer_count"),
+        F.col("refer_count").cast("long").alias("refer_count"),
     )
