@@ -141,20 +141,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra interpreted shingle builds cost far more than this small
     # codegen'd explode+count shuffle.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ids = F.col("ids")
-    pair_lists = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    )
+    # Pair generation as two Generate operators (posexplode + explode
+    # over slice): every expression is codegen'd.  The previous nested
+    # transform/flatten HOF form produced identical pairs but higher-
+    # order functions are CodegenFallback -- measured 1.43s vs 1.21s
+    # warm and 7.4s vs 1.75s cold (interpreted expression trees also
+    # pay much more planning/codegen setup) at sf0.1.
     common = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
-        .select(F.explode(F.flatten(pair_lists)).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     # No broadcast hint on sizes: locally AQE broadcasts it anyway
@@ -280,17 +284,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
     )
-    ids = F.col("ids")
-    pair_lists = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-        ),
-    )
+    # Same codegen'd posexplode pair-gen as dd2 (see its comment).
     return (
-        buckets.select(F.explode(F.flatten(pair_lists)).alias("p"))
-        .select("p.id_a", "p.id_b")
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
@@ -388,19 +390,10 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
     bucketed = emb.select("vec_id", "v", _bucket_spark(F.col("v")).alias("bucket"))
-    ids = F.col("ids")
-    pair_lists = F.transform(
-        ids,
-        lambda x, i: F.transform(
-            F.slice(ids, i + 2, F.size(ids)),
-            lambda y: F.struct(
-                x["vec_id"].alias("id_a"),
-                x["v"].alias("va"),
-                y["vec_id"].alias("id_b"),
-                y["v"].alias("vb"),
-            ),
-        ),
-    )
+    # Codegen'd posexplode pair-gen (see dd2); unlike the nested-HOF
+    # form it never materializes the full per-bucket pair array (with
+    # its duplicated vectors) -- pairs stream out of the generators.
+    a, b = F.col("a"), F.col("b")
     pairs = (
         bucketed.groupBy("bucket")
         .agg(
@@ -409,12 +402,18 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids")
         )
         .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
-        .select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .select(F.posexplode("ids").alias("i", "a"), "ids")
         .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
+        )
+        .select(
+            a["vec_id"].alias("id_a"),
+            b["vec_id"].alias("id_b"),
             F.round(
-                V.cosine(F.col("p.va"), F.col("p.vb"), dim=EMBED_DIM), 6
+                V.cosine(a["v"], b["v"], dim=EMBED_DIM), 6
             ).alias("cos_sim"),
         )
         .distinct()  # a pair may share several buckets
