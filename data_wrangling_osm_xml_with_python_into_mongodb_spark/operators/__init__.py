@@ -1,4 +1,4 @@
-from .geo import cluster_by_geo, geo_cell, geohash, with_geo_cell
+from .geo import cluster_by_geo, cluster_by_name, geo_cell, geohash, with_geo_cell
 from .shape import build_ref_docs, shape_documents, validate_documents
 
 __all__ = [
@@ -9,4 +9,5 @@ __all__ = [
     "geohash",
     "with_geo_cell",
     "cluster_by_geo",
+    "cluster_by_name",
 ]

@@ -87,3 +87,36 @@ def cluster_by_geo(docs: DataFrame, precision: int = 5) -> DataFrame:
     M4 ``2d``-index analog; write the result as the serving table)."""
     out = with_geo_cell(docs, precision)
     return out.repartitionByRange("geo_cell").sortWithinPartitions("geo_cell")
+
+
+def cluster_by_name(
+    df: DataFrame, name_col: str = "name", num_partitions: int | None = None
+) -> DataFrame:
+    """The reference's sparse DESCENDING ``name`` index
+    (main.ipynb:1861 ``create_index([('name', DESCENDING)], sparse=True)``)
+    as data layout: range-partition on the name key descending with
+    nulls last, sorted within partitions, so each written file's
+    parquet min/max covers a disjoint name range and a name predicate
+    prunes to one file / row group at scan time (asserted from the
+    parquet footers in tests/test_geo.py).
+
+    * DESCENDING -> ``desc_nulls_last`` ordering, so the "front" of
+      the layout is the tail of the alphabet, like the index scan
+      order.
+    * sparse -> unnamed documents (null key) all land in the final
+      partition; a non-null name predicate never touches it -- the
+      layout analog of not being in the index at all.
+    * DOCUMENT_SCHEMA's ``name`` is the promoted list column; min/max
+      stats need a primitive leaf, so its first entry is materialized
+      as a ``name_key`` column that rides into the written table (the
+      pruning predicate targets it).  Scalar name columns are used
+      directly, no extra column.
+    """
+    key_name = name_col
+    out = df
+    if dict(df.dtypes).get(name_col, "").startswith("array"):
+        key_name = "name_key"
+        out = df.withColumn(key_name, F.element_at(F.col(name_col), 1))
+    parts = [num_partitions] if num_partitions is not None else []
+    order = F.col(key_name).desc_nulls_last()
+    return out.repartitionByRange(*parts, order).sortWithinPartitions(order)

