@@ -139,12 +139,18 @@ def stateful_user_sessions(events: DataFrame) -> DataFrame:
         )
         chunks = [pdf[["ts", "event_id"]] for pdf in pdfs]
         ev = pd.concat(chunks).sort_values(["ts", "event_id"])
-        for ts in ev["ts"]:
-            ts_s = int(ts.value // 1_000_000_000)
-            if last_ts is None or ts_s - last_ts > 1800:
-                n_sessions += 1
-            n_events += 1
-            last_ts = ts_s
+        if len(ev):
+            # Vectorized session fold: a session starts where the gap
+            # from the previous event exceeds 30 min.  The first
+            # event's "previous" is the carried last_ts (NaN -> new
+            # session when no state yet).
+            ts_s = ev["ts"].astype("int64") // 1_000_000_000
+            prev = ts_s.shift(1)
+            if last_ts is not None:
+                prev.iloc[0] = last_ts
+            n_sessions += int((prev.isna() | (ts_s - prev > 1800)).sum())
+            n_events += len(ev)
+            last_ts = int(ts_s.iloc[-1])
         state.update((n_sessions, n_events, last_ts))
         yield pd.DataFrame(
             {
