@@ -94,7 +94,9 @@ def main() -> int:
             timings[name] = min(timings.get(name, dt), dt)
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
 
-    etl = _bench_etl(spark)
+    # ETL input scales with the benchmark SF (77 MB -- the reference's
+    # own extract size -- at the default sf0.1).
+    etl = _bench_etl(spark, target_mb=77.0 * sf / 0.1)
 
     total = round(sum(timings.values()), 3)
     result = {

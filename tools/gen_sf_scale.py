@@ -1,0 +1,98 @@
+"""Scale the synthetic benchmark tables Nx for scale-proofing runs.
+
+The committed testdata tops out at sf0.1; VERDICT r2 asks for a one-off
+sf1 bench to catch skew/buffer cliffs that sf0.1 hides.  This scales a
+source SF directory by unioning N key-shifted copies of every FACT
+table (dimension tables region/nation keep TPC-H semantics: fixed size
+at every SF, so foreign keys into them are left untouched); foreign
+keys BETWEEN scaled tables shift by the same per-family stride, so join
+fanouts and per-key distributions are preserved exactly -- each copy is
+a disjoint replica of the sf0.1 key graph.
+
+Usage: python tools/gen_sf_scale.py [src_dir] [dst_dir] [factor]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# key column -> stride family; every column in a family shifts by the
+# same stride (copy_index * (max(family base key) + 1)).
+FACT_KEYS = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+FAMILY_BASE = {
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "order": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+DIMS = ["region", "nation"]
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
+
+    spark = get_spark(app_name="gen_sf_scale")
+    os.makedirs(dst, exist_ok=True)
+
+    strides = {}
+    for fam, (tbl, col) in FAMILY_BASE.items():
+        mx = (
+            spark.read.parquet(f"{src}/{tbl}.parquet")
+            .agg(F.max(col))
+            .collect()[0][0]
+        )
+        strides[fam] = int(mx) + 1
+
+    for t in DIMS:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+        print(f"{t}: copied (dimension)")
+
+    for t, keys in FACT_KEYS.items():
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        copies = []
+        for i in range(factor):
+            c = base
+            for col, fam in keys.items():
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(i * strides[fam])).cast(base.schema[col].dataType)
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"{t}: {n} rows ({factor}x)")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
