@@ -156,12 +156,13 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
         bronze_path = f"{workdir}/bronze"
         table = "etl_bench_bronze"
 
-        # Pass 0: planning + codegen warm-up for both stages.  96
-        # buckets = 3 waves over 32 cores -- finer tasks balance the
-        # CPU-bound shape stage (measured 2.87s @ 32 -> 2.57s @ 96);
-        # on a cluster you'd size bucket count by target bucket bytes.
+        # Pass 0: planning + codegen warm-up for both stages.  Bucket
+        # count: 96 buckets shave the shape stage (2.87s -> 2.57s,
+        # finer-task balance) but cost more at ingest (+0.8s: 3x the
+        # bucket files per write task) -- 32 wins end-to-end; on a
+        # cluster you'd size bucket count by target bucket bytes.
         t0 = time.time()
-        bronze = materialize_raw(spark, xml_path, bronze_path, table=table, buckets=96)
+        bronze = materialize_raw(spark, xml_path, bronze_path, table=table)
         docs = shape_documents(bronze)
         docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")
         print(
@@ -177,11 +178,7 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
         for _pass in range(1, 4):
             t0 = time.time()
             materialize_raw(
-                spark,
-                xml_path,
-                f"{workdir}/bronze_scratch",
-                table=f"{table}_scratch",
-                buckets=96,
+                spark, xml_path, f"{workdir}/bronze_scratch", table=f"{table}_scratch"
             )
             t1 = time.time()
             docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")
