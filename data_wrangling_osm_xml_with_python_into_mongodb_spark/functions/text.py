@@ -77,6 +77,22 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def word_ngrams(text: Column, k: int = 2) -> Column:
+    """ALL k-word n-gram occurrences in order (vocabulary counting /
+    BPE-prep wants multiplicities, unlike :func:`word_shingles`' set
+    semantics).  Texts shorter than ``k`` tokens yield an empty array.
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (the unit set for Jaccard / MinHash).
 

@@ -494,3 +494,46 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             punct.cast("double") / F.greatest(F.size(toks), F.lit(1)), 4
         ).alias("punct_ratio"),
     )
+
+
+@register(
+    "t6_top_bigrams",
+    "Corpus-level vocabulary statistics: global top-20 word bigrams by "
+    "occurrence count (the n-gram frequency pass a BPE/vocab-building "
+    "pipeline runs over the corpus; multiplicity-preserving, unlike "
+    "the dedup shingle SET).  Scale: explode is narrow, the single "
+    "shuffle is the hash agg on the bigram key with map-side partial "
+    "aggregation collapsing repeats before the exchange, then top-k "
+    "via TakeOrderedAndProject -- no full sort.",
+    """
+    SELECT bigram,
+           count(*) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, greatest(len(toks) - 1, 0)),
+               i -> concat_ws(' ', toks[i + 1], toks[i + 2]))) AS bigram
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents)
+    )
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram ASC
+    LIMIT 20
+    """,
+    tags=("text", "vocab"),
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
