@@ -203,6 +203,45 @@ def q_media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_byte_stats(media)
 
 
+_MM2_ORACLE = r"""
+SELECT doc_id AS media_id,
+       CAST(ceil((doc_id % 10 + 1) / 2.0) AS INT) AS n_sampled,
+       array_to_string(
+         list_transform(range(0, CAST(doc_id % 10 + 1 AS INT), 2),
+                        x -> CAST(x AS VARCHAR)), '|') AS sampled_idx
+FROM documents WHERE doc_id < 200
+"""
+
+
+@register(
+    "mm2_frame_sampling",
+    "Multimodal frame-sampling plumbing under the oracle: every-2nd-"
+    "frame sampling of the synthetic video table runs through the "
+    "Arrow mapInPandas row fan-out (functions/multimodal.sample_frames) "
+    "and DuckDB independently re-derives the kept indices and counts "
+    "from the metadata rule; the per-frame feature arithmetic stays "
+    "pytest-pinned (test_multimodal.py).",
+    _MM2_ORACLE,
+    tags=("multimodal", "explode"),
+)
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import sample_frames, synth_media
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    frames = sample_frames(synth_media(docs, kind="video"), every_k=2)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sampled"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_list("frame_idx")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sampled_idx"),
+    )
+
+
 _TAG_PROFILE_ORACLE = f"""
 WITH kv AS (
   SELECT t.k AS k, t.v AS v
