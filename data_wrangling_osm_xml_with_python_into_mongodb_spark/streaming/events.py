@@ -114,6 +114,47 @@ def sliding_window_rates(
     )
 
 
+def dedup_event_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact deduplication on the natural event key -- the
+    stream twin of the batch dd1 exact-dedup stage (a training-data
+    ingest pipeline dedups at the stream edge before anything lands).
+
+    Batch/stream dual: on a stream this is
+    ``withWatermark + dropDuplicatesWithinWatermark`` (state holds only
+    keys younger than the watermark -- bounded, evicted as event time
+    advances, the only way stream dedup state survives at 100 TB/day);
+    on a batch frame plain ``dropDuplicates`` gives identical rows,
+    which is what the equivalence test asserts.
+    """
+    keys = ["user_id", "ts", "event_type"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return events.dropDuplicates(keys)
+
+
+def run_dedup_to_memory_sink(
+    spark: SparkSession, sf_dir: str, table_name: str = "deduped_events"
+) -> DataFrame:
+    """Drive the streaming dedup over a static directory and return the
+    materialized surviving rows."""
+    deduped = dedup_event_stream(read_event_stream(spark, sf_dir))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)
+
+
 def stateful_user_sessions(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization via
     ``applyInPandasWithState`` (the reference has no streaming; this is

@@ -61,3 +61,25 @@ def test_sliding_window_overlap(spark):
         r["n"] for r in sliding_window_rates(ev).collect()
     )
     assert total == 2 * n_events  # 10 min window / 5 min slide
+
+
+def test_stream_dedup_equals_batch(spark):
+    """dropDuplicatesWithinWatermark on the stream must keep exactly
+    the rows batch dropDuplicates keeps (static input, so nothing is
+    watermark-evicted; keys are unique per (user_id, ts, event_type))."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        dedup_event_stream,
+        run_dedup_to_memory_sink,
+    )
+
+    batch = {
+        (r["user_id"], r["ts"], r["event_type"]): r["event_id"]
+        for r in dedup_event_stream(load_table(spark, SF_DIR, "events")).collect()
+    }
+    streamed = run_dedup_to_memory_sink(spark, SF_DIR).collect()
+    stream = {
+        (r["user_id"], r["ts"], r["event_type"]): r["event_id"] for r in streamed
+    }
+    assert len(streamed) == len(stream)  # no duplicate keys survived
+    assert set(stream) == set(batch)
+    assert len(batch) > 0
