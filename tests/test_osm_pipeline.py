@@ -213,3 +213,28 @@ def test_materialize_raw_bronze_roundtrip_and_no_exchange(spark, tmp_path):
         assert docs.count() == 8
     finally:
         spark.sql("DROP TABLE IF EXISTS test_bronze")
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    """The one-call process_map equivalent: bronze + documents +
+    quarantine + capped ref_docs land on disk with consistent counts
+    and doc_type partition pruning available on the serving table."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.pipeline import run_pipeline
+
+    res = run_pipeline(spark, FIXTURE, str(tmp_path / "out"), write_json_sink=True)
+    assert res.counts["raw_elements"] == 8
+    assert res.counts["documents"] + res.counts["quarantined"] == 8
+    assert res.counts["ref_docs"] > 0
+    # partitioned serving layout
+    assert (tmp_path / "out" / "documents.parquet" / "doc_type=node").exists()
+    # json sink holds one line per valid document
+    import glob
+    import json as _json
+
+    lines = []
+    for f in glob.glob(str(tmp_path / "out" / "documents.json" / "part-*")):
+        with open(f) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln.strip()]
+    assert len(lines) == res.counts["documents"]
+    assert all("_id" in _json.loads(ln) for ln in lines)
+    spark.sql("DROP TABLE IF EXISTS pipeline_bronze")
