@@ -174,7 +174,7 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
         # shape plan keeps reading the (unchanged) pass-0 bronze --
         # overwriting the table a live plan reads invalidates its file
         # listing, which is exactly the one-time-ingest contract.
-        ingest_s = shape_s = 1e9
+        ingest_s = shape_s = e2e_s = 1e9
         for _pass in range(1, 4):
             t0 = time.time()
             materialize_raw(
@@ -185,6 +185,9 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
             t2 = time.time()
             ingest_s = min(ingest_s, t1 - t0)
             shape_s = min(shape_s, t2 - t1)
+            # e2e = best ACTUAL pass, not min(ingest)+min(shape) across
+            # passes (that composite can beat every real run).
+            e2e_s = min(e2e_s, t2 - t0)
             print(
                 f"# etl pass{_pass}: ingest {t1 - t0:.2f}s + shape "
                 f"{t2 - t1:.2f}s = {mb / (t2 - t0):.2f} MB/s e2e",
@@ -193,7 +196,7 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}_scratch")
         return {
-            "etl_mb_per_s": round(mb / (ingest_s + shape_s), 2),
+            "etl_mb_per_s": round(mb / e2e_s, 2),
             "etl_ingest_mb_per_s": round(mb / ingest_s, 2),
             "etl_steady_mb_per_s": round(mb / shape_s, 2),
         }

@@ -77,35 +77,38 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def _ngram_list(toks: Column, k: int) -> Column:
+    """All in-order k-grams of a token array (meaningful for size >= k;
+    the ``greatest`` clamp keeps the sequence bound non-negative even
+    if a caller's guard branch is evaluated eagerly): ``transform``
+    over start positions, joined with single spaces."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
 def word_ngrams(text: Column, k: int = 2) -> Column:
     """ALL k-word n-gram occurrences in order (vocabulary counting /
     BPE-prep wants multiplicities, unlike :func:`word_shingles`' set
     semantics).  Texts shorter than ``k`` tokens yield an empty array.
     """
     toks = tokens(F.lower(text))
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(toks) >= k, _ngram_list(toks, k)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (the unit set for Jaccard / MinHash).
+    """Distinct k-word shingles (the unit set for Jaccard / MinHash);
+    texts shorter than ``k`` tokens contribute their whole text as the
+    one shingle (a short doc still has a set to compare).
 
     Built with ``transform`` over token positions -- stays JVM-side.
     """
     toks = tokens(F.lower(text))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        F.when(F.size(toks) >= k, _ngram_list(toks, k)).otherwise(
+            F.array(F.concat_ws(" ", toks))
+        )
     )

@@ -61,9 +61,14 @@ def profile_tags(raw: DataFrame, value_sample_cap: int = 20) -> DataFrame:
         F.countDistinct("v").alias("uniq_count"),
     )
     # Tiebreak on v itself: md5 collisions don't break determinism.
+    # Null values are excluded BEFORE ranking: Spark orders NULLS
+    # FIRST where DuckDB orders them last, and collect_list would
+    # silently drop the null after it consumed a rank slot -- the
+    # sample is defined over real values only.
     rank = Window.partitionBy("k").orderBy(F.md5("v"), F.col("v"))
     sample = (
-        kv.distinct()
+        kv.filter(F.col("v").isNotNull())
+        .distinct()
         .withColumn("_rn", F.row_number().over(rank))
         .filter(F.col("_rn") <= value_sample_cap)
         .groupBy("k")

@@ -52,41 +52,57 @@ def run_pipeline(
     equivalent), ``ref_docs.parquet`` (capped posting lists), and
     optionally ``documents.json/`` (mongoimport format).
     """
+    # Per-out_dir bronze table name: a fixed name would collide across
+    # concurrent/successive runs in one catalog (the overwrite would
+    # repoint a table another run is still reading).
+    import hashlib
+
+    table = "pipeline_bronze_" + hashlib.md5(
+        os.path.abspath(out_dir).encode()
+    ).hexdigest()[:12]
     bronze = materialize_raw(
         spark,
         xml_path,
         os.path.join(out_dir, "bronze"),
-        table="pipeline_bronze",
+        table=table,
         buckets=buckets,
     )
-    docs = shape_documents(bronze)
-    valid, quarantine = validate_documents(docs)
+    try:
+        docs = shape_documents(bronze)
+        valid, quarantine = validate_documents(docs)
 
-    write_parquet(
-        valid, os.path.join(out_dir, "documents.parquet"), partition_by=["doc_type"]
-    )
-    write_parquet(quarantine, os.path.join(out_dir, "quarantine.parquet"))
-    if write_json_sink:
-        write_json(valid, os.path.join(out_dir, "documents.json"))
+        write_parquet(
+            valid,
+            os.path.join(out_dir, "documents.parquet"),
+            partition_by=["doc_type"],
+        )
+        write_parquet(quarantine, os.path.join(out_dir, "quarantine.parquet"))
+        if write_json_sink:
+            write_json(valid, os.path.join(out_dir, "documents.json"))
 
-    valid_pq = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
-    refs = build_ref_docs(valid_pq, cap=ref_docs_cap)
-    write_parquet(refs, os.path.join(out_dir, "ref_docs.parquet"))
-
-    counts = {
-        "raw_elements": bronze.count(),
-        "documents": valid_pq.count(),
-        "quarantined": spark.read.parquet(
+        valid_pq = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+        refs = build_ref_docs(valid_pq, cap=ref_docs_cap)
+        write_parquet(refs, os.path.join(out_dir, "ref_docs.parquet"))
+        quarantine_pq = spark.read.parquet(
             os.path.join(out_dir, "quarantine.parquet")
-        ).count(),
-        "ref_docs": spark.read.parquet(
-            os.path.join(out_dir, "ref_docs.parquet")
-        ).count(),
-    }
+        )
+        refs_pq = spark.read.parquet(os.path.join(out_dir, "ref_docs.parquet"))
+        counts = {
+            "raw_elements": bronze.count(),
+            "documents": valid_pq.count(),
+            "quarantined": quarantine_pq.count(),
+            "ref_docs": refs_pq.count(),
+        }
+    finally:
+        # The bronze FILES stay under out_dir (reusable by downstream
+        # jobs); only the session-catalog registration is transient.
+        # Returned frames read from the written parquet, so nothing
+        # dangles on the dropped table.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     return PipelineResult(
         documents=valid_pq,
-        quarantine=quarantine,
-        ref_docs=refs,
+        quarantine=quarantine_pq,
+        ref_docs=refs_pq,
         counts=counts,
     )
 

@@ -253,7 +253,7 @@ WITH kv AS (
   FROM (
     SELECT k, v,
            row_number() OVER (PARTITION BY k ORDER BY md5(v), v) AS rn
-    FROM (SELECT DISTINCT k, v FROM kv)
+    FROM (SELECT DISTINCT k, v FROM kv WHERE v IS NOT NULL)
   )
   WHERE rn <= 20
   GROUP BY k

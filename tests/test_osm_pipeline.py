@@ -237,4 +237,8 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
             lines += [ln for ln in fh.read().splitlines() if ln.strip()]
     assert len(lines) == res.counts["documents"]
     assert all("_id" in _json.loads(ln) for ln in lines)
-    spark.sql("DROP TABLE IF EXISTS pipeline_bronze")
+    # bronze registration is transient; files stay for downstream reuse
+    assert not any(
+        t.name.startswith("pipeline_bronze") for t in spark.catalog.listTables()
+    )
+    assert (tmp_path / "out" / "bronze").exists()

@@ -5,9 +5,20 @@ sf1 bench to catch skew/buffer cliffs that sf0.1 hides.  This scales a
 source SF directory by unioning N key-shifted copies of every FACT
 table (dimension tables region/nation keep TPC-H semantics: fixed size
 at every SF, so foreign keys into them are left untouched); foreign
-keys BETWEEN scaled tables shift by the same per-family stride, so join
-fanouts and per-key distributions are preserved exactly -- each copy is
-a disjoint replica of the sf0.1 key graph.
+keys BETWEEN scaled tables shift by the same per-family stride, so the
+ID-keyed join graph of each copy is a disjoint replica of the source.
+
+CONTENT columns are perturbed per copy, not replicated verbatim:
+replicated text/embeddings would give every fingerprint exactly N
+artificial duplicates, grow every shingle/LSH posting list Nx (so
+candidate pairs grow N^2 and df-capped groups silently leave the
+workload), and fill ANN top-k with exact ties -- i.e. the scaled run
+would measure a different workload than a real Nx corpus.  Copy i>0
+appends a copy-marker token to ``documents.text`` (fingerprints become
+distinct; only the trailing shingles change) and offsets one embedding
+dimension by i*1e-3 (cosine neighborhoods keep their structure without
+exact-tie duplication).  Events keep their timestamps: 10x event
+density in the same time range is what 10x traffic looks like.
 
 Usage: python tools/gen_sf_scale.py [src_dir] [dst_dir] [factor]
 Defaults: /root/testdata/sf0.1 /tmp/sf1 10
@@ -82,6 +93,21 @@ def main() -> int:
             for col, fam in keys.items():
                 c = c.withColumn(
                     col, (F.col(col) + F.lit(i * strides[fam])).cast(base.schema[col].dataType)
+                )
+            if i > 0 and t == "documents":
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copymark{i}"))
+                ).withColumn("n_chars", F.length("text"))
+            if i > 0 and t == "embeddings":
+                elem_t = base.schema["embedding"].dataType.elementType.simpleString()
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(
+                            (F.get("embedding", 0) + F.lit(i * 1e-3)).cast(elem_t)
+                        ),
+                        F.slice("embedding", 2, 10_000),
+                    ),
                 )
             copies.append(c)
         out = copies[0]
