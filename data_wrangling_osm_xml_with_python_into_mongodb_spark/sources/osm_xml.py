@@ -193,6 +193,14 @@ def read_osm_elements_iterparse(
     its I/O.  File-granular parallelism only (binaryFile is
     unsplittable), so single-file inputs under defaultParallelism are
     repartitioned to at least spread downstream work.
+
+    Memory bound: ``binaryFile`` materializes each file's bytes in one
+    task (the chunked expat feed bounds PARSE state, not the input
+    buffer), so per-task memory ~= largest input file.  Large extracts
+    must ship sharded (<= ~1 GB/file; they do in practice -- and the
+    sharded layout is also where the parallelism comes from).  For a
+    huge single file, fall back to :func:`read_osm_elements`, whose
+    JVM source splits within the file.
     """
     files = spark.read.format("binaryFile").load(path).select("content")
     n_files = files.count()
