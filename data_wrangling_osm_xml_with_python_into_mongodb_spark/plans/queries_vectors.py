@@ -378,17 +378,30 @@ def q_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.select(F.col("label").alias("cluster"), "v"), "cluster"
     )
     # One Lloyd iteration: nearest-centroid assignment of EVERY vector.
-    # Centroids are tiny (|labels| rows) -> broadcast cross join; argmin
-    # via ranking window with cluster tiebreak for determinism.
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("a_sim"), F.asc("cluster")
-    )
+    # Centroids are tiny (|labels| rows) -> broadcast cross join; argmax
+    # via max_by over a (sim, -cluster) ordering struct -- a hash
+    # aggregation with map-side partial combine, versus the previous
+    # ranking window which SORTED all |vectors| x |centroids| rows
+    # (this stage touches every vector; the tiny per-query windows
+    # below stay windows).  -cluster encodes the deterministic
+    # smallest-cluster tiebreak inside the max.  Locally a wash (v5's
+    # wall at small SF is planning/codegen of the unrolled cosine
+    # chains, ~3.6s of a 3.8s run); at scale the partial combine
+    # collapses the crossJoin stream to |vectors| rows BEFORE the
+    # shuffle, where the window shuffled and sorted every row.
     assign1 = (
         vecs.crossJoin(F.broadcast(c0))
         .withColumn("a_sim", V.cosine(F.col("v"), F.col("cvec"), dim=EMBED_DIM))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "v")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cluster",
+                F.struct(
+                    F.col("a_sim").alias("s"), (-F.col("cluster")).alias("nc")
+                ),
+            ).alias("cluster"),
+            F.first("v").alias("v"),
+        )
     )
     # Refined centroids from the new assignment.
     c1 = _centroid_agg(assign1.select("cluster", "v"), "cluster")
