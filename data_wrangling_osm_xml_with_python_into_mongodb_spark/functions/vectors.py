@@ -19,13 +19,29 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# String operands take the expr() fast path: building a 64-term
+# unrolled chain with Column operators costs ~200 py4j round-trips PER
+# CALL SITE (measured 1.8s of driver time just CONSTRUCTING v5's
+# DataFrame); rendering the same chain as one SQL string and parsing
+# it with a single F.expr call is ~50x fewer JVM crossings for an
+# identical expression tree (same operations, same left-to-right IEEE
+# order).  `name[d]` is 0-based GetArrayItem == element_at(name, d+1)
+# on in-range indices, which fixed-width embeddings guarantee.
+
 
 def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _expr_dot(a: str, b: str, dim: int) -> Column:
+    terms = " + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(dim))
+    return F.expr(f"0.0D + {terms}")
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     if dim is not None:
+        if isinstance(a, str) and isinstance(b, str):
+            return _expr_dot(a, b, dim)
         out = F.lit(0.0)
         for d in range(1, dim + 1):
             out = out + F.element_at(a, d) * F.element_at(b, d)
@@ -37,18 +53,26 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """dot(a,b) / (|a| * |b|) -- formula shape mirrored in oracle SQL."""
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
-def dot_literal(vec: Column, weights: list[float]) -> Column:
+def dot_literal(vec: Column | str, weights: list[float]) -> Column:
     """Sequential-fold dot of a column vector with a Python-side constant
-    vector, unrolled into a codegen-friendly chain."""
+    vector, unrolled into a codegen-friendly chain.  String input takes
+    the one-parse expr path; `repr(w)` round-trips doubles exactly and
+    the CAST-from-string constant-folds at plan time."""
+    if isinstance(vec, str):
+        terms = " + ".join(
+            f"{vec}[{d}] * CAST('{w!r}' AS DOUBLE)"
+            for d, w in enumerate(weights)
+        )
+        return F.expr(f"0.0D + {terms}")
     out = F.lit(0.0)
     for d, w in enumerate(weights, start=1):
         out = out + F.element_at(vec, d) * F.lit(w)

@@ -365,7 +365,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(V.cosine(F.col("a.v"), F.col("b.v"), dim=64), 6).alias("cos_sim"),
+            F.round(V.cosine("a.v", "b.v", dim=64), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b"))
         .limit(20)
@@ -389,7 +389,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
-    bucketed = emb.select("vec_id", "v", _bucket_spark(F.col("v")).alias("bucket"))
+    bucketed = emb.select("vec_id", "v", _bucket_spark("v").alias("bucket"))
     # Codegen'd posexplode pair-gen (see dd2); unlike the nested-HOF
     # form it never materializes the full per-bucket pair array (with
     # its duplicated vectors) -- pairs stream out of the generators.
@@ -413,7 +413,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             a["vec_id"].alias("id_a"),
             b["vec_id"].alias("id_b"),
             F.round(
-                V.cosine(a["v"], b["v"], dim=EMBED_DIM), 6
+                V.cosine("a.v", "b.v", dim=EMBED_DIM), 6
             ).alias("cos_sim"),
         )
         .distinct()  # a pair may share several buckets

@@ -49,7 +49,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed once per vector instead of once per pair, and
     # dot(a,b)/(na*nb) is IEEE-identical to the unhoisted formula (same
     # operations on the same doubles, just not recomputed).
-    emb = emb.withColumn("n", V.norm(F.col("v"), dim=EMBED_DIM))
+    emb = emb.withColumn("n", V.norm("v", dim=EMBED_DIM))
     # Query side: tiny, read straight off the scan (vec_id filter is
     # pushed down) and broadcast.  Candidate side: spread across cores
     # before the per-row vector math.
@@ -61,7 +61,7 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q.vec_id").alias("query_id"),
             F.col("c.vec_id").alias("neighbor_id"),
             F.round(
-                V.dot(F.col("q.v"), F.col("c.v"), dim=EMBED_DIM)
+                V.dot("q.v", "c.v", dim=EMBED_DIM)
                 / (F.col("q.n") * F.col("c.n")),
                 6,
             ).alias("cos_sim"),
@@ -94,7 +94,7 @@ def _plane_weights(a: int, b: int) -> list[float]:
     ]
 
 
-def _bucket_spark(vec: F.Column) -> F.Column:
+def _bucket_spark(vec: F.Column | str) -> F.Column:
     """Sum of 2^p over planes with positive dot(plane_p, vec).  Plane
     constants fold to literals driver-side; the per-row work is an
     unrolled codegen'd multiply-add chain, not an interpreted HOF."""
@@ -138,7 +138,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", V.as_double(F.col("embedding")).alias("v")
     )
     return (
-        emb.select("vec_id", _bucket_spark(F.col("v")).alias("bucket"))
+        emb.select("vec_id", _bucket_spark("v").alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -255,7 +255,7 @@ def q_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assign = (
         q.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", V.cosine(F.col("v"), F.col("cvec"), dim=EMBED_DIM))
+        .withColumn("c_sim", V.cosine("v", "cvec", dim=EMBED_DIM))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("label").alias("probed_label"), "v")
@@ -280,7 +280,7 @@ def q_ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "probed_label",
             "neighbor_id",
-            F.round(V.cosine(F.col("v"), F.col("cv"), dim=EMBED_DIM), 6).alias(
+            F.round(V.cosine("v", "cv", dim=EMBED_DIM), 6).alias(
                 "cos_sim"
             ),
         )
@@ -389,9 +389,21 @@ def q_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains, ~3.6s of a 3.8s run); at scale the partial combine
     # collapses the crossJoin stream to |vectors| rows BEFORE the
     # shuffle, where the window shuffled and sorted every row.
+    # Norms hoisted: each side's |x| is computed ONCE per row/centroid
+    # in its own projection, so every cosine site below is a single
+    # unrolled dot chain instead of three -- ~3x smaller expression
+    # trees (the planning cost that dominates v5's small-SF wall) and
+    # no per-pair norm recomputation at runtime.  Same operations in
+    # the same IEEE order, so results are bit-identical to the oracle.
+    vecs_n = vecs.withColumn("nv", V.norm("v", dim=EMBED_DIM))
+    c0_n = c0.withColumn("ncv", V.norm("cvec", dim=EMBED_DIM))
     assign1 = (
-        vecs.crossJoin(F.broadcast(c0))
-        .withColumn("a_sim", V.cosine(F.col("v"), F.col("cvec"), dim=EMBED_DIM))
+        vecs_n.crossJoin(F.broadcast(c0_n))
+        .withColumn(
+            "a_sim",
+            V.dot("v", "cvec", dim=EMBED_DIM)
+            / (F.col("nv") * F.col("ncv")),
+        )
         .groupBy("vec_id")
         .agg(
             F.max_by(
@@ -412,18 +424,24 @@ def q_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_probe = Window.partitionBy("query_id").orderBy(
         F.desc("p_sim"), F.asc("cluster")
     )
+    q_n = q.withColumn("nq", V.norm("qv", dim=EMBED_DIM))
+    c1_n = c1.withColumn("ncv", V.norm("cvec", dim=EMBED_DIM))
     probes = (
-        q.crossJoin(F.broadcast(c1))
-        .withColumn("p_sim", V.cosine(F.col("qv"), F.col("cvec"), dim=EMBED_DIM))
+        q_n.crossJoin(F.broadcast(c1_n))
+        .withColumn(
+            "p_sim",
+            V.dot("qv", "cvec", dim=EMBED_DIM)
+            / (F.col("nq") * F.col("ncv")),
+        )
         .withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= 2)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "nq", "cluster")
     )
     # Probe: candidates ONLY from the two assigned cells (the join on
     # cluster prunes; at scale each cell is a partition of the index).
     cand = assign1.select(
         F.col("vec_id").alias("neighbor_id"), "cluster", F.col("v").alias("cv2")
-    )
+    ).withColumn("nc2", V.norm("cv2", dim=EMBED_DIM))
     w_top = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -437,9 +455,11 @@ def q_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("cluster").alias("neighbor_cluster"),
             "neighbor_id",
-            F.round(V.cosine(F.col("qv"), F.col("cv2"), dim=EMBED_DIM), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                V.dot("qv", "cv2", dim=EMBED_DIM)
+                / (F.col("nq") * F.col("nc2")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 3)
