@@ -242,3 +242,67 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
         t.name.startswith("pipeline_bronze") for t in spark.catalog.listTables()
     )
     assert (tmp_path / "out" / "bronze").exists()
+
+
+def test_shape_documents_adversarial_inputs(spark):
+    """Hostile raw rows must shape without throwing and keep the
+    document invariants: null/empty tag arrays, null tag values, null
+    keys, problem-char keys, duplicate keys after rewrite, deep
+    subdivided keys, coordinate-less nodes, empty nds/members."""
+    from pyspark.sql import Row
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.schema import RAW_ELEMENT_SCHEMA
+
+    def el(_id, doc_type, **kw):
+        base = dict(
+            doc_type=doc_type,
+            _id=_id,
+            lat=kw.get("lat"),
+            lon=kw.get("lon"),
+            created=kw.get("created"),
+            nds=kw.get("nds"),
+            members=kw.get("members"),
+            tags=kw.get("tags"),
+        )
+        return Row(**base)
+
+    t = lambda k, v: Row(k=k, v=v)  # noqa: E731
+    rows = [
+        el("n1", "node", lat=1.0, lon=2.0, tags=None),           # no tags
+        el("n2", "node", lat=1.0, lon=2.0, tags=[]),             # empty tags
+        el("n3", "node", lat=1.0, lon=2.0, tags=[t("name", None)]),   # null value
+        el("n4", "node", lat=1.0, lon=2.0, tags=[t(None, "x")]),      # null key
+        el("n5", "node", lat=1.0, lon=2.0, tags=[t("bad key", "x")]), # problem chars
+        el("n6", "node", tags=[t("name", "NoCoords")]),          # coordinate-less
+        el(
+            "n7",
+            "node",
+            lat=1.0,
+            lon=2.0,
+            # name_1 rewrites to name -> duplicate key, LAST_WIN
+            tags=[t("name", "A"), t("name_1", "B")],
+        ),
+        el(
+            "n8",
+            "node",
+            lat=1.0,
+            lon=2.0,
+            tags=[t("service:bicycle:pump:deep:deeper", "yes"), t("addr:street", None)],
+        ),
+        el("w1", "way", nds=[], tags=[t("highway", "x")]),       # empty nds
+        el("r1", "relation", members=[], tags=None),             # empty members
+    ]
+    raw = spark.createDataFrame(rows, RAW_ELEMENT_SCHEMA)
+    docs = {r["_id"]: r.asDict(recursive=True) for r in shape_documents(raw).collect()}
+    assert len(docs) == 10
+    for _id in ("n1", "n2", "n3", "n4", "n5"):
+        assert docs[_id]["doc_type"] == "node" and docs[_id]["pos"] == [1.0, 2.0]
+    assert docs["n3"]["tags"] == {"name": None}
+    assert docs["n4"]["tags"] == {} and docs["n5"]["tags"] == {}
+    assert docs["n6"]["pos"] is None  # quarantined by validity, not crashed
+    assert docs["n7"]["tags"]["name"] == "B"  # dict-update last-wins
+    assert docs["n8"]["subdocs"]["service"]["bicycle.pump.deep.deeper"] == "yes"
+    assert docs["w1"]["node_refs"] == [] and docs["r1"]["members"] == []
+
+    valid, quarantine = validate_documents(shape_documents(raw))
+    assert {r["_id"] for r in quarantine.collect()} == {"n6"}
