@@ -325,16 +325,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles_df(spark, sf_dir)
     x = md5_int64(F.col("shingle"))
     hashed = sh.select("doc_id", x.alias("x"))
+    # One expr parse per aggregate / one for the assemble chain instead
+    # of ~8 py4j calls per bit (same trees; see functions/vectors.py on
+    # driver-side construction cost).
     bit_aggs = [
-        F.sum((F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"s{j}")
+        F.expr(f"sum((shiftright(x, {j}) & 1) * 2 - 1)").alias(f"s{j}")
         for j in range(32)
     ]
     sums = hashed.groupBy("doc_id").agg(*bit_aggs)
-    assembled = None
-    for j in range(32):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        assembled = term if assembled is None else assembled + term
-    return sums.select("doc_id", assembled.cast("long").alias("simhash"))
+    assembled = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END)" for j in range(32)
+    )
+    return sums.select(
+        "doc_id", F.expr(f"CAST({assembled} AS BIGINT)").alias("simhash")
+    )
 
 
 @register(
