@@ -465,3 +465,61 @@ def q_ivf_kmeans_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "v6_int8_quantization",
+    "Symmetric per-vector int8 quantization of the embedding column "
+    "(the index-prep compression step an ANN/vector store runs before "
+    "building IVF/HNSW shards: 4x smaller vectors, per-vector scale "
+    "kept for dequantization).  scale = max|x| / 127; q[d] = "
+    "round(x[d] / scale); integer audit columns are oracle-gated, the "
+    "float reconstruction bound is property-tested (engine round-half "
+    "semantics differ).  Pure narrow expressions -- one scan, no "
+    "shuffle, no UDF.",
+    """
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           CAST(list_sum(list_transform(v, x ->
+               CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(v, x ->
+               abs(CAST(round(x / scale) AS BIGINT)))) AS BIGINT) AS q_max_abs
+    FROM (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    )
+    """,
+    tags=("vector", "quantization"),
+)
+def q_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    # max|x| via the same fold shape both engines evaluate exactly
+    # (abs/max over doubles is order-insensitive), then quantize with
+    # HOF transforms: this op is per-row array math over the full
+    # 64-wide array, where a transform is ONE expression regardless of
+    # dim -- the interpreted-HOF cost loses to expression-tree size
+    # only for scalar reductions like dot (see functions/vectors.py).
+    scaled = emb.withColumn(
+        "scale",
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.round(x / F.col("scale")).cast("long")
+    )
+    # The oracle gate covers the integer outputs (scale, q_sum,
+    # q_max_abs), which match bit-for-bit.  The float reconstruction
+    # bound is NOT cross-engine-comparable: Spark rounds on the
+    # decimal rendering of the double where DuckDB rounds the binary
+    # value, so near-half ratios pick different max-err elements
+    # (observed 5e-6 disagreements).  The bound |x - q*scale| <=
+    # scale/2 is pinned as a property in tests/test_vectors_quant.py
+    # instead.
+    return scaled.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_max(F.transform(q, lambda x: F.abs(x))).alias("q_max_abs"),
+    )
