@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
+from ..functions.hashing import md5_int64_sql
 from .queries import _spread, _t, register
 
 
@@ -536,4 +537,68 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
         .limit(20)
+    )
+
+
+# Per-language sampling rates out of 1000 -- the domain-mixing weights
+# a training-data curation pass applies (upsample scarce languages,
+# downsample the dominant one).  Deterministic hash-gated sampling
+# (keep iff md5(doc_id) mod 1000 < rate) instead of RNG sampling: the
+# SAME rows are kept on every run, every engine, every cluster size --
+# reproducibility that sample()/TABLESAMPLE cannot give across
+# engines, and exactly how production pipelines pin their mixtures.
+SAMPLE_RATES = {"en": 250, "de": 500, "fr": 500, "es": 500, "zh": 750}
+_DEFAULT_RATE = 100
+
+
+@register(
+    "t7_stratified_sample",
+    "Deterministic stratified sampling for corpus mixing: per-language "
+    "keep-rates applied via a portable md5 hash gate on doc_id (no RNG "
+    "-- same kept set on every engine/run), audited per language with "
+    "achieved-vs-target rates.  One scan + a tiny groupBy; the gate "
+    "predicate pushes into the scan at scale.",
+    f"""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_sampled,
+           CAST(min(CASE WHEN kept THEN doc_id END) AS BIGINT) AS min_kept_id,
+           CAST(max(CASE WHEN kept THEN doc_id END) AS BIGINT) AS max_kept_id,
+           target_rate
+    FROM (
+      SELECT lang, doc_id,
+             CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())}
+                  ELSE {_DEFAULT_RATE} END AS target_rate,
+             ({md5_int64_sql("CAST(doc_id AS VARCHAR)")}) % 1000 <
+             CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())}
+                  ELSE {_DEFAULT_RATE} END AS kept
+      FROM documents
+    )
+    GROUP BY lang, target_rate
+    """,
+    tags=("text", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    rate = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(_DEFAULT_RATE),
+    )
+    gate = (md5_int64(F.col("doc_id").cast("string")) % 1000) < rate
+    return (
+        docs.select("lang", "doc_id", rate.alias("target_rate"), gate.alias("kept"))
+        .groupBy("lang", "target_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_sampled"),
+            F.min(F.when(F.col("kept"), F.col("doc_id"))).alias("min_kept_id"),
+            F.max(F.when(F.col("kept"), F.col("doc_id"))).alias("max_kept_id"),
+        )
+        .select(
+            "lang", "n_total", "n_sampled", "min_kept_id", "max_kept_id", "target_rate"
+        )
     )
