@@ -193,14 +193,16 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
                 f"{t2 - t1:.2f}s = {mb / (t2 - t0):.2f} MB/s e2e",
                 file=sys.stderr,
             )
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"DROP TABLE IF EXISTS {table}_scratch")
         return {
             "etl_mb_per_s": round(mb / e2e_s, 2),
             "etl_ingest_mb_per_s": round(mb / ingest_s, 2),
             "etl_steady_mb_per_s": round(mb / shape_s, 2),
         }
     finally:
+        # Drop in finally: a throwing timed pass must not leave tables
+        # registered against an rmtree'd path in the shared session.
+        spark.sql("DROP TABLE IF EXISTS etl_bench_bronze")
+        spark.sql("DROP TABLE IF EXISTS etl_bench_bronze_scratch")
         shutil.rmtree(workdir, ignore_errors=True)
 
 

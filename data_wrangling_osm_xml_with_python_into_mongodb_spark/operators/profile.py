@@ -74,9 +74,23 @@ def profile_tags(raw: DataFrame, value_sample_cap: int = 20) -> DataFrame:
         .groupBy("k")
         .agg(F.sort_array(F.collect_list("v")).alias("val_sample"))
     )
-    return counts.join(sample, "k", "left").withColumn(
-        "usage_per_uniq",
-        F.round(F.col("tag_use_count") / F.col("uniq_count"), 2),
+    # A key whose values are ALL null has no sample rows (the join
+    # misses) and uniq_count = 0: coalesce to an empty array and null
+    # the ratio explicitly -- Spark would render NULL/"" where DuckDB
+    # renders NULL/error, so both engines must agree by construction.
+    return (
+        counts.join(sample, "k", "left")
+        .withColumn(
+            "val_sample",
+            F.coalesce(F.col("val_sample"), F.array().cast("array<string>")),
+        )
+        .withColumn(
+            "usage_per_uniq",
+            F.when(
+                F.col("uniq_count") > 0,
+                F.round(F.col("tag_use_count") / F.col("uniq_count"), 2),
+            ),
+        )
     )
 
 

@@ -261,8 +261,10 @@ WITH kv AS (
 SELECT c.k AS k,
        count_all AS tag_use_count,
        uniq_count,
-       array_to_string(vs, '|') AS val_sample,
-       round(count_all::DOUBLE / uniq_count, 2) AS usage_per_uniq
+       array_to_string(coalesce(vs, []), '|') AS val_sample,
+       CASE WHEN uniq_count > 0
+            THEN round(count_all::DOUBLE / uniq_count, 2)
+       END AS usage_per_uniq
 FROM (
   SELECT k, count(*) AS count_all,
          CAST(count(DISTINCT v) AS BIGINT) AS uniq_count

@@ -526,9 +526,15 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id", F.explode(TX.word_ngrams(F.col("text"), 2)).alias("bigram")
+    # Literal single-space split (like t1), NOT tokens()'s \s+ regex:
+    # the DuckDB oracle's string_split(' ') yields empty tokens on
+    # consecutive whitespace, so both sides must split identically or
+    # multi-space/tab/newline text diverges.
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    bigrams = F.when(F.size(toks) >= 2, TX._ngram_list(toks, 2)).otherwise(
+        F.array().cast("array<string>")
     )
+    grams = docs.select("doc_id", F.explode(bigrams).alias("bigram"))
     return (
         grams.groupBy("bigram")
         .agg(
