@@ -1,23 +1,93 @@
-"""Vector math over ``array<float>`` embedding columns as native
-column expressions.
+"""Vector math over ``array<float>`` embedding columns, dispatched on
+vector width.
 
-Two formulations with identical IEEE results:
+Three formulations:
 
 * generic ``aggregate``/``zip_with`` folds for unknown-width vectors --
   correct anywhere, but higher-order functions are interpreted
   (no whole-stage codegen), so they pay per-element lambda overhead;
-* **unrolled** fixed-width chains (``dim=`` known, e.g. the 64-wide
-  embeddings table): ``0.0 + a[1]*b[1] + a[2]*b[2] + ...`` -- plain
-  arithmetic the codegen compiles, ~an order of magnitude faster in
-  the ANN hot path.  The leading ``0.0 +`` reproduces the fold's seed
-  so both shapes (and the DuckDB oracle's sequential
-  ``list_dot_product``) produce bit-identical doubles.
+* **unrolled** fixed-width chains (``dim <= UNROLL_MAX_DIM``, e.g. the
+  64-wide embeddings table): ``0.0 + a[1]*b[1] + a[2]*b[2] + ...`` --
+  plain arithmetic the codegen compiles, ~an order of magnitude faster
+  in the ANN hot path.  The leading ``0.0 +`` reproduces the fold's
+  seed so both shapes (and the DuckDB oracle's sequential
+  ``list_dot_product``) produce bit-identical doubles;
+* **wide** Arrow-vectorized numpy kernels (``dim > UNROLL_MAX_DIM``):
+  production embedding widths (768-4096) would render 12-64x bigger
+  unrolled chains -- past Janino method limits, codegen falls back to
+  interpreted, and driver planning time blows up (the 7-40x
+  planning-cost cliff measured in operators/shape.py:14-19).  A
+  ``pandas_udf`` over Arrow batches does the whole batch as one numpy
+  ``einsum`` -- constant plan size in ``dim``, SIMD-vectorized, no
+  per-row Python.  numpy's pairwise summation is NOT bit-identical to
+  the sequential fold (last-ulp differences), which is why the wide
+  path starts above the oracle-gated 64-dim surface; the two paths are
+  property-tested against each other at dims 64 and 768
+  (tests/test_vectors_wide.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# Widest vector we unroll into an expression chain.  64 dims measured
+# ~10x faster unrolled than the interpreted HOF fold; 128 keeps the
+# generated method comfortably inside Janino/JIT limits (the cliff
+# class starts several multiples above it, and 128 is the widest the
+# DuckDB oracle surface uses).  Above this, kernels go through Arrow.
+UNROLL_MAX_DIM = 128
+
+_WIDE_KERNELS: dict = {}
+
+
+def _wide(name: str):
+    """Arrow numpy kernels for wide vectors, built lazily (pandas/numpy
+    import + UDF registration deferred off the module import path) and
+    cached so each kernel registers once per process.  Batches are
+    rectangular by the fixed-width embedding-column contract."""
+    if name not in _WIDE_KERNELS:
+        import numpy as np
+        import pandas as pd
+
+        def _mat(s):
+            return np.stack(s.to_numpy())
+
+        if name == "dot":
+
+            def k(a, b):
+                A, B = _mat(a), _mat(b)
+                return pd.Series(np.einsum("ij,ij->i", A, B))
+
+        elif name == "norm":
+
+            def k(a):
+                A = _mat(a)
+                return pd.Series(np.sqrt(np.einsum("ij,ij->i", A, A)))
+
+        else:  # cosine, fused: one Arrow transfer, not three UDF calls
+
+            def k(a, b):
+                A, B = _mat(a), _mat(b)
+                num = np.einsum("ij,ij->i", A, B)
+                na = np.sqrt(np.einsum("ij,ij->i", A, A))
+                nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+                return pd.Series(num / (na * nb))
+
+        # Real (non-string) Series annotations: this module's
+        # `from __future__ import annotations` would stringify inline
+        # hints, and pyspark's typehint resolver can't evaluate them
+        # without pandas in the module globals.
+        k.__annotations__ = {
+            p: pd.Series for p in list(k.__code__.co_varnames[: k.__code__.co_argcount])
+        }
+        k.__annotations__["return"] = pd.Series
+        _WIDE_KERNELS[name] = F.pandas_udf(k, "double")
+    return _WIDE_KERNELS[name]
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
 
 # String operands take the expr() fast path: building a 64-term
 # unrolled chain with Column operators costs ~200 py4j round-trips PER
@@ -39,6 +109,8 @@ def _expr_dot(a: str, b: str, dim: int) -> Column:
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    if dim is not None and dim > UNROLL_MAX_DIM:
+        return _wide("dot")(as_double(_as_col(a)), as_double(_as_col(b)))
     if dim is not None:
         if isinstance(a, str) and isinstance(b, str):
             return _expr_dot(a, b, dim)
@@ -54,11 +126,17 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 
 def norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim is not None and dim > UNROLL_MAX_DIM:
+        return _wide("norm")(as_double(_as_col(a)))
     return F.sqrt(dot(a, a, dim))
 
 
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    """dot(a,b) / (|a| * |b|) -- formula shape mirrored in oracle SQL."""
+    """dot(a,b) / (|a| * |b|) -- formula shape mirrored in oracle SQL.
+    Wide vectors take one fused Arrow kernel (a single batch transfer)
+    instead of three expression-level folds."""
+    if dim is not None and dim > UNROLL_MAX_DIM:
+        return _wide("cosine")(as_double(_as_col(a)), as_double(_as_col(b)))
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -66,7 +144,20 @@ def dot_literal(vec: Column | str, weights: list[float]) -> Column:
     """Sequential-fold dot of a column vector with a Python-side constant
     vector, unrolled into a codegen-friendly chain.  String input takes
     the one-parse expr path; `repr(w)` round-trips doubles exactly and
-    the CAST-from-string constant-folds at plan time."""
+    the CAST-from-string constant-folds at plan time.  Wide constant
+    vectors (LSH planes at production widths) close over a numpy array
+    and run as one Arrow matvec per batch."""
+    if len(weights) > UNROLL_MAX_DIM:
+        import numpy as np
+        import pandas as pd
+
+        w = np.asarray(weights, dtype=np.float64)
+
+        def k(v):
+            return pd.Series(np.stack(v.to_numpy()) @ w)
+
+        k.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        return F.pandas_udf(k, "double")(as_double(_as_col(vec)))
     if isinstance(vec, str):
         terms = " + ".join(
             f"{vec}[{d}] * CAST('{w!r}' AS DOUBLE)"
