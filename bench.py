@@ -11,6 +11,7 @@ Output: {"metric": "headline_queries_wall", "value": <total sec>,
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import sys
@@ -201,8 +202,10 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
     finally:
         # Drop in finally: a throwing timed pass must not leave tables
         # registered against an rmtree'd path in the shared session.
-        spark.sql("DROP TABLE IF EXISTS etl_bench_bronze")
-        spark.sql("DROP TABLE IF EXISTS etl_bench_bronze_scratch")
+        # Suppress: a dead session would raise here and skip rmtree.
+        with contextlib.suppress(Exception):
+            spark.sql("DROP TABLE IF EXISTS etl_bench_bronze")
+            spark.sql("DROP TABLE IF EXISTS etl_bench_bronze_scratch")
         shutil.rmtree(workdir, ignore_errors=True)
 
 

@@ -19,11 +19,11 @@ Three formulations:
   planning-cost cliff measured in operators/shape.py:14-19).  A
   ``pandas_udf`` over Arrow batches does the whole batch as one numpy
   ``einsum`` -- constant plan size in ``dim``, SIMD-vectorized, no
-  per-row Python.  numpy's pairwise summation is NOT bit-identical to
-  the sequential fold (last-ulp differences), which is why the wide
-  path starts above the oracle-gated 64-dim surface; the two paths are
-  property-tested against each other at dims 64 and 768
-  (tests/test_vectors_wide.py).
+  per-row Python.  numpy's summation order differs from the sequential
+  fold (einsum/BLAS accumulation), so results differ in the last ulp
+  and are NOT bit-identical -- which is why the wide path starts above
+  the oracle-gated 64-dim surface; the two paths are property-tested
+  against each other at dims 64 and 768 (tests/test_vectors_wide.py).
 """
 
 from __future__ import annotations
@@ -41,6 +41,33 @@ UNROLL_MAX_DIM = 128
 _WIDE_KERNELS: dict = {}
 
 
+def _masked_rows(fn, *series):
+    """Apply a stacked-matrix kernel over the NON-NULL rows of one or
+    more list-column Series, propagating NULL rows as NULL -- matching
+    the unrolled/fold paths, where ``x * NULL`` nulls the whole result.
+    Without the mask, ``np.stack`` raises ValueError on a batch that
+    mixes vectors with None rows (ragged shapes), turning a null
+    embedding into an opaque executor crash at dim > UNROLL_MAX_DIM.
+    All-non-null batches (the common case) take the no-copy fast path.
+    Element-level nulls *inside* a vector remain out of contract, as
+    for every path: the embedding columns are fixed-width non-null
+    arrays."""
+    import numpy as np
+    import pandas as pd
+
+    mask = series[0].notna().to_numpy()
+    for s in series[1:]:
+        mask &= s.notna().to_numpy()
+    if mask.all():
+        return pd.Series(fn(*(np.stack(s.to_numpy()) for s in series)))
+    out = np.full(len(mask), np.nan)
+    if mask.any():
+        out[mask] = fn(*(np.stack(s[mask].to_numpy()) for s in series))
+    res = pd.array(out, dtype="Float64")
+    res[~mask] = pd.NA
+    return pd.Series(res)
+
+
 def _wide(name: str):
     """Arrow numpy kernels for wide vectors, built lazily (pandas/numpy
     import + UDF registration deferred off the module import path) and
@@ -50,29 +77,30 @@ def _wide(name: str):
         import numpy as np
         import pandas as pd
 
-        def _mat(s):
-            return np.stack(s.to_numpy())
-
         if name == "dot":
 
             def k(a, b):
-                A, B = _mat(a), _mat(b)
-                return pd.Series(np.einsum("ij,ij->i", A, B))
+                return _masked_rows(
+                    lambda A, B: np.einsum("ij,ij->i", A, B), a, b
+                )
 
         elif name == "norm":
 
             def k(a):
-                A = _mat(a)
-                return pd.Series(np.sqrt(np.einsum("ij,ij->i", A, A)))
+                return _masked_rows(
+                    lambda A: np.sqrt(np.einsum("ij,ij->i", A, A)), a
+                )
 
         else:  # cosine, fused: one Arrow transfer, not three UDF calls
 
-            def k(a, b):
-                A, B = _mat(a), _mat(b)
+            def _cos(A, B):
                 num = np.einsum("ij,ij->i", A, B)
                 na = np.sqrt(np.einsum("ij,ij->i", A, A))
                 nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-                return pd.Series(num / (na * nb))
+                return num / (na * nb)
+
+            def k(a, b):
+                return _masked_rows(_cos, a, b)
 
         # Real (non-string) Series annotations: this module's
         # `from __future__ import annotations` would stringify inline
@@ -154,7 +182,7 @@ def dot_literal(vec: Column | str, weights: list[float]) -> Column:
         w = np.asarray(weights, dtype=np.float64)
 
         def k(v):
-            return pd.Series(np.stack(v.to_numpy()) @ w)
+            return _masked_rows(lambda V: V @ w, v)
 
         k.__annotations__ = {"v": pd.Series, "return": pd.Series}
         return F.pandas_udf(k, "double")(as_double(_as_col(vec)))

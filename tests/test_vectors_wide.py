@@ -97,3 +97,44 @@ def test_dot_literal_wide_matches_numpy(spark):
     w = np.asarray(weights)
     for i, v in enumerate(_vectors(n, dim)):
         assert math.isclose(got[i], float(np.asarray(v) @ w), rel_tol=1e-11)
+
+
+@pytest.mark.parametrize("dim", [768])
+def test_wide_kernels_propagate_null_rows(spark, dim):
+    """A NULL embedding must come back as NULL from the wide kernels --
+    the unrolled and fold paths NULL-out via x * NULL, and pre-fix the
+    Arrow path instead crashed np.stack with a ragged-shape ValueError.
+    Covers dot/norm/cosine and the dot_literal matvec, plus all-null
+    and no-null batch edges."""
+    vs = _vectors(6, dim)
+    rows = [
+        (0, vs[0], vs[1]),
+        (1, None, vs[2]),       # left null
+        (2, vs[3], None),       # right null
+        (3, None, None),        # both null
+        (4, vs[4], vs[5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id: long, a: array<double>, b: array<double>"
+    ).repartition(1)
+    weights = [((d * 11 + 3) % 101) / 101.0 - 0.5 for d in range(dim)]
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            V.dot("a", "b", dim=dim).alias("d"),
+            V.norm("a", dim=dim).alias("na"),
+            V.cosine("a", "b", dim=dim).alias("c"),
+            V.dot_literal(F.col("a"), weights).alias("dl"),
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i].d is None and out[i].c is None
+    for i in (1, 3):
+        assert out[i].na is None and out[i].dl is None
+    # non-null rows still compute real values alongside nulls
+    for i in (0, 4):
+        a, b = np.asarray(rows[i][1]), np.asarray(rows[i][2])
+        assert math.isclose(out[i].d, float(a @ b), rel_tol=1e-11)
+        assert math.isclose(out[i].na, float(np.sqrt(a @ a)), rel_tol=1e-11)
+    assert out[2].na is not None and out[2].dl is not None
