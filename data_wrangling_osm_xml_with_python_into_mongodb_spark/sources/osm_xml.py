@@ -13,16 +13,23 @@ Two parsers back it:
   per rowTag (node/way/relation).  JVM-fast (~100 MB/s steady at 32
   threads) but reads the same bytes three times: fine on cached local
   storage, 300 TB of I/O against a 100 TB extract on an object store.
-* :func:`read_osm_elements_iterparse` -- file-granular streaming
-  iterparse via ``mapInPandas``: genuinely single-pass.  With a
-  many-file extract (the only layout a 100 TB input ships in) it
-  parallelizes per file and measures within ~1.4x of the three-scan
-  JVM source locally -- so it is the default parser for
-  :func:`materialize_raw`, where I/O volume, not parse CPU, is the
-  scale bottleneck.
+* :func:`read_osm_elements_split` -- byte-range-splittable streaming
+  expat parse: the driver plans (file, offset, length) splits exactly
+  like ``FileSourceScanExec`` does for parquet, each task seeks to its
+  offset, resyncs to the next top-level element boundary, and parses
+  just its range.  Genuinely single-pass AND split-parallel: per-task
+  memory is bounded by ``split_bytes`` (not file size) and a single
+  huge file fans out across the cluster.  Default parser for
+  :func:`materialize_raw`.
+* :func:`read_osm_elements_iterparse` -- the earlier file-granular
+  variant (one task per file, whole file in memory); kept as the
+  simplest single-pass path and as the differential-test twin for the
+  split reader.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,6 +39,15 @@ from pyspark.sql import types as T
 from ..schema import RAW_ELEMENT_SCHEMA
 
 _CREATED_ATTRS = ["version", "changeset", "timestamp", "user", "uid"]
+
+# A top-level OSM element start tag.  In well-formed XML a raw '<'
+# appears only in markup (attribute values escape it as &lt;), and
+# node/way/relation never nest inside each other, so any match is a
+# true element boundary.  The trailing [\s/>] guard keeps '<nd ' from
+# matching '<node'-seeking scans and vice versa.  (Caveat shared with
+# Hadoop's XmlInputFormat: a '<node' lookalike inside a comment/CDATA
+# would false-sync; OSM extracts contain neither.)
+_TOP_ELEMENT_RE = re.compile(rb"<(?:node|way|relation)[\s/>]")
 
 
 def _xml_schema(kind: str) -> T.StructType:
@@ -172,35 +188,299 @@ def read_osm_elements(spark: SparkSession, path: str) -> DataFrame:
     return out
 
 
+def _expat_batches(chunks, batch_rows: int):
+    """Streaming expat parse of an iterable of byte chunks, yielding
+    Arrow RecordBatches in RAW_ELEMENT_SCHEMA column order.
+
+    The shared executor-side core behind both single-pass readers.
+    The row path never touches Python objects per field: expat
+    callbacks append to flat columnar buffers (child values + list
+    offsets), which become Arrow List/Struct arrays zero-copy-ish via
+    ``from_arrays`` -- measured ~10% faster than the earlier
+    pandas/ElementTree variant.  Chunk boundaries may land anywhere
+    (expat tolerates arbitrary splits, including mid-tag and
+    mid-multibyte-char); flushes happen between chunks, never
+    mid-element -- in-flight state lives in ``cur_*``.
+    """
+    import xml.parsers.expat
+
+    import pyarrow as pa
+
+    str_t = pa.string()
+    names = [f.name for f in RAW_ELEMENT_SCHEMA.fields]
+
+    # Columnar buffers holding COMPLETED elements only.
+    kinds, ids, lats, lons = [], [], [], []
+    created = [[] for _ in _CREATED_ATTRS]
+    nd_off, nd_vals, nd_valid = [0], [], []
+    m_off, m_type, m_ref, m_role, m_valid = [0], [], [], [], []
+    t_off, t_k, t_v, t_valid = [0], [], [], []
+    # In-flight element (a row only reaches the buffers at its end tag).
+    cur_kind = [None]
+    cur_attrs = [None]
+    cur_nds: list = []
+    cur_mem: list = []
+    cur_tags: list = []
+
+    def on_start(name, a):
+        if name in ("node", "way", "relation"):
+            cur_kind[0] = name
+            cur_attrs[0] = a
+            cur_nds.clear()
+            cur_mem.clear()
+            cur_tags.clear()
+        elif cur_kind[0] is not None:
+            if name == "tag":
+                cur_tags.append((a.get("k"), a.get("v")))
+            elif name == "nd":
+                cur_nds.append(a.get("ref"))
+            elif name == "member":
+                cur_mem.append((a.get("type"), a.get("ref"), a.get("role")))
+
+    def on_end(name):
+        kind = cur_kind[0]
+        if name != kind:
+            return
+        a = cur_attrs[0]
+        kinds.append(kind)
+        ids.append(a.get("id"))
+        lats.append(float(a["lat"]) if "lat" in a else None)
+        lons.append(float(a["lon"]) if "lon" in a else None)
+        for i, c in enumerate(_CREATED_ATTRS):
+            created[i].append(a.get(c))
+        nd_vals.extend(cur_nds)
+        nd_off.append(len(nd_vals))
+        nd_valid.append(kind == "way")
+        for mt, mr, ml in cur_mem:
+            m_type.append(mt)
+            m_ref.append(mr)
+            m_role.append(ml)
+        m_off.append(len(m_type))
+        m_valid.append(kind == "relation")
+        for tk, tv in cur_tags:
+            t_k.append(tk)
+            t_v.append(tv)
+        t_off.append(len(t_k))
+        t_valid.append(bool(cur_tags))
+        cur_kind[0] = None
+
+    def list_arr(off, children, valid):
+        arr = pa.ListArray.from_arrays(pa.array(off, pa.int32()), children)
+        mask = pa.array(valid, pa.bool_())
+        return pa.compute.if_else(mask, arr, pa.nulls(len(valid), arr.type))
+
+    def flush():
+        batch = pa.record_batch(
+            [
+                pa.array(kinds, str_t),
+                pa.array(ids, str_t),
+                pa.array(lats, pa.float64()),
+                pa.array(lons, pa.float64()),
+                pa.StructArray.from_arrays(
+                    [pa.array(c, str_t) for c in created],
+                    names=_CREATED_ATTRS,
+                ),
+                list_arr(nd_off, pa.array(nd_vals, str_t), nd_valid),
+                list_arr(
+                    m_off,
+                    pa.StructArray.from_arrays(
+                        [
+                            pa.array(m_type, str_t),
+                            pa.array(m_ref, str_t),
+                            pa.array(m_role, str_t),
+                        ],
+                        names=["type", "ref", "role"],
+                    ),
+                    m_valid,
+                ),
+                list_arr(
+                    t_off,
+                    pa.StructArray.from_arrays(
+                        [pa.array(t_k, str_t), pa.array(t_v, str_t)],
+                        names=["k", "v"],
+                    ),
+                    t_valid,
+                ),
+            ],
+            names=names,
+        )
+        kinds.clear(); ids.clear(); lats.clear(); lons.clear()
+        for c in created:
+            c.clear()
+        del nd_off[1:]; nd_vals.clear(); nd_valid.clear()
+        del m_off[1:]; m_type.clear(); m_ref.clear(); m_role.clear()
+        m_valid.clear()
+        del t_off[1:]; t_k.clear(); t_v.clear(); t_valid.clear()
+        nd_off[0] = m_off[0] = t_off[0] = 0
+        return batch
+
+    p = xml.parsers.expat.ParserCreate()
+    p.StartElementHandler = on_start
+    p.EndElementHandler = on_end
+    for chunk in chunks:
+        p.Parse(chunk, False)
+        if len(kinds) >= batch_rows:
+            yield flush()
+    p.Parse(b"", True)
+    if kinds:
+        yield flush()
+
+
+def plan_osm_splits(
+    spark: SparkSession, path: str, split_bytes: int
+) -> list[tuple[str, int, int, int]]:
+    """Driver-side split planning: (path, start, length, file_size)
+    rows, one per byte range.
+
+    This is the same O(number-of-files) metadata-only work Spark's own
+    ``FileSourceScanExec`` does when planning a parquet scan -- the
+    ``binaryFile`` read prunes down to the (path, length) metadata
+    columns, so no content bytes move.
+    """
+    meta = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "length")
+        .collect()
+    )
+    splits: list[tuple[str, int, int, int]] = []
+    for row in meta:
+        size = int(row["length"])
+        if size == 0:
+            continue
+        start = 0
+        while start < size:
+            splits.append(
+                (row["path"], start, min(split_bytes, size - start), size)
+            )
+            start += split_bytes
+    return splits
+
+
+def _open_range(path: str):
+    """Open a file URI for random-access reads via pyarrow.fs -- the
+    same abstraction on local disk, HDFS, and S3."""
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.fs as pafs
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return pafs.LocalFileSystem().open_input_file(unquote(parsed.path))
+    fs, relpath = pafs.FileSystem.from_uri(path)
+    return fs.open_input_file(relpath)
+
+
+def read_osm_elements_split(
+    spark: SparkSession,
+    path: str,
+    split_bytes: int = 128 << 20,
+    batch_rows: int = 50_000,
+    chunk_bytes: int = 4 << 20,
+    tail_bytes: int = 1 << 20,
+) -> DataFrame:
+    """Single-pass, byte-range-SPLITTABLE scan: the driver plans
+    (file, offset, length) ranges; each task seeks to its offset,
+    resyncs forward to the next top-level element start tag, and
+    parses exactly the elements whose start tag falls inside its
+    range (reading past the range end only to finish the last owned
+    element).
+
+    This removes the file-granularity bound of
+    :func:`read_osm_elements_iterparse`: per-task memory is
+    ~``split_bytes`` regardless of file layout, and a single 100 GB
+    file fans out across ``size/split_bytes`` tasks instead of
+    serializing on one.  It keeps the single-pass I/O profile (each
+    input byte is read once, plus a ~1 element overlap per boundary)
+    -- the reference's own streaming promise (clean_and_write.py:425)
+    made cluster-true.
+
+    Ownership protocol (no coordination between tasks): an element
+    belongs to the split containing its start tag's byte offset.  A
+    task scans from its offset to the first `<node|way|relation`
+    boundary >= offset, and parses through to the first boundary >=
+    range end (extending its read in ``tail_bytes`` steps -- an
+    element spans a boundary at most once, so neighbors never
+    double-count and none is skipped).  Each task wraps its slice in
+    a synthetic ``<osm>`` root, so expat sees a well-formed document;
+    slices always cut at ASCII '<', never mid-multibyte-char.
+    """
+    splits = plan_osm_splits(spark, path, split_bytes)
+    if not splits:
+        return spark.createDataFrame([], RAW_ELEMENT_SCHEMA)
+    sdf = spark.createDataFrame(
+        splits, "path string, start long, nbytes long, size long"
+    ).repartition(len(splits))
+
+    def parse(batches):
+        for rb in batches:
+            for i in range(rb.num_rows):
+                fpath = rb.column(0)[i].as_py()
+                start = rb.column(1)[i].as_py()
+                nbytes = rb.column(2)[i].as_py()
+                size = rb.column(3)[i].as_py()
+
+                f = _open_range(fpath)
+                try:
+                    f.seek(start)
+                    buf = f.read(nbytes)
+                    eof = start + len(buf) >= size
+                    # Find the cut: first top-level boundary at or past
+                    # the range end.  Extend the read until found or
+                    # EOF; resume scans 16 bytes back so a tag spanning
+                    # an extension boundary still matches.
+                    end_rel = nbytes
+                    scan_from = end_rel
+                    m1 = None
+                    while True:
+                        m1 = _TOP_ELEMENT_RE.search(buf, scan_from)
+                        if m1 is not None or eof:
+                            break
+                        scan_from = max(end_rel, len(buf) - 16)
+                        more = f.read(tail_bytes)
+                        if not more:
+                            eof = True
+                        buf += more
+                finally:
+                    f.close()
+
+                # First owned element: first boundary inside [0, end_rel).
+                m0 = _TOP_ELEMENT_RE.search(buf)
+                if m0 is None or m0.start() >= end_rel:
+                    continue  # no element starts in this range
+                hi = m1.start() if m1 is not None else len(buf)
+                data = buf[m0.start() : hi]
+                if m1 is None:
+                    # EOF slice: drop the trailing root close tag.
+                    root_close = data.rfind(b"</osm")
+                    if root_close != -1:
+                        data = data[:root_close]
+
+                def feed():
+                    yield b"<osm>"
+                    for pos in range(0, len(data), chunk_bytes):
+                        yield data[pos : pos + chunk_bytes]
+                    yield b"</osm>"
+
+                yield from _expat_batches(feed(), batch_rows)
+
+    return sdf.mapInArrow(parse, RAW_ELEMENT_SCHEMA)
+
+
 def read_osm_elements_iterparse(
     spark: SparkSession,
     path: str,
     batch_rows: int = 50_000,
     chunk_bytes: int = 4 << 20,
 ) -> DataFrame:
-    """Single-pass scan: streaming expat parse per file, columnar
-    Arrow batches via ``mapInArrow``.
+    """Single-pass scan, file-granular: streaming expat parse of each
+    whole file via ``mapInArrow`` over ``binaryFile`` rows.
 
-    This is the parse behind :func:`materialize_raw`: each input file
-    is read and parsed exactly once (the reference's own shape -- one
-    iterparse stream, clean_and_write.py:425), versus once per rowTag
-    for :func:`read_osm_elements`.  The row path never touches Python
-    objects per field: expat callbacks append to flat columnar
-    buffers (child values + list offsets), which become Arrow
-    List/Struct arrays zero-copy-ish via ``from_arrays`` -- measured
-    ~10% faster than the earlier pandas/ElementTree variant and ~72%
-    of the three-scan JVM source's throughput while doing a third of
-    its I/O.  File-granular parallelism only (binaryFile is
-    unsplittable), so single-file inputs under defaultParallelism are
-    repartitioned to at least spread downstream work.
-
-    Memory bound: ``binaryFile`` materializes each file's bytes in one
-    task (the chunked expat feed bounds PARSE state, not the input
-    buffer), so per-task memory ~= largest input file.  Large extracts
-    must ship sharded (<= ~1 GB/file; they do in practice -- and the
-    sharded layout is also where the parallelism comes from).  For a
-    huge single file, fall back to :func:`read_osm_elements`, whose
-    JVM source splits within the file.
+    Simplest single-pass path and the differential-test twin of
+    :func:`read_osm_elements_split`.  Parallelism = file count and
+    per-task memory ~= largest file (``binaryFile`` is unsplittable),
+    so :func:`materialize_raw` defaults to the split reader; this one
+    remains for small/sharded inputs and test cross-checks.
     """
     files = spark.read.format("binaryFile").load(path).select("content")
     n_files = files.count()
@@ -209,143 +489,15 @@ def read_osm_elements_iterparse(
         files = files.repartition(max(n_files, 1))
 
     def parse(batches):
-        import xml.parsers.expat
-
-        import pyarrow as pa
-
-        str_t = pa.string()
-        names = [f.name for f in RAW_ELEMENT_SCHEMA.fields]
-
         for rb in batches:
             for content_scalar in rb.column(0):
                 content = content_scalar.as_py()
 
-                # Columnar buffers holding COMPLETED elements only.
-                kinds, ids, lats, lons = [], [], [], []
-                created = [[] for _ in _CREATED_ATTRS]
-                nd_off, nd_vals, nd_valid = [0], [], []
-                m_off, m_type, m_ref, m_role, m_valid = [0], [], [], [], []
-                t_off, t_k, t_v, t_valid = [0], [], [], []
-                # In-flight element (flushes may land mid-element, so a
-                # row only reaches the buffers at its end tag).
-                cur_kind = [None]
-                cur_attrs = [None]
-                cur_nds: list = []
-                cur_mem: list = []
-                cur_tags: list = []
+                def feed():
+                    for pos in range(0, len(content), chunk_bytes):
+                        yield content[pos : pos + chunk_bytes]
 
-                def on_start(name, a):
-                    if name in ("node", "way", "relation"):
-                        cur_kind[0] = name
-                        cur_attrs[0] = a
-                        cur_nds.clear()
-                        cur_mem.clear()
-                        cur_tags.clear()
-                    elif cur_kind[0] is not None:
-                        if name == "tag":
-                            cur_tags.append((a.get("k"), a.get("v")))
-                        elif name == "nd":
-                            cur_nds.append(a.get("ref"))
-                        elif name == "member":
-                            cur_mem.append(
-                                (a.get("type"), a.get("ref"), a.get("role"))
-                            )
-
-                def on_end(name):
-                    kind = cur_kind[0]
-                    if name != kind:
-                        return
-                    a = cur_attrs[0]
-                    kinds.append(kind)
-                    ids.append(a.get("id"))
-                    lats.append(float(a["lat"]) if "lat" in a else None)
-                    lons.append(float(a["lon"]) if "lon" in a else None)
-                    for i, c in enumerate(_CREATED_ATTRS):
-                        created[i].append(a.get(c))
-                    nd_vals.extend(cur_nds)
-                    nd_off.append(len(nd_vals))
-                    nd_valid.append(kind == "way")
-                    for mt, mr, ml in cur_mem:
-                        m_type.append(mt)
-                        m_ref.append(mr)
-                        m_role.append(ml)
-                    m_off.append(len(m_type))
-                    m_valid.append(kind == "relation")
-                    for tk, tv in cur_tags:
-                        t_k.append(tk)
-                        t_v.append(tv)
-                    t_off.append(len(t_k))
-                    t_valid.append(bool(cur_tags))
-                    cur_kind[0] = None
-
-                def list_arr(off, children, valid):
-                    arr = pa.ListArray.from_arrays(
-                        pa.array(off, pa.int32()), children
-                    )
-                    mask = pa.array(valid, pa.bool_())
-                    return pa.compute.if_else(
-                        mask, arr, pa.nulls(len(valid), arr.type)
-                    )
-
-                def flush():
-                    batch = pa.record_batch(
-                        [
-                            pa.array(kinds, str_t),
-                            pa.array(ids, str_t),
-                            pa.array(lats, pa.float64()),
-                            pa.array(lons, pa.float64()),
-                            pa.StructArray.from_arrays(
-                                [pa.array(c, str_t) for c in created],
-                                names=_CREATED_ATTRS,
-                            ),
-                            list_arr(nd_off, pa.array(nd_vals, str_t), nd_valid),
-                            list_arr(
-                                m_off,
-                                pa.StructArray.from_arrays(
-                                    [
-                                        pa.array(m_type, str_t),
-                                        pa.array(m_ref, str_t),
-                                        pa.array(m_role, str_t),
-                                    ],
-                                    names=["type", "ref", "role"],
-                                ),
-                                m_valid,
-                            ),
-                            list_arr(
-                                t_off,
-                                pa.StructArray.from_arrays(
-                                    [pa.array(t_k, str_t), pa.array(t_v, str_t)],
-                                    names=["k", "v"],
-                                ),
-                                t_valid,
-                            ),
-                        ],
-                        names=names,
-                    )
-                    kinds.clear(); ids.clear(); lats.clear(); lons.clear()
-                    for c in created:
-                        c.clear()
-                    del nd_off[1:]; nd_vals.clear(); nd_valid.clear()
-                    del m_off[1:]; m_type.clear(); m_ref.clear(); m_role.clear()
-                    m_valid.clear()
-                    del t_off[1:]; t_k.clear(); t_v.clear(); t_valid.clear()
-                    nd_off[0] = m_off[0] = t_off[0] = 0
-                    return batch
-
-                p = xml.parsers.expat.ParserCreate()
-                p.StartElementHandler = on_start
-                p.EndElementHandler = on_end
-                # Feed in chunks so a huge single file still yields
-                # bounded batches (expat tolerates arbitrary splits;
-                # flushes happen between chunks, never mid-element --
-                # in-flight state lives in cur_*).
-                for pos in range(0, len(content), chunk_bytes):
-                    p.Parse(content[pos : pos + chunk_bytes], False)
-                    if len(kinds) >= batch_rows:
-                        yield flush()
-                p.Parse(b"", True)
-                if kinds:
-                    yield flush()
+                yield from _expat_batches(feed(), batch_rows)
 
     return files.mapInArrow(parse, RAW_ELEMENT_SCHEMA)
 
@@ -357,6 +509,7 @@ def materialize_raw(
     table: str = "osm_raw_bronze",
     buckets: int = 32,
     single_pass: bool = True,
+    split_bytes: int = 128 << 20,
 ) -> DataFrame:
     """One-time raw-ingest materialization: OSM XML -> bronze parquet
     bucketed by ``_id``.  Returns the bronze table's DataFrame.
@@ -387,7 +540,7 @@ def materialize_raw(
     metastore and the layout amortizes across every downstream job.
     """
     raw = (
-        read_osm_elements_iterparse(spark, xml_path)
+        read_osm_elements_split(spark, xml_path, split_bytes=split_bytes)
         if single_pass
         else read_osm_elements(spark, xml_path)
     )
