@@ -28,10 +28,16 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from ``{sf_dir}/{name}.parquet``.
 
-    ``events.ts`` is TIMESTAMP(NANOS) on disk, which Spark's parquet
-    reader only surfaces as a nanos long (``nanosAsLong``); normalize it
-    back to a proper timestamp (micro truncation matches DuckDB's cast
-    semantics in the oracle).
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: TIMESTAMP(NANOS), which Spark's parquet reader only
+    surfaces as a nanos long (``nanosAsLong``), and TIMESTAMP(MICROS)
+    without isAdjustedToUTC, which Spark 4 infers as TIMESTAMP_NTZ by
+    default (``spark.sql.parquet.inferTimestampNTZ.enabled``).  Both are
+    normalized here to a session-zoned TIMESTAMP so every downstream
+    consumer (``withWatermark``, ``cast("long")`` epoch math, window
+    functions) sees one stable type; micro truncation matches DuckDB's
+    cast semantics in the oracle, and the oracle session runs UTC so the
+    NTZ->TZ reinterpretation is value-identical.
 
     The ``nanosAsLong`` runtime conf is set here, not just in
     ``session.py``'s builder, so the loader is self-sufficient under any
@@ -41,8 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -40,9 +40,14 @@ def read_event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(sf_dir)
-    # Same nanos normalization as sources/tables.py load_table.
-    if dict(stream.dtypes).get("ts") == "bigint":
+    # Same ts normalization as sources/tables.py load_table: nanos-longs
+    # and TIMESTAMP_NTZ both become session-zoned TIMESTAMP, which
+    # withWatermark requires (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ).
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
