@@ -359,7 +359,13 @@ def plan_osm_splits(
 
 def _open_range(path: str):
     """Open a file URI for random-access reads via pyarrow.fs -- the
-    same abstraction on local disk, HDFS, and S3."""
+    same abstraction on local disk, HDFS, and S3.
+
+    ``binaryFile`` reports Hadoop scheme spellings (``s3a://``,
+    ``s3n://``) that pyarrow's ``FileSystem.from_uri`` does not
+    recognize; map them to ``s3`` before resolution.  Paths arrive
+    percent-encoded from the JVM on every scheme, so unquote uniformly.
+    """
     from urllib.parse import unquote, urlparse
 
     import pyarrow.fs as pafs
@@ -367,8 +373,10 @@ def _open_range(path: str):
     parsed = urlparse(path)
     if parsed.scheme in ("", "file"):
         return pafs.LocalFileSystem().open_input_file(unquote(parsed.path))
-    fs, relpath = pafs.FileSystem.from_uri(path)
-    return fs.open_input_file(relpath)
+    if parsed.scheme in ("s3a", "s3n"):
+        parsed = parsed._replace(scheme="s3")
+    fs, relpath = pafs.FileSystem.from_uri(parsed.geturl())
+    return fs.open_input_file(unquote(relpath))
 
 
 def read_osm_elements_split(
@@ -385,6 +393,14 @@ def read_osm_elements_split(
     parses exactly the elements whose start tag falls inside its
     range (reading past the range end only to finish the last owned
     element).
+
+    Encoding: split slices discard the file's XML declaration (each
+    task wraps its slice in a synthetic ``<osm>`` root), so expat
+    assumes UTF-8.  OSM extracts are UTF-8 by spec; a file DECLARING
+    another encoding would decode differently here than under the
+    iterparse/JVM paths -- route such inputs through those readers.
+    This caveat shares a paragraph with the comment/CDATA false-sync
+    one on ``_TOP_ELEMENT_RE``.
 
     This removes the file-granularity bound of
     :func:`read_osm_elements_iterparse`: per-task memory is
@@ -408,9 +424,29 @@ def read_osm_elements_split(
     splits = plan_osm_splits(spark, path, split_bytes)
     if not splits:
         return spark.createDataFrame([], RAW_ELEMENT_SCHEMA)
+    # Layout dispatch: when every planned split covers a whole file
+    # (no file exceeds split_bytes), the byte-range machinery buys
+    # nothing -- ownership, resync, and tail extension are all no-ops
+    # -- while still paying its fixed costs (a driver metadata job, a
+    # split-row shuffle, Python-side open/seek per file instead of the
+    # JVM's binaryFile read).  Measured on the 77 MB / 32-shard bench
+    # input that overhead is ~1.7x wall (tools/ab_ingest.py), so the
+    # many-small-files layout takes the file-granular single-pass path;
+    # any file larger than split_bytes engages the range path it
+    # exists for.
+    if all(start == 0 and nbytes == size for _, start, nbytes, size in splits):
+        return read_osm_elements_iterparse(
+            spark, path, batch_rows=batch_rows, chunk_bytes=chunk_bytes
+        )
+    # One task per split up to 4x the cluster's core count; past that,
+    # tasks consume several split rows sequentially (per-task memory
+    # stays bounded by ONE split at a time -- rows stream through
+    # mapInArrow).  Uncapped, a 100 TB extract at 128 MB splits would
+    # round-robin ~800k single-row tasks through the scheduler.
+    n_parts = min(len(splits), spark.sparkContext.defaultParallelism * 4)
     sdf = spark.createDataFrame(
         splits, "path string, start long, nbytes long, size long"
-    ).repartition(len(splits))
+    ).repartition(n_parts)
 
     def parse(batches):
         for rb in batches:
@@ -510,6 +546,7 @@ def materialize_raw(
     buckets: int = 32,
     single_pass: bool = True,
     split_bytes: int = 128 << 20,
+    parser: str | None = None,
 ) -> DataFrame:
     """One-time raw-ingest materialization: OSM XML -> bronze parquet
     bucketed by ``_id``.  Returns the bronze table's DataFrame.
@@ -532,18 +569,25 @@ def materialize_raw(
     write task holds exactly one bucket -> one file per bucket, no
     small-file explosion.
 
-    ``single_pass=False`` switches the parse to the per-rowTag JVM XML
-    source: ~1.4x faster parse locally, but it scans the input three
-    times -- only sensible when the input sits on cheap page-cached
-    storage.  Bucketed metadata lives in the session catalog
-    (``saveAsTable``); on a real cluster this is the Hive/Unity
-    metastore and the layout amortizes across every downstream job.
+    ``parser`` selects the parse path explicitly ("split",
+    "iterparse", or "xml"); when None it derives from ``single_pass``
+    (True -> "split", False -> "xml" -- the per-rowTag JVM source:
+    ~1.4x faster parse locally, but it scans the input three times,
+    only sensible when the input sits on cheap page-cached storage).
+    Bucketed metadata lives in the session catalog (``saveAsTable``);
+    on a real cluster this is the Hive/Unity metastore and the layout
+    amortizes across every downstream job.
     """
-    raw = (
-        read_osm_elements_split(spark, xml_path, split_bytes=split_bytes)
-        if single_pass
-        else read_osm_elements(spark, xml_path)
-    )
+    if parser is None:
+        parser = "split" if single_pass else "xml"
+    if parser == "split":
+        raw = read_osm_elements_split(spark, xml_path, split_bytes=split_bytes)
+    elif parser == "iterparse":
+        raw = read_osm_elements_iterparse(spark, xml_path)
+    elif parser == "xml":
+        raw = read_osm_elements(spark, xml_path)
+    else:
+        raise ValueError(f"unknown parser {parser!r}")
     (
         raw.repartition(buckets, "_id")
         .write.mode("overwrite")

@@ -184,6 +184,34 @@ def test_iterparse_chunked_flush_boundaries(spark):
     assert rows_a == rows_b
 
 
+def test_split_reader_matches_xml_source_multi_split(spark):
+    """The byte-range split reader must yield exactly the rows the
+    rowTag XML source yields even when every file fans out into MANY
+    tiny splits -- this is the adversarial case for the boundary
+    resync / ownership / tail-extension protocol (a 37-byte split lands
+    mid-tag, mid-element, and mid-multibyte position repeatedly, and an
+    8-byte tail forces multiple read extensions per task)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        read_osm_elements_split,
+    )
+
+    a = read_osm_elements(spark, FIXTURE)
+    key = lambda r: r["_id"]  # noqa: E731
+    rows_a = sorted((r.asDict(recursive=True) for r in a.collect()), key=key)
+    for split_bytes, tail_bytes in ((37, 8), (256, 64), (1 << 20, 1 << 10)):
+        b = read_osm_elements_split(
+            spark,
+            FIXTURE,
+            split_bytes=split_bytes,
+            tail_bytes=tail_bytes,
+            chunk_bytes=64,
+            batch_rows=3,
+        )
+        assert a.schema.simpleString() == b.schema.simpleString()
+        rows_b = sorted((r.asDict(recursive=True) for r in b.collect()), key=key)
+        assert rows_b == rows_a, f"split_bytes={split_bytes}"
+
+
 def test_materialize_raw_bronze_roundtrip_and_no_exchange(spark, tmp_path):
     """The single-pass bronze materialization must (a) round-trip the
     exact rows the direct XML read yields, and (b) leave the bucketed
