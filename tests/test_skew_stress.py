@@ -1,0 +1,81 @@
+"""Skew stress past the pair-generation cap: plant a 2000-df stopword
+phrase and a 2000-fanout referenced part (tools/gen_sf_scale.plant_skew)
+and assert the df-capped dedup queries and the capped inverted index
+stay EXACTLY oracle-equal on the skewed data -- i.e. the cap drops the
+hot groups identically in Spark and DuckDB, and pair expansion stays
+bounded (an uncapped dd2 would emit ~2e6 pairs per in-phrase shingle
+and never return at corpus scale)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_oracle import value_hash  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    from tools.gen_sf_scale import plant_skew
+
+    dst = str(tmp_path_factory.mktemp("skew") / "sf_skew")
+    plant_skew(spark, "/root/testdata/sf0.001", dst, hot_docs=2000, hot_fanout=2000)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def oracle(skew_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        # Spark writes each table as a directory of part files.
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{skew_dir}/{t}.parquet/*.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
+     "m3_ref_index_parts", "j4_most_referenced_parts"],
+)
+def test_skewed_query_matches_oracle(spark, skew_dir, oracle, qname):
+    import __spark_entry__ as ent
+
+    sdf = ent.queries()[qname](spark, skew_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = oracle.execute(ent.oracle_sql()[qname])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert value_hash(sdf.columns, srows) == value_hash(dcols, drows)
+
+
+def test_planted_shape(spark, skew_dir):
+    """The stress is real: in-phrase shingles exceed the cap by 30x and
+    the hot part's posting list is 2000+ deep (output slice stays 100)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_dedup import (
+        PAIR_DF_CAP,
+    )
+
+    docs = spark.read.parquet(f"{skew_dir}/documents.parquet")
+    planted = docs.filter(F.col("source") == "skew_plant")
+    assert planted.count() == 2000 > 30 * PAIR_DF_CAP
+
+    import __spark_entry__ as ent
+
+    m3 = ent.queries()["m3_ref_index_parts"](spark, skew_dir)
+    hot = m3.orderBy(F.desc("refer_count")).first()
+    assert hot["refer_count"] >= 2000
+    assert len(hot["refers"].split("|")) == 100

@@ -58,16 +58,13 @@ FAMILY_BASE = {
 DIMS = ["region", "nation"]
 
 
-def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-
+def scale_dir(spark, src: str, dst: str, factor: int = 10) -> None:
+    """Scale every benchmark table from ``src`` into ``dst`` by
+    ``factor`` using the key-shift + content-perturb scheme documented
+    in the module docstring.  Reusable from bench.py's sf1 block with
+    the caller's session."""
     from pyspark.sql import functions as F
 
-    from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
-
-    spark = get_spark(app_name="gen_sf_scale")
     os.makedirs(dst, exist_ok=True)
 
     strides = {}
@@ -83,7 +80,8 @@ def main() -> int:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
         )
-        print(f"{t}: copied (dimension)")
+        # stderr: bench.py's caller contract is ONE JSON line on stdout.
+        print(f"{t}: copied (dimension)", file=sys.stderr)
 
     for t, keys in FACT_KEYS.items():
         base = spark.read.parquet(f"{src}/{t}.parquet")
@@ -115,7 +113,85 @@ def main() -> int:
             out = out.unionByName(c)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         n = spark.read.parquet(f"{dst}/{t}.parquet").count()
-        print(f"{t}: {n} rows ({factor}x)")
+        print(f"{t}: {n} rows ({factor}x)", file=sys.stderr)
+
+
+# Ten common words: every 3-gram shingle inside the phrase lands in
+# EVERY planted document, i.e. shingle df == n hot docs -- the
+# stopword-trigram hot key that breaks naive shingle self-joins.
+SKEW_PHRASE = "the of and to in is it for on as"
+
+
+def plant_skew(
+    spark,
+    src: str,
+    dst: str,
+    hot_docs: int = 10_000,
+    hot_fanout: int = 10_000,
+) -> int:
+    """Copy an SF directory and plant two adversarial hot keys:
+
+    * ``documents`` gains ``hot_docs`` rows sharing a 10-stopword
+      phrase, so each in-phrase 3-gram shingle has df == hot_docs --
+      far past queries_dedup.PAIR_DF_CAP.  Uncapped pair generation
+      would emit ~hot_docs^2/2 = 5e7 candidate pairs PER SHINGLE; the
+      df-cap must drop these groups identically in Spark and DuckDB
+      (oracle-green on the skewed dir proves the cap semantics match).
+      A unique suffix keeps the planted docs from being exact dups, so
+      dd1's groups stay small and only the shingle path is stressed.
+    * ``lineitem`` gains ``hot_fanout`` rows all referencing ONE part,
+      so m3's inverted index sees a posting list hot_fanout deep (its
+      output slices to 100; refer_count carries the full cardinality)
+      and j4/salted joins see a skewed build side.
+
+    Returns the hot l_partkey (useful for asserting the planted shape).
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    passthrough = [t for t in (DIMS + list(FACT_KEYS)) if t not in ("documents", "lineitem")]
+    for t in passthrough:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    planted_docs = spark.range(hot_docs).select(
+        (F.col("id") + F.lit(int(max_doc) + 1)).alias("doc_id"),
+        F.concat(F.lit(SKEW_PHRASE + " uniq"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("skew_plant").alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.unionByName(planted_docs.select(docs.columns)).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/documents.parquet")
+
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    hot_part = li.agg(F.min("l_partkey")).collect()[0][0]
+    n_li = li.count()
+    n_rep = (hot_fanout + n_li - 1) // n_li
+    planted_li = (
+        li.crossJoin(spark.range(n_rep).select(F.col("id").alias("_rep")))
+        .limit(hot_fanout)
+        .drop("_rep")
+        .withColumn("l_partkey", F.lit(hot_part).cast(li.schema["l_partkey"].dataType))
+    )
+    li.unionByName(planted_li).write.mode("overwrite").parquet(
+        f"{dst}/lineitem.parquet"
+    )
+    return int(hot_part)
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
+
+    spark = get_spark(app_name="gen_sf_scale")
+    scale_dir(spark, src, dst, factor)
     spark.stop()
     return 0
 
