@@ -63,6 +63,49 @@ def test_sliding_window_overlap(spark):
     assert total == 2 * n_events  # 10 min window / 5 min slide
 
 
+def test_streaming_bronze_equals_batch(spark, tmp_path):
+    """The AvailableNow streaming bronze backfill must produce exactly
+    the rows the batch XML reader produces on the same files, and a
+    re-run after a new shard arrives must parse ONLY the new shard
+    (checkpointed parse-once contract)."""
+    import os
+    import shutil
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        read_osm_elements,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.bronze import (
+        run_bronze_backfill,
+    )
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures", "sample.osm")
+    xml_dir = tmp_path / "xml_in"
+    xml_dir.mkdir()
+    shutil.copy(fixture, xml_dir / "shard0.osm")
+
+    out = str(tmp_path / "bronze_stream")
+    ckpt = str(tmp_path / "ckpt")
+    run_bronze_backfill(spark, str(xml_dir), out, ckpt)
+
+    key = lambda r: (r["doc_type"], r["_id"])  # noqa: E731
+    batch = sorted(
+        (r.asDict(recursive=True) for r in read_osm_elements(spark, fixture).collect()),
+        key=key,
+    )
+    streamed = sorted(
+        (r.asDict(recursive=True) for r in spark.read.schema(
+            read_osm_elements(spark, fixture).schema
+        ).parquet(out).collect()),
+        key=key,
+    )
+    assert streamed == batch
+
+    # Second shard arrives; incremental drain appends only its rows.
+    shutil.copy(fixture, xml_dir / "shard1.osm")
+    run_bronze_backfill(spark, str(xml_dir), out, ckpt)
+    assert spark.read.parquet(out).count() == 2 * len(batch)
+
+
 def test_stream_dedup_equals_batch(spark):
     """dropDuplicatesWithinWatermark on the stream must keep exactly
     the rows batch dropDuplicates keeps (static input, so nothing is
