@@ -48,6 +48,7 @@ HEADLINE = [
     "dd3_minhash_lsh_pairs",
     "t2_quality_scores",
     "v1_ann_bruteforce_topk",
+    "v7_wide_ann_topk",  # production-width (768) Arrow kernel path
     "w2_top2_orders_per_customer",
 ]
 

@@ -523,3 +523,82 @@ def q_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
         F.array_max(F.transform(q, lambda x: F.abs(x))).alias("q_max_abs"),
     )
+
+
+# --- v7: the production-width ANN path, oracle-gated. ---------------
+# The embeddings table ships 64-wide; production embedding models emit
+# 768-4096.  To put the >128-dim Arrow kernels (functions/vectors.py
+# _wide: einsum over stacked Arrow batches) under the SAME DuckDB
+# oracle as the narrow path, both engines deterministically widen each
+# vector to 768 dims in-query: tile the 64 components 12x, scaling
+# position i by (1 + i/1024).  i/1024 is an exact binary scale and
+# float->double casts are exact, so the widened inputs are
+# bit-identical across engines; only the dot-product ACCUMULATION
+# differs (einsum/BLAS pairwise vs sequential fold), which round(...,6)
+# absorbs (ulp-scale: |cos| <= 1, disagreement ~1e-15).
+WIDE_DIM = 768
+
+
+def _widen_spark() -> F.Column:
+    # One codegen'd HOF per row builds the 768-wide double array from
+    # the scanned 64-wide floats; construction is O(dim) per row ONCE,
+    # then all pairwise math runs in the Arrow kernels.
+    return F.expr(
+        f"transform(sequence(0, {WIDE_DIM - 1}), "
+        f"i -> CAST(embedding[i % {EMBED_DIM}] AS DOUBLE)"
+        f" * (1.0D + CAST(i AS DOUBLE) / 1024.0D))"
+    )
+
+
+_WIDEN_SQL = (
+    f"list_transform(range(0, {WIDE_DIM}), "
+    f"i -> embedding[(i % {EMBED_DIM}) + 1]::DOUBLE * (1.0 + i / 1024.0))"
+)
+
+
+@register(
+    "v7_wide_ann_topk",
+    "Brute-force cosine top-3 at production width (768 dims): the "
+    ">UNROLL_MAX_DIM Arrow einsum kernels under the oracle; vectors "
+    "widened 64->768 deterministically in-query (exact in both "
+    "engines), fused cosine kernel per candidate batch.",
+    f"""
+    WITH wide AS (
+      SELECT vec_id, {_WIDEN_SQL} AS v FROM embeddings
+    )
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round({V.cosine_sql('q.v', 'c.v')}, 6) AS cos_sim
+    FROM wide q JOIN wide c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 5
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round({V.cosine_sql('q.v', 'c.v')}, 6) DESC,
+               c.vec_id ASC) <= 3
+    """,
+    tags=("vector", "topk", "wide"),
+)
+def q_wide_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _widen_spark().alias("v")
+    )
+    q = wide.filter(F.col("vec_id") < 5).alias("q")
+    c = _spread(wide).alias("c")
+    # Fused wide-cosine kernel: ONE Arrow transfer per batch computes
+    # dot + both norms via einsum -- no unrolled 768-term chain (past
+    # Janino limits), no per-row Python.  dim=WIDE_DIM routes
+    # V.cosine through functions/vectors._wide.
+    sims = c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.round(V.cosine(F.col("q.v"), F.col("c.v"), dim=WIDE_DIM), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
