@@ -119,3 +119,53 @@ def test_profiles(raw):
     stats = summary_stats(profile_tags(raw)).collect()[0]
     assert stats["n_keys"] == len(tags)
     assert stats["max_use"] == 2
+
+
+def test_merge_statement_shape():
+    """The MERGE INTO builder must carry merge_upsert's exact
+    semantics: plain-equality ON (null-key source rows insert),
+    UPDATE SET * (source row wholesale), INSERT *."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.audits import merge_statement
+
+    sql = merge_statement("bronze.documents", "updates", "_id")
+    assert "MERGE INTO bronze.documents t" in sql
+    assert "ON t._id = s._id" in sql
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+
+def test_merge_upsert_into_transactional(spark, tmp_path):
+    """Real MERGE INTO round-trip, environment-gated like the MongoDB
+    sink: this sandbox ships no Delta/Iceberg jar and Spark's builtin
+    parquet tables reject MERGE, so the test documents the gate and
+    skips; on a cluster with a transactional catalog it runs and must
+    match the merge_upsert transform row-for-row."""
+    import pytest
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.audits import (
+        merge_upsert,
+        merge_upsert_into,
+    )
+
+    target_rows = [(1, "a"), (2, "b")]
+    source_rows = [(2, "B"), (3, "C")]
+    target = spark.createDataFrame(target_rows, "k int, v string")
+    source = spark.createDataFrame(source_rows, "k int, v string")
+
+    table = "merge_gate_test"
+    try:
+        spark.sql("DROP TABLE IF EXISTS merge_gate_test")
+        target.write.format("delta").option(
+            "path", str(tmp_path / "delta_t")
+        ).saveAsTable(table)
+        merge_upsert_into(spark, table, source, "k")
+    except Exception as e:
+        pytest.skip(
+            "no transactional table format in this environment "
+            f"(sandbox gate, like the Mongo sink): {type(e).__name__}"
+        )
+    merged = {(r["k"], r["v"]) for r in spark.table(table).collect()}
+    expected = {
+        (r["k"], r["v"]) for r in merge_upsert(target, source, "k").collect()
+    }
+    assert merged == expected == {(1, "a"), (2, "B"), (3, "C")}
