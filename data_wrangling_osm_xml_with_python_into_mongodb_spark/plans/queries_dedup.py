@@ -185,6 +185,148 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_edges(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """Near-dup edge set: capped-shingle candidate pairs with raw
+    Jaccard >= threshold (dd2's machinery, unrounded: the ratio of
+    exact integer counts is the same double in every engine, so the
+    threshold compare is portable without rounding)."""
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
+        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
+# Jaccard at/above this makes an edge in the duplicate graph; 0.3 sits
+# far from both populations in the synthetic corpus (near-dup pairs
+# >= 0.5, background noise < 0.1), so the threshold compare never
+# decides within float error of a real pair.
+DUP_CLUSTER_JACCARD = 0.3
+
+
+@register(
+    "dd7_duplicate_clusters",
+    "Duplicate-cluster resolution: connected components over the "
+    "near-dup edge graph (Jaccard >= 0.3 capped-shingle pairs), each "
+    "clustered doc labeled with the min doc_id of its component -- the "
+    "step after pair generation in a production dedup pipeline (keep "
+    "one representative per CLUSTER, not per pair: near-dup chains "
+    "a~b~c must collapse together even when a!~c).",
+    f"""
+    WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    kept AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN sh_df d ON s.shingle = d.shingle
+      WHERE d.df <= {PAIR_DF_CAP}
+    ),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON common.id_a = sa.doc_id
+      JOIN sizes sb ON common.id_b = sb.doc_id
+      WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+            >= {DUP_CLUSTER_JACCARD}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+    )
+    SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+    FROM reach GROUP BY id
+    ORDER BY cluster_id, doc_id
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative min-label propagation to a FIXPOINT (so the labeling
+    is the engine-independent min-reachable-id and the DuckDB
+    recursive-CTE oracle matches exactly).
+
+    Scale notes: each round is one shuffle join of the edge list with
+    the label frame -- the textbook BSP shape.  Rounds needed = graph
+    diameter; near-dup components are shallow (pairs and short chains;
+    the cap bounds the widest star), so this converges in a handful of
+    rounds where a web-scale CC would switch to large-star/small-star
+    contraction (O(log n) rounds) -- noted, not needed, for this
+    workload.  ``localCheckpoint`` truncates the growing lineage each
+    round (a cluster deployment would use a checkpoint dir); the
+    convergence check is one tiny count per round, the driver never
+    holds labels."""
+    edges = _jaccard_edges(spark, sf_dir, DUP_CLUSTER_JACCARD)
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)  # edge set reused every round
+
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _round in range(30):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 _N_PERM = 16
 _N_BANDS = 4  # 4 rows per band
 _PERMS = perm_params(_N_PERM)

@@ -45,7 +45,7 @@ def oracle(skew_dir):
 @pytest.mark.parametrize(
     "qname",
     ["dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
-     "m3_ref_index_parts", "j4_most_referenced_parts"],
+     "dd7_duplicate_clusters", "m3_ref_index_parts", "j4_most_referenced_parts"],
 )
 def test_skewed_query_matches_oracle(spark, skew_dir, oracle, qname):
     import __spark_entry__ as ent
