@@ -11,7 +11,7 @@ gate them.  OSM-specific semantics are pinned by tests/test_cleaning.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -607,4 +607,76 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang", "n_total", "n_sampled", "min_kept_id", "max_kept_id", "target_rate"
         )
+    )
+
+
+# --- t8: sequence packing for pretraining batches. ------------------
+# Token budget per packed sequence; 512 gives multi-doc sequences at
+# every SF (docs average ~30-60 whitespace tokens).
+PACK_BUDGET = 512
+# Packing shards: documents are packed WITHIN a deterministic shard
+# (doc_id mod 32), so the prefix-sum window parallelizes across 32
+# independent partitions instead of one global ordered window -- the
+# difference between a scale-correct plan and a single-task sort at
+# corpus scale.  Real pipelines pack per input shard exactly like this
+# (sequence order across shards carries no meaning for training).
+PACK_SHARDS = 32
+
+
+@register(
+    "t8_sequence_packing",
+    "Greedy token packing of documents into fixed-budget training "
+    "sequences (prefix-sum assignment within deterministic shards): "
+    "per packed sequence, its doc count, token total, and doc-id span. "
+    "The batch-prep step after tokenize/filter/dedup in a pretraining "
+    "pipeline.",
+    f"""
+    SELECT shard, seq_no,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM (
+      SELECT shard, doc_id, n_tokens,
+             CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS seq_no
+      FROM (
+        SELECT shard, doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (
+          SELECT doc_id % {PACK_SHARDS} AS shard, doc_id,
+                 len(string_split(trim(text), ' ')) AS n_tokens
+          FROM documents)
+      )
+    )
+    GROUP BY shard, seq_no
+    """,
+    tags=("text", "window", "packing"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing by running token count: a document starts in
+    the sequence its PRECEDING cumulative total falls in (sequences
+    absorb the boundary overflow, the standard streaming-packing
+    relaxation -- bin-optimal packing is not data-parallel).  All
+    arithmetic is exact int64 + one float division by the budget
+    (values far below 2^53), so seq assignment is engine-portable."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = toks.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "seq_no",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(PACK_BUDGET))),
+    )
+    return seq.groupBy("shard", "seq_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
