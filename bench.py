@@ -162,7 +162,97 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
         return None
 
 
+def _run_block(block: str, sf_dir: str) -> int:
+    """Child-process entry for the best-effort sf1/skew blocks: own
+    SparkSession (own JVM), one JSON line on stdout.
+
+    Isolation rationale: a clean-run JVM SIGSEGV was observed in this
+    sandbox (AVX-512 arraycopy stub) mid-sf1-block -- in-process it
+    killed the whole bench including the already-computed sf0.1
+    numbers.  In a subprocess the blast radius is the block: the
+    parent records what it got and still emits the headline line the
+    driver consumes."""
+    import __spark_entry__ as ent
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_{block}")
+    qs = ent.queries()
+    if block == "sf1":
+        sf1_dir = _ensure_sf1(spark, sf_dir)
+        if sf1_dir is None:
+            print("{}")
+            spark.stop()
+            return 0
+        t1, s1 = _time_queries(spark, qs, sf1_dir, n_passes=2)
+        print(
+            json.dumps(
+                {
+                    "value": round(sum(t1.values()), 3),
+                    "queries": t1,
+                    "spread": s1,
+                    "sf": 1.0,
+                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                }
+            )
+        )
+    elif block == "skew":
+        print(json.dumps(_bench_skew(spark, qs, sf_dir) or {}))
+    spark.stop()
+    return 0
+
+
+def _subprocess_block(
+    block: str, sf_dir: str, timeout_s: int = 900, attempts: int = 3
+) -> dict | None:
+    """Run one block in a child process; None after all attempts fail
+    (crash, timeout, unparseable output) -- blocks are best-effort and
+    must never cost the headline JSON line.
+
+    Retries exist for a specific observed failure: this sandbox's JVM
+    intermittently SIGSEGVs in HotSpot arraycopy stubs under sustained
+    multi-GB shuffle load (hs_err captures with both the AVX-512 and
+    plain stubs, same runs completing cleanly minutes apart).  Each
+    attempt is a fresh JVM, so a transient fault doesn't forfeit the
+    block."""
+    import subprocess
+
+    for attempt in range(attempts):
+        env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+        if attempt > 0:
+            # The observed SIGSEGV reproduces only at full 32-thread
+            # load; 16 threads runs the same workload stably (measured).
+            # Retries trade wall time for completion -- the block JSON
+            # carries "cpus" so mins are compared like-for-like.
+            env["SPARK_GRAFT_CPUS"] = "16"
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--block", block],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+            sys.stderr.write(proc.stderr[-4000:])
+            if proc.returncode != 0:
+                print(
+                    f"# {block} block attempt {attempt}: rc={proc.returncode}",
+                    file=sys.stderr,
+                )
+                continue
+            line = proc.stdout.strip().splitlines()[-1]
+            out = json.loads(line)
+            return out or None
+        except Exception as e:
+            print(f"# {block} block attempt {attempt}: {e}", file=sys.stderr)
+    return None
+
+
 def main() -> int:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--block":
+        return _run_block(
+            sys.argv[2], os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        )
+
     import __spark_entry__ as ent
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
 
@@ -194,26 +284,24 @@ def main() -> int:
         "ts": int(time.time()),
     }
 
-    # 10x scale-up block (default sf0.1 runs only; SPARK_GRAFT_SF1=0
-    # disables).  2 passes: the point is the min's linearity vs sf0.1,
-    # and the sf0.1 spread above already characterizes today's noise.
+    # The headline numbers are safe from here on: stop this session
+    # BEFORE the subprocess blocks so the two JVMs' heaps never
+    # coexist (each sized for the full machine).
+    spark.stop()
+
+    # 10x scale-up + planted-skew blocks (default sf0.1 runs only;
+    # SPARK_GRAFT_SF1=0 disables both).  Each runs in its own process:
+    # 2 passes, best-effort -- see _run_block.
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1_dir = _ensure_sf1(spark, sf_dir)
-        if sf1_dir is not None:
-            t1, s1 = _time_queries(spark, qs, sf1_dir, n_passes=2)
-            result["sf1"] = {
-                "value": round(sum(t1.values()), 3),
-                "queries": t1,
-                "spread": s1,
-                "sf": 1.0,
-            }
-        skew = _bench_skew(spark, qs, sf_dir)
+        sf1 = _subprocess_block("sf1", sf_dir)
+        if sf1 is not None:
+            result["sf1"] = sf1
+        skew = _subprocess_block("skew", sf_dir)
         if skew is not None:
             result["skew"] = skew
 
     _append_history(result)
     print(json.dumps(result))
-    spark.stop()
     return 0
 
 

@@ -68,10 +68,16 @@ def get_spark(
         # pages and a 10 s job degrades to 200 s.  A small Xms=Xmx heap
         # warms once and is recycled by GC; capped direct memory forces
         # buffer reuse instead of fresh allocateDirect zeroing.
+        # UseAVX=2: this sandbox (Ice Lake under a hypervisor, microcode
+        # 0x1) reproducibly SIGSEGVs in HotSpot's AVX-512 arraycopy stub
+        # (~StubRoutines::jlong_disjoint_arraycopy_avx3, two hs_err
+        # captures during sf1-scale sorts).  Pinning the JIT to AVX2
+        # sidesteps the buggy stubs; throughput impact is noise here
+        # (memory-bound workload + Ice Lake AVX-512 downclocking).
         .config("spark.driver.memory", driver_mem)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:MaxDirectMemorySize=2g",
+            f"-Xms{driver_mem} -XX:MaxDirectMemorySize=2g -XX:UseAVX=2",
         )
         # Split generated code into smaller methods: keeps wide
         # projections/aggregations under HotSpot's JIT size limits
