@@ -206,7 +206,8 @@ def _subprocess_block(
 ) -> dict | None:
     """Run one block in a child process; None after all attempts fail
     (crash, timeout, unparseable output) -- blocks are best-effort and
-    must never cost the headline JSON line.
+    must never cost the headline JSON line.  ``timeout_s`` bounds the
+    whole retry ladder, not each attempt.
 
     Retries exist for a specific observed failure: this sandbox's JVM
     intermittently SIGSEGVs in HotSpot arraycopy stubs under sustained
@@ -216,7 +217,13 @@ def _subprocess_block(
     block."""
     import subprocess
 
+    import time as _time
+
+    stop_at = _time.time() + timeout_s
     for attempt in range(attempts):
+        if _time.time() > stop_at - 60:
+            print(f"# {block} block: no time for attempt {attempt}", file=sys.stderr)
+            break
         env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
         if attempt > 0:
             # The observed SIGSEGV reproduces only at full 32-thread
@@ -230,7 +237,7 @@ def _subprocess_block(
                 env=env,
                 capture_output=True,
                 text=True,
-                timeout=timeout_s,
+                timeout=max(60, stop_at - _time.time()),
             )
             sys.stderr.write(proc.stderr[-4000:])
             if proc.returncode != 0:
@@ -291,14 +298,21 @@ def main() -> int:
 
     # 10x scale-up + planted-skew blocks (default sf0.1 runs only;
     # SPARK_GRAFT_SF1=0 disables both).  Each runs in its own process:
-    # 2 passes, best-effort -- see _run_block.
+    # 2 passes, best-effort -- see _run_block.  The deadline gives the
+    # two retry ladders 25 minutes COMBINED: on a crashy day the run
+    # emits what it has rather than risk the caller's own timeout.
+    deadline = time.time() + 25 * 60
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        sf1 = _subprocess_block("sf1", sf_dir)
-        if sf1 is not None:
-            result["sf1"] = sf1
-        skew = _subprocess_block("skew", sf_dir)
-        if skew is not None:
-            result["skew"] = skew
+        for block in ("sf1", "skew"):
+            budget = deadline - time.time()
+            if budget < 120:
+                print(f"# {block} block skipped: deadline", file=sys.stderr)
+                continue
+            out = _subprocess_block(
+                block, sf_dir, timeout_s=min(600, int(budget))
+            )
+            if out is not None:
+                result[block] = out
 
     _append_history(result)
     print(json.dumps(result))
