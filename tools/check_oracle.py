@@ -68,6 +68,10 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "6g")
+        # JVM flag only (no SQL conf -- the session stays vanilla):
+        # this sandbox SIGSEGVs in HotSpot's AVX-512 arraycopy stubs
+        # under load; see session.py for the hs_err details.
+        .config("spark.driver.extraJavaOptions", "-XX:UseAVX=2")
         .appName("check_oracle")
         .getOrCreate()
     )
