@@ -323,3 +323,63 @@ def q_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return sliding_window_rates(ev, window="10 minutes", slide="5 minutes")
+
+
+@register(
+    "w4_session_window_native",
+    "Per-user sessions via Spark's NATIVE session_window operator "
+    "(dynamic-gap session windows, JVM-side, the same operator the "
+    "streaming path uses with a watermark) -- the built-in twin of "
+    "w3's manual lag-gap sessionization: per session, its start, "
+    "event count, and value total.",
+    """
+    SELECT user_id, session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (
+      SELECT user_id, ts, value,
+             min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+      FROM (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN gap_s IS NULL OR gap_s >= 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id, value,
+                 date_diff('second',
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                           ts) AS gap_s
+          FROM events
+        )
+      )
+    )
+    GROUP BY user_id, session_start
+    """,
+    tags=("window", "sessionize", "streaming"),
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window(ts, gap)`` merges an event into the current
+    session while its gap to the previous event is STRICTLY below the
+    gap duration (a gap of exactly 30:00 starts a new session) -- the
+    oracle mirrors that with ``gap_s >= 1800``.  Session start == the
+    session's min event time in both formulations.  Note the boundary
+    convention differs from w3 (``> 1800``) by design: w3 reproduces
+    the lag-gap idiom, w4 reproduces the native operator's semantics.
+
+    Scale: one shuffle on user_id, sessions merged inside each
+    partition (sort-based); no window-function second pass -- this is
+    the plan shape Structured Streaming runs incrementally with
+    ``withWatermark`` + state store."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -232,3 +232,46 @@ def run_sessions_to_memory_sink(
     finally:
         q.stop()
     return spark.table(table_name)
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user sessions via the NATIVE session_window operator --
+    batch/stream dual (the batch form is oracle-gated as
+    w4_session_window_native; under streaming the watermark bounds
+    session state, and closed sessions emit in append mode)."""
+    from pyspark.sql import functions as F
+
+    if events.isStreaming:
+        events = events.withWatermark("ts", gap)
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_session_windows_to_memory_sink(
+    spark: SparkSession, sf_dir: str, table_name: str = "session_windows"
+) -> DataFrame:
+    """Drive the native-session-window streaming plan to completion on
+    a static directory (complete mode, as run_to_memory_sink)."""
+    agg = session_window_counts(read_event_stream(spark, sf_dir))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)

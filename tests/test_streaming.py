@@ -126,3 +126,26 @@ def test_stream_dedup_equals_batch(spark):
     assert len(streamed) == len(stream)  # no duplicate keys survived
     assert set(stream) == set(batch)
     assert len(batch) > 0
+
+
+def test_native_session_windows_stream_equals_batch(spark):
+    """The native session_window operator must produce the SAME
+    sessions under streaming (watermarked, state-store-merged) as in
+    batch -- and the batch form is oracle-gated (w4)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        run_session_windows_to_memory_sink,
+        session_window_counts,
+    )
+
+    batch = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in session_window_counts(
+            load_table(spark, SF_DIR, "events")
+        ).collect()
+    }
+    stream = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in run_session_windows_to_memory_sink(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
