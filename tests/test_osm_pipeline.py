@@ -334,3 +334,37 @@ def test_shape_documents_adversarial_inputs(spark):
 
     valid, quarantine = validate_documents(shape_documents(raw))
     assert {r["_id"] for r in quarantine.collect()} == {"n6"}
+
+
+def test_split_reader_boundary_protocol_property(spark):
+    """Property form of the multi-split differential: for ANY
+    (split_bytes, tail_bytes) the boundary resync / ownership / tail
+    -extension protocol must reproduce the rowTag source's rows
+    exactly.  Draws are pinned (derived from a fixed seed) so the test
+    is deterministic; sizes are chosen to land splits mid-tag,
+    mid-element, mid-attribute, and exactly ON '<' bytes."""
+    import random
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        read_osm_elements_split,
+    )
+
+    a = read_osm_elements(spark, FIXTURE)
+    key = lambda r: r["_id"]  # noqa: E731
+    rows_a = sorted((r.asDict(recursive=True) for r in a.collect()), key=key)
+
+    rng = random.Random(0xC0FFEE)
+    fixture_bytes = os.path.getsize(FIXTURE)
+    for _ in range(6):
+        split_bytes = rng.randrange(16, fixture_bytes - 1)
+        tail_bytes = rng.choice((4, 16, 128))
+        b = read_osm_elements_split(
+            spark,
+            FIXTURE,
+            split_bytes=split_bytes,
+            tail_bytes=tail_bytes,
+            chunk_bytes=rng.choice((32, 256, 4096)),
+            batch_rows=rng.choice((2, 100)),
+        )
+        rows_b = sorted((r.asDict(recursive=True) for r in b.collect()), key=key)
+        assert rows_b == rows_a, f"split_bytes={split_bytes} tail_bytes={tail_bytes}"
