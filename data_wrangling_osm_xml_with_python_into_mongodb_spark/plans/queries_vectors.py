@@ -602,3 +602,111 @@ def q_wide_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "v8_wide_ivf_probe",
+    "IVF probe search at production width (768 dims): centroid build, "
+    "nprobe=1 assignment, and in-cell top-3 all through the wide Arrow "
+    "kernels -- v7 proves the wide brute-force baseline, this proves "
+    "the candidate-PRUNING scale path wide (at 100 TB the probe scans "
+    "one cell partition, not the corpus).",
+    f"""
+    WITH wide AS (
+      SELECT vec_id, label, {_WIDEN_SQL} AS v FROM embeddings
+    ),
+    centroids AS (
+      SELECT label, list(cv ORDER BY idx) AS cvec
+      FROM (
+        SELECT label, idx, round(avg(val), 6) AS cv
+        FROM (
+          SELECT label,
+                 CAST(generate_subscripts(v, 1) AS BIGINT) AS idx,
+                 unnest(v) AS val
+          FROM wide
+        )
+        GROUP BY label, idx
+      )
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id, v FROM wide WHERE vec_id < 5),
+    assign AS (
+      SELECT vec_id, label FROM (
+        SELECT q.vec_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({V.cosine_sql('q.v', 'c.cvec')}, 6) DESC,
+                          c.label ASC
+               ) AS rn
+        FROM q CROSS JOIN centroids c
+      ) WHERE rn = 1
+    )
+    SELECT q.vec_id AS query_id, assign.label AS probed_label,
+           cand.vec_id AS neighbor_id,
+           round({V.cosine_sql('q.v', 'cand.v')}, 6) AS cos_sim
+    FROM q
+    JOIN assign ON q.vec_id = assign.vec_id
+    JOIN wide cand
+      ON cand.label = assign.label AND cand.vec_id <> q.vec_id
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY round({V.cosine_sql('q.v', 'cand.v')}, 6) DESC,
+               cand.vec_id ASC) <= 3
+    """,
+    tags=("vector", "ivf", "topk", "wide"),
+)
+def q_wide_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan skeleton as v4 with every vector 768-wide and every
+    cosine routed through the fused Arrow kernel (dim=WIDE_DIM >
+    UNROLL_MAX_DIM).  The centroid ASSIGNMENT round(.,6)s the
+    centroid-side cosine before the argmin window in BOTH engines:
+    centroid components are averages (already rounded to 6), but the
+    cosine accumulation order still differs einsum-vs-fold, and an
+    unrounded argmin could flip on a near-tie ulp."""
+    emb = _t(spark, sf_dir, "embeddings")
+    wide = emb.select("vec_id", "label", _widen_spark().alias("v"))
+    exploded = wide.select("label", F.posexplode("v")).select(
+        "label", F.col("pos").alias("idx"), F.col("col").alias("val")
+    )
+    centroids = (
+        exploded.groupBy("label", "idx")
+        .agg(F.round(F.avg("val"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    q = wide.filter(F.col("vec_id") < 5).select("vec_id", "v")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    assign = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", F.round(V.cosine("v", "cvec", dim=WIDE_DIM), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("probed_label"), "v")
+    )
+    cand = wide.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        assign.join(
+            cand,
+            (cand["label"] == assign["probed_label"])
+            & (cand["neighbor_id"] != assign["vec_id"]),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "probed_label",
+            "neighbor_id",
+            F.round(V.cosine("v", "cv", dim=WIDE_DIM), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
