@@ -602,3 +602,103 @@ def _install_dd6_oracle() -> None:
 
 
 _install_dd6_oracle()
+
+
+@register(
+    "dd8_minhash_calibration",
+    "MinHash estimator calibration: for every capped-shingle candidate "
+    "pair, compare the 16-perm minhash Jaccard estimate (n matching "
+    "signature components / 16) against the EXACT shingle Jaccard, "
+    "aggregated per matching-component count -- the measurement that "
+    "tunes bands/rows/threshold in a production dedup pipeline "
+    "(estimator bias at the decision boundary = missed or spurious "
+    "dups at corpus scale).",
+    f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    kept AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN sh_df d ON s.shingle = d.shingle
+      WHERE d.df <= {PAIR_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sig AS ({_minhash_sig_sql()}),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             p.n_common::DOUBLE / (sa.n_sh + sb.n_sh - p.n_common)
+               AS exact_jaccard,
+             ({" + ".join(f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END" for i in range(_N_PERM))})
+               AS n_equal
+      FROM pairs p
+      JOIN sizes sa ON p.id_a = sa.doc_id
+      JOIN sizes sb ON p.id_b = sb.doc_id
+      JOIN sig x ON p.id_a = x.doc_id
+      JOIN sig y ON p.id_b = y.doc_id
+    )
+    SELECT CAST(n_equal AS BIGINT) AS n_equal,
+           round(n_equal / {_N_PERM}.0, 4) AS est_jaccard,
+           count(*) AS n_pairs,
+           round(avg(exact_jaccard), 6) AS avg_exact_jaccard
+    FROM scored
+    GROUP BY n_equal
+    """,
+    tags=("dedup", "minhash", "calibration"),
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing by the INTEGER matching-component count (0..16) keeps
+    the grouping key exactly portable (no float decile flooring);
+    est_jaccard = k/16 is derived from the bucket.  avg of exact
+    Jaccards is an order-varying float sum -> round(.,6) on both
+    sides.
+
+    Scale shape: the candidate set and both signature sides are
+    doc-keyed equi-joins (signatures are |docs| x 16 ints -- tiny next
+    to the shingle stream); the final agg has at most 17 groups."""
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
+        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sig = _minhash_sig_df(spark, sf_dir)
+    xa = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_PERM)]
+    )
+    xb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_N_PERM)]
+    )
+    n_equal = None
+    for i in range(_N_PERM):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        n_equal = term if n_equal is None else n_equal + term
+    exact = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    scored = (
+        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .join(xa, "id_a")
+        .join(xb, "id_b")
+        .select(n_equal.cast("long").alias("n_equal"), exact.alias("exact_jaccard"))
+    )
+    return scored.groupBy("n_equal").agg(
+        F.round(F.col("n_equal") / F.lit(float(_N_PERM)), 4).alias("est_jaccard"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("exact_jaccard"), 6).alias("avg_exact_jaccard"),
+    )
