@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
+from ..operators.graph import ConvergenceError, connected_components
 from ..functions.hashing import (
     HASH_PRIME,
     md5_int64,
@@ -282,12 +283,14 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the label frame -- the textbook BSP shape.  Rounds needed = graph
     diameter; near-dup components are shallow (pairs and short chains;
     the cap bounds the widest star), so this converges in a handful of
-    rounds where a web-scale CC would switch to large-star/small-star
-    contraction (O(log n) rounds) -- noted, not needed, for this
-    workload.  ``localCheckpoint`` truncates the growing lineage each
-    round (a cluster deployment would use a checkpoint dir); the
-    convergence check is one tiny count per round, the driver never
-    holds labels."""
+    rounds.  If the cap IS hit (a component deeper than the round
+    budget), the loop RAISES rather than returning non-fixpoint labels
+    -- the diameter-proof path for such graphs is the star-contraction
+    variant (dd9, operators/graph.py), which converges in O(log^2 n)
+    rounds regardless of depth.  ``localCheckpoint`` truncates the
+    growing lineage each round (a cluster deployment would use a
+    checkpoint dir); the convergence check is one tiny count per
+    round, the driver never holds labels."""
     edges = _jaccard_edges(spark, sf_dir, DUP_CLUSTER_JACCARD)
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -322,8 +325,122 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise ConvergenceError(
+            "dd7 label propagation: no fixpoint after 30 rounds "
+            "(component diameter exceeds the round budget); partial "
+            "labels would silently diverge from min-reachable-id "
+            "semantics -- use the star-contraction path "
+            "(dd9 / operators.graph.connected_components) for "
+            "deep-chain graphs"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# Planted deep-chain fixture for dd9: the 120 lexicographically-smallest
+# doc_ids linked consecutively -- one component of diameter 119, chosen
+# specifically to EXCEED dd7's 30-round propagation budget so the query
+# can only pass via a diameter-proof algorithm.  Derived in-query from
+# the documents table (the testdata directory is immutable), identical
+# in Spark and in the DuckDB oracle.
+_CHAIN_LEN = 120
+
+
+def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # Global-sort window over ONE tiny column of a fixture-sized slice
+    # -- this is test-harness edge planting, not a production operator.
+    ranked = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            "doc_id",
+            F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+        )
+        .filter(F.col("rn") <= _CHAIN_LEN)
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return a.join(b, F.col("b.rn") == F.col("a.rn") + 1).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+
+
+@register(
+    "dd9_cc_star_contraction",
+    "Duplicate-cluster resolution at adversarial depth: connected "
+    "components via alternating large-star/small-star contraction "
+    "(Kiveris et al. 2014) over the near-dup edge graph PLUS a planted "
+    "120-node duplicate chain (diameter 119 -- deeper than any "
+    "propagation budget).  Same min-reachable-id labels as dd7, but "
+    "O(log^2 n) rounds regardless of component diameter: the web-scale "
+    "CC path.",
+    f"""
+    WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    kept AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN sh_df d ON s.shingle = d.shingle
+      WHERE d.df <= {PAIR_DF_CAP}
+    ),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jedges AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON common.id_a = sa.doc_id
+      JOIN sizes sb ON common.id_b = sb.doc_id
+      WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+            >= {DUP_CLUSTER_JACCARD}
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    chain AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+      WHERE a.rn < {_CHAIN_LEN}
+    ),
+    all_edges AS (
+      SELECT id_a, id_b FROM jedges
+      UNION
+      SELECT id_a, id_b FROM chain
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM all_edges
+      UNION ALL
+      SELECT id_b, id_a FROM all_edges
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+    )
+    SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+    FROM reach GROUP BY id
+    ORDER BY cluster_id, doc_id
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def q_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd7's labels recomputed by the algorithm that survives web scale
+    (operators/graph.py docstring has the full analysis), on a graph
+    dd7's own loop provably cannot finish: the planted 120-chain needs
+    119 propagation rounds but only ~2*log2(120) ~ 14 contraction
+    rounds.  The DuckDB recursive-CTE oracle pins the exact labels."""
+    edges = _jaccard_edges(spark, sf_dir, DUP_CLUSTER_JACCARD).unionAll(
+        _chain_edges(spark, sf_dir)
+    )
+    return connected_components(edges, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
     )
 
 
