@@ -106,20 +106,49 @@ def _time_queries(
     return mins, spreads
 
 
+def _src_fingerprint(src_dir: str, scheme: str) -> str:
+    """Cache-invalidation key for derived /tmp datasets: source files
+    (name/size/mtime), generation scheme, and the generator version
+    constant -- so a testdata refresh or a gen-logic change regenerates
+    instead of silently re-timing stale data."""
+    import glob
+
+    from tools.gen_sf_scale import GEN_VERSION
+
+    parts = [f"v{GEN_VERSION}", scheme, os.path.abspath(src_dir)]
+    for p in sorted(glob.glob(os.path.join(src_dir, "*.parquet"))):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
+
+
+def _marker_current(marker: str, fingerprint: str) -> bool:
+    try:
+        with open(marker) as f:
+            return f.read() == fingerprint
+    except OSError:
+        return False
+
+
 def _ensure_sf1(spark, src_dir: str) -> str | None:
     """Materialize the 10x scale-up at /tmp/sf1 (cached across runs in
-    the same sandbox).  Returns None if generation fails -- the sf1
-    block is best-effort and must never break the sf0.1 bench line."""
+    the same sandbox, keyed on a source+generator fingerprint).
+    Returns None if generation fails -- the sf1 block is best-effort
+    and must never break the sf0.1 bench line."""
     dst = "/tmp/sf1"
     try:
         marker = os.path.join(dst, "_SCALE_DONE")
-        if not os.path.exists(marker):
+        fp = _src_fingerprint(src_dir, "scale10")
+        if not _marker_current(marker, fp):
+            import shutil
+
             from tools.gen_sf_scale import scale_dir
 
+            shutil.rmtree(dst, ignore_errors=True)
             t0 = time.time()
             scale_dir(spark, src_dir, dst, 10)
             with open(marker, "w") as f:
-                f.write("ok")
+                f.write(fp)
             print(f"# sf1 gen: {time.time() - t0:.1f}s", file=sys.stderr)
         return dst
     except Exception as e:
@@ -140,13 +169,17 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
     dst = "/tmp/sf0.1_skew"
     try:
         marker = os.path.join(dst, "_SKEW_DONE")
-        if not os.path.exists(marker):
+        fp = _src_fingerprint(src_dir, "skew:hot_docs=10000:hot_fanout=10000")
+        if not _marker_current(marker, fp):
+            import shutil
+
             from tools.gen_sf_scale import plant_skew
 
+            shutil.rmtree(dst, ignore_errors=True)
             plant_skew(spark, src_dir, dst, hot_docs=10_000, hot_fanout=10_000)
             with open(marker, "w") as f:
-                f.write("ok")
-        out: dict[str, float] = {}
+                f.write(fp)
+        times: dict[str, float] = {}
         for name in ("dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
                      "dd3_minhash_lsh_pairs", "m3_ref_index_parts"):
             best = 1e9
@@ -154,9 +187,16 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
                 t0 = _time.time()
                 qs[name](spark, dst).count()
                 best = min(best, _time.time() - t0)
-            out[name] = round(best, 3)
-            print(f"# skew {name}: {out[name]}s", file=sys.stderr)
-        return out
+            times[name] = round(best, 3)
+            print(f"# skew {name}: {times[name]}s", file=sys.stderr)
+        # cpus/attempt ride along so a retry at reduced threads is
+        # compared like-for-like against the 32-thread headline instead
+        # of misreading as a ~2x skew regression.
+        return {
+            "queries": times,
+            "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            "attempt": int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "0")),
+        }
     except Exception as e:
         print(f"# skew bench failed (skipping): {e}", file=sys.stderr)
         return None
@@ -192,6 +232,9 @@ def _run_block(block: str, sf_dir: str) -> int:
                     "spread": s1,
                     "sf": 1.0,
                     "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                    "attempt": int(
+                        os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "0")
+                    ),
                 }
             )
         )
@@ -224,12 +267,18 @@ def _subprocess_block(
         if _time.time() > stop_at - 60:
             print(f"# {block} block: no time for attempt {attempt}", file=sys.stderr)
             break
-        env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
-        if attempt > 0:
+        env = {
+            **os.environ,
+            "SPARK_GRAFT_SF_DIR": sf_dir,
+            "SPARK_GRAFT_BENCH_ATTEMPT": str(attempt),
+        }
+        if attempt >= attempts - 1:
             # The observed SIGSEGV reproduces only at full 32-thread
             # load; 16 threads runs the same workload stably (measured).
-            # Retries trade wall time for completion -- the block JSON
-            # carries "cpus" so mins are compared like-for-like.
+            # Only the LAST-RESORT attempt drops threads (cross-SF
+            # scaling ratios need cpus parity with the sf0.1 headline);
+            # the block JSON carries "cpus"+"attempt" so a reduced-
+            # thread result is compared like-for-like.
             env["SPARK_GRAFT_CPUS"] = "16"
         try:
             proc = subprocess.run(

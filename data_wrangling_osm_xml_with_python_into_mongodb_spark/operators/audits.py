@@ -10,6 +10,8 @@ single distributed transforms.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -236,7 +238,10 @@ def merge_upsert_into(
     (tests/test_audits.py) documents and skips there, while the
     statement builder and the transform twin stay fully tested.
     """
-    view = "_merge_upsert_source"
+    # Unique per call: a fixed name would let two concurrent merges in
+    # one session clobber each other's source view, and the finally
+    # could drop a view another caller just registered.
+    view = f"_merge_upsert_source_{uuid.uuid4().hex}"
     source.createOrReplaceTempView(view)
     try:
         spark.sql(merge_statement(target_table, view, key))

@@ -363,8 +363,13 @@ def _open_range(path: str):
 
     ``binaryFile`` reports Hadoop scheme spellings (``s3a://``,
     ``s3n://``) that pyarrow's ``FileSystem.from_uri`` does not
-    recognize; map them to ``s3`` before resolution.  Paths arrive
-    percent-encoded from the JVM on every scheme, so unquote uniformly.
+    recognize; map them to ``s3`` before resolution.  Decoding split:
+    the local branch never passes through a URI parser that decodes,
+    so it unquotes the JVM's percent-encoding itself;
+    ``FileSystem.from_uri`` already percent-decodes the path it
+    returns (``file:///tmp/a%20b`` -> ``/tmp/a b``), so unquoting that
+    again would corrupt keys containing a literal ``%`` (encoded
+    ``%25``).
     """
     from urllib.parse import unquote, urlparse
 
@@ -376,7 +381,7 @@ def _open_range(path: str):
     if parsed.scheme in ("s3a", "s3n"):
         parsed = parsed._replace(scheme="s3")
     fs, relpath = pafs.FileSystem.from_uri(parsed.geturl())
-    return fs.open_input_file(unquote(relpath))
+    return fs.open_input_file(relpath)
 
 
 def read_osm_elements_split(

@@ -368,3 +368,21 @@ def test_split_reader_boundary_protocol_property(spark):
         )
         rows_b = sorted((r.asDict(recursive=True) for r in b.collect()), key=key)
         assert rows_b == rows_a, f"split_bytes={split_bytes} tail_bytes={tail_bytes}"
+
+
+def test_open_range_percent_decoding(tmp_path):
+    """The JVM reports paths percent-encoded; the local branch must
+    decode exactly once.  A filename with a literal '%' (reported as
+    '%25') is the regression case for double-decoding."""
+    from urllib.parse import quote
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        _open_range,
+    )
+
+    for name in ("a b.xml", "p%x.xml", "q%20z.xml"):
+        p = tmp_path / name
+        p.write_bytes(b"<osm/>")
+        uri = "file://" + quote(str(p))
+        with _open_range(uri) as f:
+            assert f.read() == b"<osm/>"

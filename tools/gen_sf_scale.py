@@ -58,6 +58,13 @@ FAMILY_BASE = {
 DIMS = ["region", "nation"]
 
 
+# Bump whenever scale_dir/plant_skew generation logic changes: bench.py
+# writes this into its /tmp cache markers so a logic change invalidates
+# previously-generated derived datasets instead of silently re-timing
+# stale data.
+GEN_VERSION = 2
+
+
 def scale_dir(spark, src: str, dst: str, factor: int = 10) -> None:
     """Scale every benchmark table from ``src`` into ``dst`` by
     ``factor`` using the key-shift + content-perturb scheme documented
