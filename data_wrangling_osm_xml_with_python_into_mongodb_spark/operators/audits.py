@@ -98,8 +98,11 @@ def fix_mismatched_members(docs: DataFrame) -> DataFrame:
         .select("rel_id", "ref", "actual_type")
         .groupBy("rel_id")
         .agg(
+            # array_distinct: a relation listing the same ref twice
+            # yields two identical (ref, actual_type) entries; dedup
+            # before map_from_entries so the build is policy-neutral.
             F.map_from_entries(
-                F.collect_list(F.struct("ref", "actual_type"))
+                F.array_distinct(F.collect_list(F.struct("ref", "actual_type")))
             ).alias("fixes")
         )
     )

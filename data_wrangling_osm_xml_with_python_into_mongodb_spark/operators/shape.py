@@ -230,16 +230,14 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     add a join shuffle; carrying the structural columns costs only the
     per-tag fan-out of one row pointer, and map-side partial agg
     reduces them back to one row per element before the shuffle."""
-    # Self-sufficiency under ANY caller-provided session: duplicate tag
-    # keys (e.g. name + name_1 after the _N strip) must resolve
-    # last-writer-wins like the reference's dict update
-    # (clean_and_write.py:355-356); the vanilla default policy EXCEPTION
-    # would instead fail the whole job on the first duplicate.
-    # NOTE this conf intentionally persists on the session (it must be
-    # live at EXECUTION time, which may be long after this builder
-    # returns) -- callers who rely on EXCEPTION-policy duplicate-key
-    # detection elsewhere should reset it after running the pipeline.
-    raw.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # Duplicate tag keys (e.g. name + name_1 after the _N strip) must
+    # resolve last-writer-wins like the reference's dict update
+    # (clean_and_write.py:355-356).  Every map build below dedups its
+    # entry array EXPLICITLY (keep-last, _keep_last_by) before
+    # map_from_entries, so the pipeline is semantics-neutral under ANY
+    # caller session conf -- no reliance on spark.sql.mapKeyDedupPolicy,
+    # whose session-global mutation would leak LAST_WIN semantics into
+    # unrelated caller queries.
     kv = _dispatch_frame(raw)
 
     # ONE imperative aggregate: the six entry streams ride in a single
@@ -280,14 +278,26 @@ def shape_documents(raw: DataFrame) -> DataFrame:
 
     ent = F.col("_entries")
 
+    def _keep_last_by(arr: Column, key) -> Column:
+        """Keep only the LAST entry per key (the reference's dict-update
+        overwrite semantics) so map_from_entries never sees a duplicate
+        key -- correct under any session mapKeyDedupPolicy.  Quadratic
+        in the per-document entry count, which is tag-sized (dozens)."""
+        return F.filter(
+            arr,
+            lambda e, i: ~F.exists(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda later: key(later) == key(e),
+            ),
+        )
+
     def entries_map(field: str) -> Column:
         """Split one entry stream back out of the combined collect_list
         and build its map (nulls = rows that weren't this entry kind)."""
-        return F.map_from_entries(
-            F.filter(
-                F.transform(ent, lambda e: e[field]), lambda x: x.isNotNull()
-            )
+        arr = F.filter(
+            F.transform(ent, lambda e: e[field]), lambda x: x.isNotNull()
         )
+        return F.map_from_entries(_keep_last_by(arr, lambda e: e["k"]))
 
     grp = grp.select(
         "*",
@@ -310,9 +320,14 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             lambda r: F.struct(
                 r,
                 F.map_from_entries(
-                    F.transform(
-                        F.filter(sub, lambda e: e["r"] == r),
-                        lambda e: F.struct(e["p"], e["val"]),
+                    _keep_last_by(
+                        F.transform(
+                            F.filter(sub, lambda e: e["r"] == r),
+                            lambda e: F.struct(
+                                e["p"].alias("k"), e["val"].alias("v")
+                            ),
+                        ),
+                        lambda e: e["k"],
                     )
                 ),
             ),

@@ -57,9 +57,9 @@ def get_spark(
         # reader has no nanos type -- surface as long and convert in
         # the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Key rewrites (name_1 -> name) can collide in the tags map;
-        # keep the later entry like a dict update would.
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # No mapKeyDedupPolicy override: every map build dedups its
+        # entries explicitly (operators/shape._keep_last_by), so the
+        # pipeline carries no session-conf dependency.
         .config("spark.ui.enabled", "false")
         # Local mode runs every executor thread inside the driver JVM.
         # Keep the heap SMALL and PINNED: this environment's first-touch
