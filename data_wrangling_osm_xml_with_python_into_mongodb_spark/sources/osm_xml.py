@@ -49,6 +49,42 @@ _CREATED_ATTRS = ["version", "changeset", "timestamp", "user", "uid"]
 # would false-sync; OSM extracts contain neither.)
 _TOP_ELEMENT_RE = re.compile(rb"<(?:node|way|relation)[\s/>]")
 
+# XML declaration encoding sniff for the split reader: split slices are
+# re-wrapped in a synthetic <osm> root, discarding the file's own
+# declaration, so expat decodes them as UTF-8 unconditionally.  OSM
+# extracts are UTF-8 by spec; a file DECLARING anything else (or
+# carrying a UTF-16/32 BOM) must fail fast here rather than silently
+# mis-decode -- route such inputs through the iterparse/rowTag readers,
+# which see the declaration.
+_ENC_DECL_RE = re.compile(
+    rb"^\xef?\xbb?\xbf?\s*<\?xml[^>]*?encoding\s*=\s*[\"']([A-Za-z0-9._-]+)[\"']"
+)
+_UTF8_COMPATIBLE = {"utf-8", "utf8", "us-ascii", "ascii"}
+_WIDE_BOMS = (b"\x00\x00\xfe\xff", b"\xff\xfe\x00\x00", b"\xfe\xff", b"\xff\xfe")
+
+
+def _check_split_encoding(head: bytes, fpath: str) -> None:
+    """Fail fast on non-UTF-8 input under the split reader (see
+    _ENC_DECL_RE).  Called by the task that owns a file's first split,
+    on bytes it has already read -- zero extra I/O, and exactly one
+    check per file regardless of split count."""
+    for bom in _WIDE_BOMS:
+        if head.startswith(bom):
+            raise ValueError(
+                f"read_osm_elements_split: {fpath} has a UTF-16/32 BOM; "
+                "split slices assume UTF-8 -- use "
+                "read_osm_elements_iterparse or the rowTag reader"
+            )
+    m = _ENC_DECL_RE.match(head)
+    if m:
+        enc = m.group(1).decode("ascii").lower()
+        if enc not in _UTF8_COMPATIBLE:
+            raise ValueError(
+                f"read_osm_elements_split: {fpath} declares "
+                f"encoding={enc}; split slices assume UTF-8 -- use "
+                "read_osm_elements_iterparse or the rowTag reader"
+            )
+
 
 def _xml_schema(kind: str) -> T.StructType:
     """Explicit per-rowTag read schema: skips the XML source's
@@ -402,10 +438,12 @@ def read_osm_elements_split(
     Encoding: split slices discard the file's XML declaration (each
     task wraps its slice in a synthetic ``<osm>`` root), so expat
     assumes UTF-8.  OSM extracts are UTF-8 by spec; a file DECLARING
-    another encoding would decode differently here than under the
-    iterparse/JVM paths -- route such inputs through those readers.
-    This caveat shares a paragraph with the comment/CDATA false-sync
-    one on ``_TOP_ELEMENT_RE``.
+    another encoding (or carrying a UTF-16/32 BOM) FAILS FAST: the
+    task owning each file's first split sniffs the declaration
+    (``_check_split_encoding``) and raises with a pointer to the
+    iterparse/rowTag readers, which do honor declarations.  This
+    caveat shares a paragraph with the comment/CDATA false-sync one on
+    ``_TOP_ELEMENT_RE``.
 
     This removes the file-granularity bound of
     :func:`read_osm_elements_iterparse`: per-task memory is
@@ -463,7 +501,14 @@ def read_osm_elements_split(
 
                 f = _open_range(fpath)
                 try:
-                    f.seek(start)
+                    if start == 0:
+                        # One tiny head read per FILE (smaller than any
+                        # split), so the declaration is seen whole even
+                        # when the first split is narrower than it.
+                        _check_split_encoding(f.read(min(256, size)), fpath)
+                        f.seek(0)
+                    else:
+                        f.seek(start)
                     buf = f.read(nbytes)
                     eof = start + len(buf) >= size
                     # Find the cut: first top-level boundary at or past

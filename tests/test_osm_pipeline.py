@@ -386,3 +386,33 @@ def test_open_range_percent_decoding(tmp_path):
         uri = "file://" + quote(str(p))
         with _open_range(uri) as f:
             assert f.read() == b"<osm/>"
+
+
+def test_split_reader_rejects_declared_non_utf8(spark, tmp_path):
+    """A declared non-UTF-8 encoding (or a wide BOM) must fail fast
+    under the split reader -- its slices discard the declaration, so
+    proceeding would silently mis-decode.  UTF-8/ascii declarations
+    (and no declaration) stay accepted."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        _check_split_encoding,
+        read_osm_elements_split,
+    )
+
+    body = '<osm><node id="1" lat="1.0" lon="2.0"/></osm>'
+    bad = tmp_path / "latin1.osm"
+    bad.write_bytes(
+        ('<?xml version="1.0" encoding="ISO-8859-1"?>' + body).encode("latin-1")
+    )
+    df = read_osm_elements_split(spark, str(bad), split_bytes=16)
+    with pytest.raises(Exception, match="ISO-8859-1|iterparse"):
+        df.collect()
+
+    ok = tmp_path / "utf8.osm"
+    ok.write_bytes(('<?xml version="1.0" encoding="UTF-8"?>' + body).encode())
+    assert read_osm_elements_split(spark, str(ok), split_bytes=16).count() == 1
+
+    # Unit-level: wide BOM and undeclared-encoding heads.
+    with pytest.raises(ValueError, match="BOM"):
+        _check_split_encoding(b"\xfe\xff\x00<", "x")
+    _check_split_encoding(b"<?xml version=\"1.0\"?><osm>", "x")
+    _check_split_encoding(b"<osm>", "x")
