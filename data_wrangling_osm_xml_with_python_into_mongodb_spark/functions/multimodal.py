@@ -2,14 +2,12 @@
 columns with typed metadata, processed by Arrow-batched Pandas
 iterators (``mapInPandas``).
 
-The decode step itself is STUBBED: this container has no image/audio
-codecs, so ``_decode_stub`` produces a deterministic fake derived from
-the payload bytes (and raises ``NotImplementedError`` when a real
-codec is demanded via ``require_codec=True``).  Everything around the
-stub -- the media schema, the binary payloads, the mapInPandas batch
-shape, partition-parallel execution, and the feature/resize/frame
-arithmetic -- is real and tested, so swapping in PIL/torchaudio/ffmpeg
-is a one-function change.
+Decode is REAL for PNG: ``decode_media`` dispatches PNG payloads to
+the dependency-free stdlib codec in ``functions/png.py`` (all filter
+types, gray/RGB/RGBA), and other formats to PIL when installed.  Only
+the no-PNG-no-PIL case keeps the documented ``NotImplementedError``
+gate.  ``_decode_stub`` remains for the synthetic fake-payload tables
+(mm1/mm2), whose oracles recompute its arithmetic independently.
 
 Scale notes: media rows are large; the operators below are narrow
 (no shuffle), so throughput scales with input splits.  Keep
@@ -99,6 +97,107 @@ def _decode_stub(data: bytes, require_codec: bool = False) -> np.ndarray:
     digest = hashlib.md5(data or b"").digest()
     arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
     return arr / 255.0
+
+
+def decode_media(data: bytes) -> np.ndarray:
+    """REAL image decode: (H, W, C) uint8 pixels.
+
+    PNG decodes natively via the stdlib codec (functions/png.py) --
+    no external dependency.  Other formats go through PIL when
+    installed; without it they hit the documented codec gate."""
+    from .png import PNG_MAGIC, decode_png
+
+    if data[: len(PNG_MAGIC)] == PNG_MAGIC:
+        return decode_png(data)
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "non-PNG payload and no PIL in this environment; PNG decodes "
+            "natively (functions/png.py), other formats need a codec lib"
+        ) from e
+    arr = np.asarray(Image.open(io.BytesIO(data)))
+    return arr[:, :, None] if arr.ndim == 2 else arr
+
+
+def synth_png_media(docs: DataFrame, width: int = 16, height: int = 8) -> DataFrame:
+    """REAL encoded media derived deterministically from documents:
+    each doc becomes a grayscale PNG whose pixel bytes are the md5
+    digest of its text repeated to fill width*height.  Payloads are
+    genuine PNGs (scanline-filtered, zlib-compressed), so downstream
+    decode exercises the full codec -- while an oracle can still
+    predict every pixel statistic straight from ``md5(text)``."""
+    from .png import encode_png
+
+    n = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5((text or "").encode("utf-8")).digest()
+                px = (digest * ((n // len(digest)) + 1))[:n]
+                arr = np.frombuffer(px, dtype=np.uint8).reshape(height, width)
+                # Filter type keyed off the digest so the corpus covers
+                # every decoder reconstruction path (None/Sub/Up/Avg/
+                # Paeth), not just the trivial one.
+                payloads.append(encode_png(arr, filter_type=digest[0] % 5))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "data": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("data", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("min_byte", T.IntegerType()),
+        T.StructField("max_byte", T.IntegerType()),
+    ]
+)
+
+
+def png_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL codec and report pixel
+    statistics -- the verifiable core of an image-quality/filtering
+    stage.  Narrow (no shuffle); Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                arr = decode_media(bytes(data))
+                rows.append(
+                    (
+                        mid,
+                        arr.shape[1],
+                        arr.shape[0],
+                        arr.shape[2],
+                        round(float(arr.mean()), 4),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PNG_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, PNG_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:

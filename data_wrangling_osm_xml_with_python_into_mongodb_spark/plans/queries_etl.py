@@ -242,6 +242,53 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle predicts pixel statistics WITHOUT decoding: payload pixels
+# are md5(text) repeated exactly 8x to fill 16x8, so per-image mean/min/
+# max over 128 pixels equal those over the 16 digest bytes, derivable
+# from the md5 hex digits alone.  Spark meanwhile round-trips a genuine
+# scanline-filtered zlib-compressed PNG through the stdlib codec -- a
+# mismatch in encoder, decoder, filter reconstruction, or Arrow binary
+# plumbing shows up as a value-hash diff.
+_MM3_ORACLE = r"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 200),
+p AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i ->
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1)) AS dig
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       round(list_sum(dig) / 16.0, 4) AS mean_byte,
+       CAST(list_min(dig) AS INT) AS min_byte,
+       CAST(list_max(dig) AS INT) AS max_byte
+FROM p
+"""
+
+
+@register(
+    "mm3_png_decode_stats",
+    "REAL image decode under the oracle: each document becomes a "
+    "genuine PNG (pixels = repeated md5-of-text digest; scanline filter "
+    "rotates through all five types), Spark decodes it with the "
+    "dependency-free stdlib codec (functions/png.py) inside an Arrow "
+    "mapInPandas stage, and DuckDB independently predicts every pixel "
+    "statistic from the md5 hex digits -- end-to-end proof the decode "
+    "path is real, not plumbing around a stub.",
+    _MM3_ORACLE,
+    tags=("multimodal", "decode"),
+)
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import png_decode_stats, synth_png_media
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return png_decode_stats(synth_png_media(docs))
+
+
 _TAG_PROFILE_ORACLE = f"""
 WITH kv AS (
   SELECT t.k AS k, t.v AS v
