@@ -369,6 +369,110 @@ def _chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd10_dedup_pipeline_keep",
+    "End-to-end dedup pipeline verdict: which documents SURVIVE after "
+    "(1) exact dedup keeps the min doc_id per normalized fingerprint "
+    "and (2) near-dup clustering keeps the min doc_id per connected "
+    "component of the Jaccard>=0.3 graph -- the keep-list a training "
+    "run would actually read, with the keep reason per survivor "
+    "(cluster_rep > exact_rep > unique).",
+    f"""
+    WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    kept AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN sh_df d ON s.shingle = d.shingle
+      WHERE d.df <= {PAIR_DF_CAP}
+    ),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON common.id_a = sa.doc_id
+      JOIN sizes sb ON common.id_b = sb.doc_id
+      WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+            >= {DUP_CLUSTER_JACCARD}
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+    ),
+    clusters AS (
+      SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+      FROM reach GROUP BY id
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents
+    ),
+    fpg AS (
+      SELECT doc_id, f,
+             min(doc_id) OVER (PARTITION BY f) AS f_keep,
+             count(*) OVER (PARTITION BY f) AS f_n
+      FROM fp
+    )
+    SELECT fpg.doc_id,
+           CASE WHEN clusters.doc_id IS NOT NULL THEN 'cluster_rep'
+                WHEN fpg.f_n > 1 THEN 'exact_rep'
+                ELSE 'unique' END AS keep_reason
+    FROM fpg
+    LEFT JOIN clusters ON fpg.doc_id = clusters.doc_id
+    WHERE fpg.doc_id = fpg.f_keep
+      AND (clusters.doc_id IS NULL OR clusters.doc_id = clusters.cluster_id)
+    ORDER BY fpg.doc_id
+    """,
+    tags=("dedup", "pipeline"),
+)
+def q_dedup_pipeline_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of dd1 + dd7: one fingerprint aggregation (window
+    over the fingerprint hash partition -- same single shuffle as the
+    groupBy form), the converged cluster labels, and two narrow joins.
+    Scale shape: everything keys on doc_id/fingerprint; no operator
+    here is new, so the pipeline inherits dd1/dd7's bounds."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    fpw = Window.partitionBy("f")
+    fpg = docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("f")
+    ).select(
+        "doc_id",
+        F.min("doc_id").over(fpw).alias("f_keep"),
+        F.count(F.lit(1)).over(fpw).alias("f_n"),
+    )
+    clusters = q_duplicate_clusters(spark, sf_dir).withColumnRenamed(
+        "doc_id", "c_id"
+    )
+    return (
+        fpg.join(clusters, fpg["doc_id"] == clusters["c_id"], "left")
+        .filter(F.col("doc_id") == F.col("f_keep"))
+        .filter(
+            F.col("c_id").isNull() | (F.col("c_id") == F.col("cluster_id"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("c_id").isNotNull(), F.lit("cluster_rep"))
+            .when(F.col("f_n") > 1, F.lit("exact_rep"))
+            .otherwise(F.lit("unique"))
+            .alias("keep_reason"),
+        )
+    )
+
+
+@register(
     "dd9_cc_star_contraction",
     "Duplicate-cluster resolution at adversarial depth: connected "
     "components via alternating large-star/small-star contraction "
