@@ -272,6 +272,12 @@ def _subprocess_block(
             "SPARK_GRAFT_SF_DIR": sf_dir,
             "SPARK_GRAFT_BENCH_ATTEMPT": str(attempt),
         }
+        if block == "sf1":
+            # 32 threads x sf1-scale shuffles exceed the default 2g
+            # netty direct-memory cap (observed OutOfDirectMemoryError);
+            # raise it for this block so sf1 runs at cpus parity with
+            # the sf0.1 headline instead of retrying down to 16.
+            env.setdefault("SPARK_GRAFT_DIRECT_MEM", "6g")
         if attempt >= attempts - 1:
             # The observed SIGSEGV reproduces only at full 32-thread
             # load; 16 threads runs the same workload stably (measured).

@@ -923,3 +923,96 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("exact_jaccard"), 6).alias("avg_exact_jaccard"),
     )
+
+
+# Contamination threshold: same separation argument as
+# DUP_CLUSTER_JACCARD (near-dup pairs >= 0.5, noise < 0.1).
+DECONTAM_JACCARD = 0.3
+# The held-out "eval" slice: one whole source, so membership is a
+# deterministic column predicate both engines share.
+EVAL_SOURCE = "src0"
+
+
+@register(
+    "dd11_decontamination",
+    "Train/eval decontamination: flag TRAINING documents whose 3-gram "
+    "Jaccard against any document of the held-out eval slice "
+    f"(source = '{EVAL_SOURCE}') reaches {DECONTAM_JACCARD} -- the "
+    "benchmark-leakage scrub every LLM data pipeline runs before "
+    "training; candidate generation reuses the df-capped shingle "
+    "machinery (no train x eval cross product).",
+    f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    kept AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN sh_df d ON s.shingle = d.shingle
+      WHERE d.df <= {PAIR_DF_CAP}
+    ),
+    membership AS (
+      SELECT doc_id, source = '{EVAL_SOURCE}' AS is_eval FROM documents
+    ),
+    common AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id, count(*) AS n_common
+      FROM kept t
+      JOIN membership mt ON t.doc_id = mt.doc_id AND NOT mt.is_eval
+      JOIN kept e ON t.shingle = e.shingle
+      JOIN membership me ON e.doc_id = me.doc_id AND me.is_eval
+      GROUP BY t.doc_id, e.doc_id
+    )
+    SELECT train_id, eval_id,
+           round(n_common::DOUBLE / (st.n_sh + se.n_sh - n_common), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes st ON common.train_id = st.doc_id
+    JOIN sizes se ON common.eval_id = se.doc_id
+    WHERE n_common::DOUBLE / (st.n_sh + se.n_sh - n_common)
+          >= {DECONTAM_JACCARD}
+    ORDER BY train_id, eval_id
+    """,
+    tags=("dedup", "decontamination"),
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: identical to dd2's single-shuffle capped-shingle
+    candidate generation -- membership is a broadcastable doc_id ->
+    is_eval frame, and only cross-membership pairs leave the grouped
+    shingle row, so the work is bounded by shared-shingle pairs, never
+    |train| x |eval|.  At 100 TB the eval slice is benchmark-sized
+    (thousands of docs); its shingle posting lists broadcast."""
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    member = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", (F.col("source") == EVAL_SOURCE).alias("is_eval")
+    )
+    tagged = sh.join(member, "doc_id")
+    train = tagged.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_id"), "shingle"
+    )
+    ev = tagged.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    # df-cap on the full shingle stream (same key space as dd2).
+    keep_sh = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= PAIR_DF_CAP)
+        .select("shingle")
+    )
+    common = (
+        train.join(keep_sh, "shingle")
+        .join(ev, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    st = sizes.select(F.col("doc_id").alias("train_id"), F.col("n_sh").alias("t_sh"))
+    se = sizes.select(F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("e_sh"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("t_sh") + F.col("e_sh") - F.col("n_common")
+    )
+    return (
+        common.join(st, "train_id")
+        .join(se, "eval_id")
+        .filter(jac >= F.lit(DECONTAM_JACCARD))
+        .select("train_id", "eval_id", F.round(jac, 6).alias("jaccard"))
+    )

@@ -680,3 +680,90 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "t10_repetition_ratios",
+    "Within-document repetition screening (the Gopher-style quality "
+    "gate dedup cannot catch): per-document duplicate-token and "
+    "duplicate-3-gram fractions from one pass over the token array -- "
+    "documents above the duplicate-shingle threshold are the "
+    "boilerplate/looping-generation candidates a curation pipeline "
+    "drops before training.",
+    """
+    SELECT doc_id,
+           n_tokens,
+           n_distinct_tokens,
+           round((n_tokens - n_distinct_tokens) / n_tokens::DOUBLE, 6)
+             AS token_dup_ratio,
+           n_shingles,
+           n_distinct_shingles,
+           CASE WHEN n_shingles > 0
+                THEN round((n_shingles - n_distinct_shingles)
+                           / n_shingles::DOUBLE, 6)
+                ELSE 0.0 END AS shingle_dup_ratio
+    FROM (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct_tokens,
+             greatest(len(toks) - 2, 0) AS n_shingles,
+             len(list_distinct(
+               list_transform(range(1, len(toks) - 1),
+                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+               AS n_distinct_shingles
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents)
+    )
+    """,
+    tags=("text", "quality"),
+)
+def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow per-row array expressions only -- no shuffle, no UDF;
+    at 100 TB this runs at scan speed and the filter threshold pushes
+    into the scan when materialized as a column."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    n = F.size(toks)
+    shingles_all = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array())
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.greatest(n - 2, F.lit(0)).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(shingles_all))
+        .cast("long")
+        .alias("n_distinct_shingles"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(
+            (F.col("n_tokens") - F.col("n_distinct_tokens"))
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("token_dup_ratio"),
+        "n_shingles",
+        "n_distinct_shingles",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.round(
+                (F.col("n_shingles") - F.col("n_distinct_shingles"))
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shingle_dup_ratio"),
+    )

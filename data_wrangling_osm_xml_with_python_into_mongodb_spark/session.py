@@ -29,6 +29,11 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # Direct-memory cap: small by default to force netty buffer reuse
+    # (see the heap comment below), but 32 threads x sf1-scale shuffle
+    # buffers legitimately need more -- the bench's sf1 block raises it
+    # via this env var instead of dropping to 16 threads.
+    direct_mem = os.environ.get("SPARK_GRAFT_DIRECT_MEM", "2g")
     if shuffle_partitions is None:
         try:
             shuffle_partitions = max(int(cpus), 4)
@@ -77,7 +82,7 @@ def get_spark(
         .config("spark.driver.memory", driver_mem)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:MaxDirectMemorySize=2g -XX:UseAVX=2",
+            f"-Xms{driver_mem} -XX:MaxDirectMemorySize={direct_mem} -XX:UseAVX=2",
         )
         # Split generated code into smaller methods: keeps wide
         # projections/aggregations under HotSpot's JIT size limits
