@@ -277,7 +277,11 @@ def _subprocess_block(
             # netty direct-memory cap (observed OutOfDirectMemoryError);
             # raise it for this block so sf1 runs at cpus parity with
             # the sf0.1 headline instead of retrying down to 16.
-            env.setdefault("SPARK_GRAFT_DIRECT_MEM", "6g")
+            # 3g, not more: this sandbox's first-touch page-fault
+            # bandwidth is terrible (see session.py), so a LARGER cap
+            # lets buffers grow into cold pages instead of reusing warm
+            # ones -- measured v7@sf1 16.2s at 3g vs 56.7s at 6g.
+            env.setdefault("SPARK_GRAFT_DIRECT_MEM", "3g")
         if attempt >= attempts - 1:
             # The observed SIGSEGV reproduces only at full 32-thread
             # load; 16 threads runs the same workload stably (measured).
