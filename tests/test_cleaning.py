@@ -179,3 +179,37 @@ def test_street_type_exception_goldens(spark):
     }
     outs = _apply1(spark, C.street_type_exception, list(cases))
     assert outs == list(cases.values())
+
+
+def test_word_shingles_arrow_matches_hof(spark):
+    """The Arrow shingle generator must be byte-identical to the
+    Column-expression reference on every edge case: empty text, null,
+    below-k token counts, repeated shingles, mixed whitespace runs,
+    leading/trailing spaces, uppercase."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.functions import text as TX
+
+    rows = [
+        (0, ""),
+        (1, None),
+        (2, "one"),
+        (3, "two words"),
+        (4, "exactly three tokens"),
+        (5, "a b a b a b a b"),
+        (6, "  leading and trailing  "),
+        (7, "tab\tand\nnewline separated tokens here"),
+        (8, "MiXeD CaSe TeXt MiXeD CaSe TeXt"),
+        (9, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (2, 3, 5):
+        a = df.select(
+            "doc_id", TX.word_shingles(F.col("text"), k).alias("s")
+        ).collect()
+        b = df.select(
+            "doc_id", TX.word_shingles_arrow(F.col("text"), k).alias("s")
+        ).collect()
+        got_a = {r["doc_id"]: r["s"] for r in a}
+        got_b = {r["doc_id"]: r["s"] for r in b}
+        assert got_a == got_b, f"k={k}: {got_a} != {got_b}"
