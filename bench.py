@@ -179,11 +179,17 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
             plant_skew(spark, src_dir, dst, hot_docs=10_000, hot_fanout=10_000)
             with open(marker, "w") as f:
                 f.write(fp)
+        # Warm the Python worker pool + Arrow path once before timing:
+        # the shingle stream is a pandas_udf, and its first execution in
+        # a fresh JVM pays worker spawn + Arrow init that a steady-state
+        # cluster never sees per query.  3 passes (not 2): this
+        # sandbox's between-pass variance swamps a min-of-2.
+        qs["dd2_ngram_jaccard_pairs"](spark, src_dir).count()
         times: dict[str, float] = {}
         for name in ("dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
                      "dd3_minhash_lsh_pairs", "m3_ref_index_parts"):
             best = 1e9
-            for _pass in range(2):
+            for _pass in range(3):
                 t0 = _time.time()
                 qs[name](spark, dst).count()
                 best = min(best, _time.time() - t0)
