@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as TX
 from ..functions import vectors as V
-from ..operators.graph import ConvergenceError, connected_components
+from ..operators.graph import connected_components
 from ..functions.hashing import (
     HASH_PRIME,
     md5_int64,
@@ -289,14 +289,26 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter; near-dup components are shallow (pairs and short chains;
     the cap bounds the widest star), so this converges in a handful of
     rounds.  If the cap IS hit (a component deeper than the round
-    budget), the loop RAISES rather than returning non-fixpoint labels
-    -- the diameter-proof path for such graphs is the star-contraction
-    variant (dd9, operators/graph.py), which converges in O(log^2 n)
-    rounds regardless of depth.  ``localCheckpoint`` truncates the
+    budget), the loop never returns the non-fixpoint labels -- it
+    SWITCHES to the diameter-proof star-contraction algorithm
+    (operators/graph.py, exercised directly by dd9), which computes
+    the identical min-reachable-id labels in O(log^2 n) rounds
+    regardless of depth.  ``localCheckpoint`` truncates the
     growing lineage each round (a cluster deployment would use a
     checkpoint dir); the convergence check is one tiny count per
     round, the driver never holds labels."""
     edges = _jaccard_edges(spark, sf_dir, DUP_CLUSTER_JACCARD)
+    return propagate_or_contract(edges)
+
+
+def propagate_or_contract(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Min-label propagation with a star-contraction escape hatch: BSP
+    propagation for up to ``max_rounds`` (optimal for the shallow
+    components near-dup graphs actually have), switching to
+    :func:`operators.graph.connected_components` if the diameter
+    exceeds the budget.  Either path returns the same
+    ``(doc_id, cluster_id)`` min-reachable-id labels; partial labels
+    are never returned.  ``edges`` needs columns ``id_a``/``id_b``."""
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -305,7 +317,7 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
-    for _round in range(30):
+    for _round in range(max_rounds):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
@@ -331,13 +343,20 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     else:
-        raise ConvergenceError(
-            "dd7 label propagation: no fixpoint after 30 rounds "
-            "(component diameter exceeds the round budget); partial "
-            "labels would silently diverge from min-reachable-id "
-            "semantics -- use the star-contraction path "
-            "(dd9 / operators.graph.connected_components) for "
-            "deep-chain graphs"
+        # Diameter exceeded the propagation budget.  NEVER return the
+        # partial labels (they silently diverge from min-reachable-id
+        # semantics); switch to the diameter-proof star-contraction
+        # algorithm, which computes the same labels in O(log^2 n)
+        # rounds (operators/graph.py; dd9 exercises it directly).
+        import sys
+
+        print(
+            f"# dd7: propagation hit its {max_rounds}-round budget; "
+            "switching to star contraction",
+            file=sys.stderr,
+        )
+        return connected_components(edges, src="id_a", dst="id_b").select(
+            F.col("id").alias("doc_id"), F.col("cluster_id")
         )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")

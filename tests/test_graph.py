@@ -79,3 +79,29 @@ def test_cc_raises_instead_of_partial_labels(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(ConvergenceError):
         connected_components(df, max_rounds=1).collect()
+
+
+def test_propagate_or_contract_fallback_is_exact(spark):
+    """When the diameter exceeds the propagation budget, dd7's helper
+    must switch to star contraction and return EXACT labels, never the
+    partial propagation state."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_dedup import (
+        propagate_or_contract,
+    )
+
+    chain = [(i, i + 1) for i in range(60)]
+    edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    # Budget of 2 rounds on a diameter-60 chain: propagation cannot
+    # converge; the fallback must still produce all-zeros labels.
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in propagate_or_contract(edges, max_rounds=2).collect()
+    }
+    assert labels == {i: 0 for i in range(61)}
+    # And with a sufficient budget, propagation itself converges to the
+    # same answer.
+    labels2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in propagate_or_contract(edges, max_rounds=100).collect()
+    }
+    assert labels2 == labels
