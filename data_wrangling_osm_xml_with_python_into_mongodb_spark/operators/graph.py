@@ -57,6 +57,22 @@ def _emit2(df: DataFrame, pairs, out_a: str, out_b: str) -> DataFrame:
     )
 
 
+def _signature(edges: DataFrame) -> tuple:
+    """(count, sum-of-xxhash64) set signature, one light job over an
+    already-checkpointed distinct edge frame.  Two distinct canonical
+    edge sets collide only if their 64-bit hash sums tie at equal
+    cardinality (~2^-64 per round) -- replacing the exact
+    count+count+subtract set-equality check (3 jobs, one of them a
+    full shuffle) the loop previously ran per round."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: 2^63-magnitude terms would overflow
+        # a long sum under ANSI mode at ~2 rows.
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
 def canonical_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Undirected edge set in canonical form: (src > dst), self-loops
     dropped, exact duplicates merged.  One shuffle (the distinct)."""
@@ -161,16 +177,21 @@ def connected_components(
     cluster deployment would use a reliable checkpoint dir).
     """
     cur = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+    sig = _signature(cur)
     for _round in range(max_rounds):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # Set equality for two distinct frames: equal counts + empty
-        # one-sided difference.  Both counts reuse the checkpointed
-        # frames; the subtract is a shuffle over the (small, shrinking)
-        # edge set only.
-        if nxt.count() == cur.count() and nxt.subtract(cur).isEmpty():
-            cur = nxt
+        nxt = _small_star(_large_star(cur))
+        if sig[0] < 1_000_000:
+            # Contraction shrinks the edge set geometrically; once it is
+            # small, 32-partition round-trips are pure task overhead.
+            # coalesce is narrow (no extra shuffle) and only thins the
+            # final post-shuffle stage -- upstream parallelism is kept.
+            nxt = nxt.coalesce(8)
+        nxt = nxt.localCheckpoint(eager=True)
+        nsig = _signature(nxt)
+        converged = nsig == sig
+        cur, sig = nxt, nsig
+        if converged:
             break
-        cur = nxt
     else:
         raise ConvergenceError(
             f"connected_components: no fixpoint after {max_rounds} "
