@@ -767,3 +767,265 @@ def q_repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("shingle_dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t9: PII redaction.  The synthetic corpus contains no PII, so the query
+# PLANTS it deterministically from doc_id (same arithmetic in Spark and in
+# the DuckDB oracle -- the same in-query fixture technique dd9 uses for its
+# duplicate chain), then redacts and counts.  Patterns are written in the
+# common Java-regex / RE2 subset so both engines compile them identically.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_PAT = r"\b\d{3}-\d{3}-\d{4}\b"
+_IP_PAT = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_T9_SQL = """
+    WITH planted AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call 555-'
+                            || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                            || '-0199'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' at 10.' || (doc_id % 256) || '.'
+                            || (doc_id % 100) || '.7'
+                       ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'EMAILPAT')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'PHONEPAT')) AS INTEGER)
+             AS n_phones,
+           CAST(len(regexp_extract_all(text, 'IPPAT')) AS INTEGER) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 'EMAILPAT', '[EMAIL]', 'g'),
+                 'PHONEPAT', '[PHONE]', 'g'),
+                 'IPPAT', '[IP]', 'g')) AS redacted_md5
+    FROM planted
+    WHERE doc_id % 7 = 0 OR doc_id % 5 = 0 OR doc_id % 11 = 0
+""".replace("EMAILPAT", _EMAIL_PAT).replace("PHONEPAT", _PHONE_PAT).replace(
+    "IPPAT", _IP_PAT
+)
+
+
+@register(
+    "t9_pii_redaction",
+    "PII scrubbing for training corpora: regex redaction of emails / "
+    "phone numbers / IPv4 addresses with per-document redaction counts "
+    "and an md5 of the redacted text (pins the exact replacement "
+    "output, not just the counts).  PII is planted deterministically "
+    "from doc_id so both engines redact identical inputs.",
+    _T9_SQL,
+    tags=("text", "pii"),
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure Column-expression pipeline: planting, counting and triple
+    regexp_replace all run inside whole-stage codegen -- no UDF, no
+    shuffle; at 100 TB this is scan-bound and the modulo predicate
+    prunes rows before the regex work."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" at 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(""),
+    )
+    base = docs.filter((did % 7 == 0) | (did % 5 == 0) | (did % 11 == 0)).select(
+        "doc_id", planted.alias("text")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_PAT, "[EMAIL]"),
+            _PHONE_PAT,
+            "[PHONE]",
+        ),
+        _IP_PAT,
+        "[IP]",
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_PAT), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_PAT), F.lit(0)))
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_IP_PAT), F.lit(0)))
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "t11_unigram_logprob",
+    "Unigram language-model scoring: corpus token frequencies -> "
+    "per-document mean log-probability (the cheap perplexity proxy "
+    "quality filters rank documents by before training).  Two shuffles "
+    "total: one token-frequency aggregation, one per-document mean.",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT sum(cnt)::DOUBLE AS total FROM freq)
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_tokens,
+           round(avg(ln(cnt / total)), 4) AS avg_logp
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token explode -> frequency agg (map-side partial) -> join back
+    -> per-doc mean.  The frequency table is vocabulary-sized (Heaps'
+    law: ~10^7 rows at 100 TB), so the join-back broadcasts on a real
+    cluster; locally AQE picks the same plan.  No UDFs anywhere."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 4).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
+# BM25 over a fixed conjunctive keyword query -- the retrieval scoring a
+# curation pipeline uses to mine topical subsets out of a web-scale corpus.
+_BM25_TERMS = ("merge", "spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def _term_freq(toks: F.Column, term: str) -> F.Column:
+    # Single-parameter lambda only: a second parameter (even a bound
+    # default) makes Spark's array filter pass the ELEMENT INDEX as the
+    # second argument.  The term is captured via this function scope.
+    return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("double")
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    score = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1} / (tf_{i} + {k1} * ({1 - b} + {b} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(toks)::DOUBLE AS dl,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, round({score}, 4) AS bm25
+    FROM base CROSS JOIN stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+@register(
+    "i1_bm25_topk",
+    "BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query: "
+    "per-document term frequencies via native array filters (no "
+    "explode), corpus df/avgdl in one aggregate, top-k by rounded "
+    "score with doc_id tiebreak.",
+    _bm25_sql(),
+    tags=("text", "search"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf per term is a narrow array-filter expression -- the whole
+    per-document scoring stage is one codegen'd projection with NO
+    token explode (a 30x row-blowup at corpus scale).  One tiny stats
+    aggregate broadcasts back; top-k is a TakeOrderedAndProject, not a
+    global sort."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            _term_freq(toks, t).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        part = (
+            idf
+            * F.col(f"tf_{i}")
+            * (k1 + 1)
+            / (F.col(f"tf_{i}") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
