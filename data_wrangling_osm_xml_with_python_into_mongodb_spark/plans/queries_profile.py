@@ -383,3 +383,75 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "aj1_asof_join",
+    "As-of join (the time-series operator Spark lacks natively): each "
+    "purchase event attributed to the user's most recent click at or "
+    "before it (tiebreak: max click event_id).  Implemented as the "
+    "scalable union+window formulation -- ONE shuffle on user_id, a "
+    "single sort-based window carrying the last click forward -- not a "
+    "per-key lateral loop or a range cross-join.",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts
+      FROM events c
+      WHERE c.event_type = 'click'
+        AND c.user_id = p.user_id
+        AND c.ts <= p.ts
+      ORDER BY c.ts DESC, c.event_id DESC
+      LIMIT 1
+    ) c ON true
+    """,
+    tags=("join", "asof", "timeseries"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union both event roles, window per user ordered by
+    (ts, clicks-before-purchases, event_id): the carried last non-null
+    click at each purchase row IS the as-of match.  The oracle's
+    LATERAL formulation pins the semantics (max (ts, event_id) click
+    with ts <= purchase ts); at equal ts the click sorts first, so the
+    join is inclusive.  100 TB shape: one hash exchange on the join
+    key and a per-key sort -- the same cost as a groupBy, with no
+    row-count blowup; skewed users split fine under AQE because the
+    window is per-user-partition, not global."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_click")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_click")
+    )
+    u = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("is_click") == 1, F.col("event_id"))
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    return (
+        u.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "is_click",
+            F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+            F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+        )
+        .filter(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            "click_ts",
+        )
+    )
