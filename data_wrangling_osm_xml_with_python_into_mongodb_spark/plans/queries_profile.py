@@ -420,8 +420,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ts <= purchase ts); at equal ts the click sorts first, so the
     join is inclusive.  100 TB shape: one hash exchange on the join
     key and a per-key sort -- the same cost as a groupBy, with no
-    row-count blowup; skewed users split fine under AQE because the
-    window is per-user-partition, not global."""
+    row-count blowup.  Skew caveat: AQE does NOT split window
+    partitions (only joins/aggs), so one pathologically hot key
+    serializes its sort; the fix at that point is time-bucketing the
+    key (salt by coarse ts bucket, carry the bucket-boundary state
+    forward) -- not needed at any tested scale."""
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", F.lit(1).alias("is_click")
