@@ -386,3 +386,100 @@ def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("first_only").alias("cohort"), "o_custkey"
     )
     return both.unionByName(first_only)
+
+
+_RJ_BANDS = 12
+_RJ_BUCKETS = 256
+
+
+@register(
+    "rj1_range_join_buckets",
+    "Range (interval) join -- the non-equi join Spark has no native "
+    "operator for: every event joined to the variable-width value band "
+    "containing it.  Spark side implements the production technique "
+    "(band intervals exploded onto a fixed bucket grid, broadcast "
+    "equi-join on bucket, residual BETWEEN filter); the oracle is the "
+    "plain non-equi join, so the bucketing must be exactly lossless.",
+    f"""
+    WITH ranked AS (
+      SELECT value,
+             ntile({_RJ_BANDS}) OVER (ORDER BY value, event_id) AS band
+      FROM events
+    ),
+    bands AS (
+      SELECT band, min(value) AS lo, max(value) AS hi
+      FROM ranked GROUP BY band
+    )
+    SELECT b.band,
+           round(b.lo, 4) AS lo,
+           round(b.hi, 4) AS hi,
+           count(*) AS n,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
+    GROUP BY b.band, b.lo, b.hi
+    """,
+    tags=("join", "range"),
+)
+def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A naive range join is a cartesian product with a filter --
+    O(rows x bands) compares and a single-task BroadcastNestedLoopJoin
+    at scale.  The bucket-grid rewrite makes it an EQUI-join: chop the
+    value domain into 256 fixed buckets, explode each band
+    onto the buckets its [lo, hi] overlaps (monotone floor arithmetic,
+    so membership is exactly preserved), broadcast that small exploded
+    dim, hash-join on bucket, and keep the BETWEEN as a residual
+    filter.  Each probe row meets only the bands sharing its bucket
+    (~1), not all of them.  The band dim build uses ntile (a global
+    sort) -- fine for a dim-sized build; at 100 TB you would derive
+    band edges from approx_percentile instead, which changes only the
+    edge VALUES, not this join plan."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = (
+        ev.select(
+            "value",
+            F.ntile(_RJ_BANDS)
+            .over(Window.orderBy("value", "event_id"))
+            .alias("band"),
+        )
+        .groupBy("band")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    stats = ev.agg(
+        F.min("value").alias("mn"),
+        ((F.max("value") - F.min("value")) / _RJ_BUCKETS).alias("w"),
+    )
+    bucket = lambda v: F.least(  # noqa: E731
+        F.floor((v - F.col("mn")) / F.col("w")), F.lit(_RJ_BUCKETS - 1)
+    )
+    bands_b = (
+        bands.crossJoin(F.broadcast(stats))
+        .select(
+            "band",
+            "lo",
+            "hi",
+            F.explode(
+                F.sequence(bucket(F.col("lo")), bucket(F.col("hi")))
+            ).alias("bucket"),
+        )
+    )
+    probe = ev.crossJoin(F.broadcast(stats)).select(
+        "value", bucket(F.col("value")).alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(bands_b), "bucket")
+        .filter(F.col("value").between(F.col("lo"), F.col("hi")))
+        .groupBy("band", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "band",
+            F.round("lo", 4).alias("lo"),
+            F.round("hi", 4).alias("hi"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -458,3 +458,65 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_ts",
         )
     )
+
+
+@register(
+    "hr1_hypertable_rollup",
+    "Hypertable-style cascaded rollup (continuous-aggregate pattern): "
+    "the hourly aggregate is computed FROM the 1-minute partial "
+    "aggregates (sum/count partials re-aggregated; the per-hour "
+    "partial count itself is a top-level metric), not from raw events -- the incremental-materialization "
+    "shape where each coarser resolution reads the much smaller finer "
+    "level.  The oracle aggregates raw events straight to hourly, so "
+    "the cascade must be exactly associativity-correct.",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT time_bucket(INTERVAL '1 minute', ts)) AS n_minutes
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+    tags=("timeseries", "rollup", "agg"),
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level 0: raw -> 1-minute partials (count + sum, the mergeable
+    state).  Level 1: hourly = re-aggregation of 60x-fewer partial
+    rows; n_minutes (partials per hour) only EXISTS at the cascade
+    level -- the oracle must reconstruct it as a distinct-count over
+    raw timestamps, pinning that the cascade groups correctly.
+    Ratio metrics (avg) belong one layer up, derived from sum/count;
+    emitting them here would hit engine rounding-mode differences on
+    exact .5 ulp boundaries (observed: Spark half-up vs DuckDB
+    half-even at sum/8).  At 100 TB
+    the minute partials are the materialized continuous aggregate a
+    streaming job maintains incrementally; every coarser dashboard
+    resolution reads THEM, never the raw hypertable.  Both
+    aggregations are partial+final hash aggs; the minute level
+    pre-partitions by (bucket, type) so the hourly shuffle is tiny."""
+    ev = _t(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            F.window("ts", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+        .select(F.col("w.start").alias("mstart"), "event_type", "pn", "psum")
+    )
+    return (
+        minute.groupBy(
+            F.window("mstart", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").alias("vsum"),
+            F.count(F.lit(1)).alias("n_minutes"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            F.round(F.col("vsum"), 2).alias("total_value"),
+            "n_minutes",
+        )
+    )
