@@ -494,29 +494,14 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming job maintains incrementally; every coarser dashboard
     resolution reads THEM, never the raw hypertable.  Both
     aggregations are partial+final hash aggs; the minute level
-    pre-partitions by (bucket, type) so the hourly shuffle is tiny."""
+    pre-partitions by (bucket, type) so the hourly shuffle is tiny.
+    The level functions are shared with streaming/events.py, whose
+    streaming form maintains level 0 incrementally (pytest ties
+    stream == this batch cascade)."""
+    from ..streaming.events import (
+        minute_partial_counts,
+        rollup_hourly_from_partials,
+    )
+
     ev = _t(spark, sf_dir, "events")
-    minute = (
-        ev.groupBy(
-            F.window("ts", "1 minute").alias("w"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
-        .select(F.col("w.start").alias("mstart"), "event_type", "pn", "psum")
-    )
-    return (
-        minute.groupBy(
-            F.window("mstart", "1 hour").alias("w"), "event_type"
-        )
-        .agg(
-            F.sum("pn").alias("n"),
-            F.sum("psum").alias("vsum"),
-            F.count(F.lit(1)).alias("n_minutes"),
-        )
-        .select(
-            F.col("w.start").alias("hour_start"),
-            "event_type",
-            "n",
-            F.round(F.col("vsum"), 2).alias("total_value"),
-            "n_minutes",
-        )
-    )
+    return rollup_hourly_from_partials(minute_partial_counts(ev))

@@ -275,3 +275,61 @@ def run_session_windows_to_memory_sink(
     finally:
         q.stop()
     return spark.table(table_name)
+
+
+def minute_partial_counts(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Level-0 continuous aggregate: 1-minute (count, sum) partials per
+    event type -- the mergeable state every coarser rollup reads
+    (hr1_hypertable_rollup's cascade base).  Batch/stream dual: the
+    streaming form is the incrementally-maintained materialization."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+        .select(F.col("w.start").alias("mstart"), "event_type", "pn", "psum")
+    )
+
+
+def rollup_hourly_from_partials(partials: DataFrame) -> DataFrame:
+    """Level 1 of the cascade: hourly totals re-aggregated from the
+    minute partials (never from raw events).  Associativity of
+    count/sum makes this exact; ratio metrics belong to consumers."""
+    return (
+        partials.groupBy(F.window("mstart", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").alias("vsum"),
+            F.count(F.lit(1)).alias("n_minutes"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            F.round(F.col("vsum"), 2).alias("total_value"),
+            "n_minutes",
+        )
+    )
+
+
+def run_rollup_cascade_to_memory_sink(
+    spark: SparkSession, sf_dir: str, table_name: str = "minute_partials"
+) -> DataFrame:
+    """Maintain the minute-partial level under Structured Streaming
+    (complete mode on a static dir), then batch-roll the hourly level
+    off the streamed partials -- the full continuous-aggregate shape:
+    stream keeps level 0 fresh, cheap periodic batch derives level 1."""
+    partials = minute_partial_counts(read_event_stream(spark, sf_dir))
+    q = (
+        partials.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return rollup_hourly_from_partials(spark.table(table_name))

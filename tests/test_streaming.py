@@ -149,3 +149,27 @@ def test_native_session_windows_stream_equals_batch(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_rollup_cascade_stream_equals_batch(spark):
+    """The hourly rollup computed off STREAM-maintained minute partials
+    must equal the oracle-gated batch cascade (hr1_hypertable_rollup)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        run_rollup_cascade_to_memory_sink,
+    )
+
+    key = lambda r: (r["hour_start"], r["event_type"])  # noqa: E731
+    val = lambda r: (r["n"], r["total_value"], r["n_minutes"])  # noqa: E731
+    batch = {
+        key(r): val(r)
+        for r in REGISTRY["hr1_hypertable_rollup"].spark(spark, SF_DIR).collect()
+    }
+    stream = {
+        key(r): val(r)
+        for r in run_rollup_cascade_to_memory_sink(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
