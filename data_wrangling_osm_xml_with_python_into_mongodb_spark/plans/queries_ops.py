@@ -483,3 +483,41 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_SQL2 = """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql2_local_supplier_volume",
+    "TPC-H Q5-style local-supplier-volume: a 6-table join (two fact "
+    "tables, four dims) as LITERAL SQL over temp views, same string as "
+    "the DuckDB oracle.  The interesting part is what Catalyst does "
+    "unprompted: region/nation/supplier broadcast, the region filter "
+    "transitively prunes nation before the fact joins, and the date "
+    "range pushes into the orders scan.",
+    _SQL2,
+    tags=("sql", "join", "agg"),
+)
+def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No hints on purpose: the plan must come out right from the
+    declarative form alone (BroadcastHashJoins for every dim side,
+    PushedFilters on o_orderdate) -- the 100 TB posture is identical,
+    with AQE choosing shuffle-hash vs broadcast by runtime stats."""
+    for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SQL2)
