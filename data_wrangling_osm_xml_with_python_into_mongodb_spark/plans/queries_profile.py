@@ -505,3 +505,98 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return rollup_hourly_from_partials(minute_partial_counts(ev))
+
+
+_SK_BINS = 1024
+_SK_QS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "sk1_quantile_sketch",
+    "Mergeable quantile sketch: fixed-width 1024-bin histogram over "
+    "l_extendedprice, quantiles read off the cumulative bin counts -- "
+    "the associative-partials pattern (each partition builds a partial "
+    "histogram, partials merge by addition) that answers percentile "
+    "questions at 100 TB in one pass without a global sort.  Bin "
+    "arithmetic is plain IEEE double, so the DuckDB oracle reproduces "
+    "the sketch bit-for-bit: the check pins the sketch itself, with "
+    "error bounded by one bin width by construction.",
+    f"""
+    WITH stats AS (
+      SELECT min(l_extendedprice) AS mn,
+             (max(l_extendedprice) - min(l_extendedprice)) / {_SK_BINS} AS w,
+             count(*) AS n
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT least(CAST(floor((l_extendedprice - mn) / w) AS BIGINT),
+                   {_SK_BINS - 1}) AS bin,
+             count(*) AS cnt
+      FROM lineitem, stats
+      GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin) AS cum_n
+      FROM hist
+    )
+    SELECT q.p,
+           min(cum.bin) AS bin,
+           round(min(stats.mn + (cum.bin + 1) * stats.w), 4) AS est_hi
+    FROM (SELECT CAST(unnest([{", ".join(str(q) for q in _SK_QS)}]) AS DOUBLE) AS p) q
+    CROSS JOIN stats
+    JOIN cum ON cum.cum_n >= ceil(q.p * stats.n)
+    GROUP BY q.p
+    """,
+    tags=("sketch", "agg", "profiling"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan for (min, max, n), one scan binned into a 1024-row
+    histogram (partial+final hash agg -- the partials ARE the
+    mergeable sketch), then driver-sized work: a running sum over
+    1024 rows and three lookups.  Contrast with exact percentiles
+    (a8): those sort every group; this never sorts anything larger
+    than the bin table, at the cost of a one-bin-width error bound."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        ((F.max("l_extendedprice") - F.min("l_extendedprice")) / _SK_BINS).alias(
+            "w"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    hist = (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / F.col("w")).cast(
+                    "long"
+                ),
+                F.lit(_SK_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("cnt").over(Window.orderBy("bin")).alias("cum_n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in _SK_QS])
+    ).alias("p")
+    return (
+        cum.crossJoin(F.broadcast(stats))
+        .select("bin", "cum_n", "mn", "w", "n")
+        .crossJoin(li.sparkSession.range(1).select(qs).select("p"))
+        .filter(F.col("cum_n") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.round(
+                F.min(F.col("mn") + (F.col("bin") + 1) * F.col("w")), 4
+            ).alias("est_hi"),
+        )
+    )

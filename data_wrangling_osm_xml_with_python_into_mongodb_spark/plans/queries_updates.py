@@ -133,3 +133,67 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "m7_scd2_history",
+    "Slowly-changing-dimension (type 2) history build: the per-user "
+    "event_type stream collapsed to state-change rows with "
+    "[valid_from, valid_to) intervals and a current flag -- the "
+    "warehouse primitive that turns an append-only event log into a "
+    "point-in-time dimension.  Deterministic total order everywhere "
+    "((ts, event_id) tiebreak) so both engines cut identical intervals.",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, state, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR state <> prev_state
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id)
+             AS valid_to,
+           CAST(lead(valid_from) OVER
+             (PARTITION BY user_id ORDER BY valid_from, event_id)
+             IS NULL AS INTEGER) AS is_current
+    FROM changes
+    """,
+    tags=("updates", "scd", "window"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two windows over the SAME (user_id, ts, event_id) sort -- Spark
+    plans one exchange + one sort and reuses them for both the lag
+    (change detection) and the lead (interval close), so the whole
+    history build costs a single shuffle.  100 TB shape: identical;
+    per-user partitions, no global sort, no state blowup (output is
+    <= input rows)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_state"),
+        )
+        .filter(F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state")))
+        .select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )
