@@ -521,3 +521,96 @@ def q_sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_SQL2)
+
+
+@register(
+    "a11_rollup_matrix",
+    "Multi-level aggregation in one pass: ROLLUP over (returnflag, "
+    "linestatus) produces the detail rows, per-flag subtotals and the "
+    "grand total together with a grouping_id discriminator -- the "
+    "operator class behind every drill-down report matrix.",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS INTEGER) AS gid,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native rollup: Spark expands the grouping sets inside ONE
+    partial+final hash aggregate (an Expand node feeding the agg), so
+    all three levels cost a single scan + single shuffle -- not three
+    separate group-bys unioned.  grouping() disambiguates real NULL
+    keys from subtotal rows; both engines define it identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "n",
+            "total_price",
+        )
+    )
+
+
+_PIVOT_TYPES = ("click", "purchase", "signup", "view", "error")
+
+
+@register(
+    "p11_pivot_event_matrix",
+    "Pivot: per-user event counts spread into one column per event "
+    "type (long -> wide reshaping for feature tables).  The oracle is "
+    "the portable conditional-aggregation form, which is also exactly "
+    "what Spark compiles pivot() into -- one scan, one shuffle.",
+    f"""
+    SELECT user_id,
+           {", ".join(
+               f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+               for t in _PIVOT_TYPES
+           )},
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() with the value list GIVEN explicitly -- omitting it
+    makes Spark run a blocking distinct scan first to discover the
+    columns, which is a schema-inference anti-pattern at 100 TB.
+    With the list pinned, the plan is a single partial+final hash
+    agg over (user_id), no extra pass."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    # Per-type value sums re-added for the total: exact in decimal terms
+    # (event values carry 2 decimals, so partial sums are exact 2-decimal
+    # quantities and addition order cannot move the rounded result).
+    total = F.round(
+        sum(F.coalesce(F.col(f"{t}_v"), F.lit(0.0)) for t in _PIVOT_TYPES), 2
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+        total.alias("total_value"),
+    )
