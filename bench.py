@@ -52,6 +52,24 @@ HEADLINE = [
     "w2_top2_orders_per_customer",
 ]
 
+# Round-7 additions timed as their own block: kept OUT of the headline
+# so round-over-round headline comparisons stay apples-to-apples; one
+# pass each (they are sub-second-to-seconds queries, the min-of-3
+# protocol is reserved for the headline).
+EXTENDED = [
+    "aj1_asof_join",
+    "rj1_range_join_buckets",
+    "hr1_hypertable_rollup",
+    "sk1_quantile_sketch",
+    "m7_scd2_history",
+    "a11_rollup_matrix",
+    "p11_pivot_event_matrix",
+    "i1_bm25_topk",
+    "t9_pii_redaction",
+    "t11_unigram_logprob",
+    "sql2_local_supplier_volume",
+]
+
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
 
 
@@ -80,7 +98,7 @@ def _append_history(result: dict) -> None:
 
 
 def _time_queries(
-    spark, qs, sf_dir: str, n_passes: int = 3
+    spark, qs, sf_dir: str, n_passes: int = 3, names: list[str] | None = None
 ) -> tuple[dict[str, float], dict[str, float]]:
     """Min + spread (max-min) per headline query over ``n_passes``.
 
@@ -91,9 +109,10 @@ def _time_queries(
     at; spread is the noise floor a judge needs to tell a code
     regression from a slow sandbox day.
     """
-    all_times: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    names = HEADLINE if names is None else names
+    all_times: dict[str, list[float]] = {name: [] for name in names}
     for _pass in range(n_passes):
-        for name in HEADLINE:
+        for name in names:
             fn = qs[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -339,6 +358,9 @@ def main() -> int:
     qs["a3_orders_by_status"](spark, sf_dir).collect()
 
     timings, spreads = _time_queries(spark, qs, sf_dir, n_passes=3)
+    ext_timings, _ = _time_queries(
+        spark, qs, sf_dir, n_passes=1, names=EXTENDED
+    )
 
     # ETL input scales with the benchmark SF (77 MB -- the reference's
     # own extract size -- at the default sf0.1).
@@ -351,6 +373,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "ext": ext_timings,
         "sf": sf,
         **etl,
         "ts": int(time.time()),
