@@ -58,6 +58,7 @@ HEADLINE = [
 # protocol is reserved for the headline).
 EXTENDED = [
     "aj1_asof_join",
+    "aj2_interval_join_pairs",
     "rj1_range_join_buckets",
     "hr1_hypertable_rollup",
     "sk1_quantile_sketch",

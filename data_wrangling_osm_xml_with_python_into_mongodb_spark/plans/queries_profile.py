@@ -600,3 +600,52 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_hi"),
         )
     )
+
+
+@register(
+    "aj2_interval_join_pairs",
+    "Bounded-lookback interval join: every (purchase, click) pair of "
+    "the same user with the click at most 1 hour before the purchase "
+    "-- the attribution-window join, and the batch twin of the "
+    "stream-stream event-time range join (streaming/events.py; "
+    "watermarks bound the join state exactly because the range is "
+    "bounded).",
+    """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+    tags=("join", "interval", "streaming"),
+)
+def q_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key on user_id with the time range as a join residual:
+    Spark plans a shuffle join on the key, and the bounded range is
+    what makes the STREAMING form viable -- each side's state expires
+    once the watermark passes the 1-hour window, so state is O(rate x
+    window), not O(history).  The unbounded as-of (aj1) cannot stream
+    for exactly this reason."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        )
+        .select("purchase_id", "click_id", "user_id")
+    )

@@ -333,3 +333,52 @@ def run_rollup_cascade_to_memory_sink(
     finally:
         q.stop()
     return rollup_hourly_from_partials(spark.table(table_name))
+
+
+def interval_join_pairs_stream(
+    purchases: DataFrame, clicks: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream event-time range join: purchases x clicks of the
+    same user with the click in [purchase - 1h, purchase].  Both sides
+    are watermarked and the range condition is BOUNDED, so Spark can
+    expire each side's join state as the watermark advances -- the
+    canonical pattern where stream-stream joins stay O(rate x window)
+    instead of O(history).  Batch twin (same pair set, DuckDB-gated):
+    aj2_interval_join_pairs."""
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+
+
+def run_interval_join_to_memory_sink(
+    spark: SparkSession, sf_dir: str, table_name: str = "interval_join_pairs"
+) -> DataFrame:
+    stream = read_event_stream(spark, sf_dir)
+    out = interval_join_pairs_stream(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)

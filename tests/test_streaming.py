@@ -173,3 +173,25 @@ def test_rollup_cascade_stream_equals_batch(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream event-time range join (watermarked both sides)
+    must emit exactly the oracle-gated batch pair set."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries import (
+        REGISTRY,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        run_interval_join_to_memory_sink,
+    )
+
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in REGISTRY["aj2_interval_join_pairs"].spark(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r["purchase_id"], r["click_id"])
+        for r in run_interval_join_to_memory_sink(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
