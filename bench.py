@@ -60,6 +60,7 @@ EXTENDED = [
     "aj1_asof_join",
     "aj2_interval_join_pairs",
     "rj1_range_join_buckets",
+    "g2_radius_join_grid",
     "hr1_hypertable_rollup",
     "sk1_quantile_sketch",
     "m7_scd2_history",

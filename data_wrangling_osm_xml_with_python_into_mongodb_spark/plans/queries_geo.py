@@ -108,3 +108,113 @@ def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("_id").alias("min_id"),
     )
+
+
+_G2_R = 0.01  # radius in coordinate degrees (fixture spans ~0.2 x 0.2)
+
+
+@register(
+    "g2_radius_join_grid",
+    "Spatial radius join via grid-cell bucketing: for each of the 5 "
+    "lowest-id nodes, every other node within 0.01 deg -- query points "
+    "explode onto their 3x3 neighbor cells (cell size = radius, so the "
+    "neighborhood provably covers the circle), equi-join on cell, "
+    "exact squared-distance residual.  The oracle is the naive "
+    "all-pairs join, so the bucketing must be lossless; distance "
+    "arithmetic is multiplication-only (no trig), which both engines "
+    "evaluate bit-identically.",
+    f"""
+    WITH nodes AS (
+      SELECT _id, lat, lon
+      FROM read_parquet('{FIXTURE_PARQUET}')
+      WHERE doc_type = 'node' AND lat IS NOT NULL AND lon IS NOT NULL
+    ),
+    q AS (
+      SELECT _id AS qid, lat AS qlat, lon AS qlon
+      FROM nodes ORDER BY _id LIMIT 5
+    ),
+    pairs AS (
+      SELECT q.qid, n._id,
+             (n.lat - q.qlat) * (n.lat - q.qlat)
+             + (n.lon - q.qlon) * (n.lon - q.qlon) AS d2
+      FROM q JOIN nodes n ON n._id <> q.qid
+      WHERE (n.lat - q.qlat) * (n.lat - q.qlat)
+            + (n.lon - q.qlon) * (n.lon - q.qlon) <= {_G2_R} * {_G2_R}
+    ),
+    ranked AS (
+      SELECT qid, _id, d2,
+             row_number() OVER (PARTITION BY qid ORDER BY d2, _id) AS rn
+      FROM pairs
+    )
+    SELECT c.qid, c.n_within, r._id AS nearest_id,
+           round(sqrt(r.d2), 6) AS min_dist
+    FROM (SELECT qid, count(*) AS n_within FROM pairs GROUP BY qid) c
+    JOIN ranked r ON r.qid = c.qid AND r.rn = 1
+    """,
+    tags=("geo", "join", "range"),
+)
+def q_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2D sibling of rj1's bucket-grid rewrite: a naive radius
+    join compares every point against every query (a cross join); the
+    grid form compares each point only against queries sharing one of
+    its 3x3 cells.  At planet scale with millions of query points the
+    SAME plan holds -- both sides bucket to cells, the join is
+    shuffle-equi on the cell id, and each circle's candidate set is
+    O(density x 9 cells).  sqrt is IEEE-correctly-rounded, so the
+    rounded distance is engine-portable."""
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    nodes = raw.filter(
+        (F.col("doc_type") == "node")
+        & F.col("lat").isNotNull()
+        & F.col("lon").isNotNull()
+    ).select("_id", "lat", "lon")
+    r = F.lit(_G2_R)
+    qpts = (
+        nodes.orderBy("_id")
+        .limit(5)
+        .select(
+            F.col("_id").alias("qid"),
+            F.col("lat").alias("qlat"),
+            F.col("lon").alias("qlon"),
+        )
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    qgrid = (
+        qpts.select("*", off.alias("dx"))
+        .select("*", off.alias("dy"))
+        .select(
+            "qid",
+            "qlat",
+            "qlon",
+            (F.floor(F.col("qlon") / r) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("qlat") / r) + F.col("dy")).alias("cy"),
+        )
+    )
+    cand = nodes.select(
+        "_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lon") / r).alias("cx"),
+        F.floor(F.col("lat") / r).alias("cy"),
+    )
+    d2 = (F.col("lat") - F.col("qlat")) * (F.col("lat") - F.col("qlat")) + (
+        F.col("lon") - F.col("qlon")
+    ) * (F.col("lon") - F.col("qlon"))
+    pairs = (
+        cand.join(F.broadcast(qgrid), ["cx", "cy"])
+        .filter((F.col("_id") != F.col("qid")) & (d2 <= r * r))
+        .select("qid", "_id", d2.alias("d2"))
+    )
+    return (
+        pairs.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min(F.struct("d2", "_id")).alias("_near"),
+        )
+        .select(
+            "qid",
+            "n_within",
+            F.col("_near._id").alias("nearest_id"),
+            F.round(F.sqrt(F.col("_near.d2")), 6).alias("min_dist"),
+        )
+    )
