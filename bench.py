@@ -7,12 +7,20 @@ Env:
 
 Output: {"metric": "headline_queries_wall", "value": <total sec>,
          "unit": "sec", "queries": {name: sec, ...},
-         "spread": {name: sec, ...}, "sf": 0.1,
-         "sf1": {...same shape at 10x scale...}}
+         "spread": {name: sec, ...}, "tmean": {name: sec, ...},
+         "value_tmean": <total sec>,
+         "ext": {name: sec, ...},   # round-extension block, 1 pass each
+         "sf": 0.1,
+         "sf1": {...same shape at 10x scale...},
+         "skew": {...cap-guarded queries on hot-key-planted data...},
+         "etl_mb_per_s": ..., "ts": ...}
 
 "queries" holds per-query min over N passes (the steady state a
 long-lived cluster runs at); "spread" holds max-min over the same
-passes.  A code regression moves min; environment noise moves spread --
+passes; "tmean" holds the drop-min/drop-max trimmed mean over the same
+passes (5 for the sf0.1 headline), the noise-robust center a judge can
+compare round-over-round when the min is an outlier-lucky pass.  A code
+regression moves min AND tmean; environment noise moves spread --
 this is what lets a judge attribute a round-over-round delta to code vs
 sandbox (VERDICT r4/r5 could not adjudicate a 2x swing without it).
 
@@ -99,10 +107,19 @@ def _append_history(result: dict) -> None:
         print(f"# history error: {e}", file=sys.stderr)
 
 
+def _trimmed_mean(ts: list[float]) -> float:
+    """Drop-min/drop-max mean (plain mean below 3 samples): robust to
+    the one-off stall this sandbox injects into otherwise-steady
+    passes, without the min's bias toward the luckiest pass."""
+    if len(ts) >= 3:
+        ts = sorted(ts)[1:-1]
+    return round(sum(ts) / len(ts), 3)
+
+
 def _time_queries(
     spark, qs, sf_dir: str, n_passes: int = 3, names: list[str] | None = None
-) -> tuple[dict[str, float], dict[str, float]]:
-    """Min + spread (max-min) per headline query over ``n_passes``.
+) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
+    """Min + spread (max-min) + trimmed mean per query over ``n_passes``.
 
     The first pass doubles as heap warm-up: this environment faults in
     fresh JVM heap pages at ~20-100 MB/s (warm pages are ~4 GB/s), so
@@ -124,7 +141,8 @@ def _time_queries(
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
     mins = {name: min(ts) for name, ts in all_times.items()}
     spreads = {name: round(max(ts) - min(ts), 3) for name, ts in all_times.items()}
-    return mins, spreads
+    tmeans = {name: _trimmed_mean(ts) for name, ts in all_times.items()}
+    return mins, spreads, tmeans
 
 
 def _src_fingerprint(src_dir: str, scheme: str) -> str:
@@ -250,7 +268,7 @@ def _run_block(block: str, sf_dir: str) -> int:
             print("{}")
             spark.stop()
             return 0
-        t1, s1 = _time_queries(spark, qs, sf1_dir, n_passes=2)
+        t1, s1, _tm1 = _time_queries(spark, qs, sf1_dir, n_passes=2)
         print(
             json.dumps(
                 {
@@ -359,8 +377,11 @@ def main() -> int:
     # query, not session startup.
     qs["a3_orders_by_status"](spark, sf_dir).collect()
 
-    timings, spreads = _time_queries(spark, qs, sf_dir, n_passes=3)
-    ext_timings, _ = _time_queries(
+    # min-of-5 for the headline (was 3): this sandbox's identical-code
+    # wall swings ±15%+ at 3 passes (VERDICT r7 #6); 5 passes plus the
+    # trimmed mean make round-over-round headline deltas readable.
+    timings, spreads, tmeans = _time_queries(spark, qs, sf_dir, n_passes=5)
+    ext_timings, _, _ = _time_queries(
         spark, qs, sf_dir, n_passes=1, names=EXTENDED
     )
 
@@ -375,6 +396,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
+        "tmean": tmeans,
+        "value_tmean": round(sum(tmeans.values()), 3),
         "ext": ext_timings,
         "sf": sf,
         **etl,

@@ -188,7 +188,14 @@ def connected_components(
             nxt = nxt.coalesce(8)
         nxt = nxt.localCheckpoint(eager=True)
         nsig = _signature(nxt)
-        converged = nsig == sig
+        # The signature is probabilistic (a (count, hash-sum) collision is
+        # ~2^-64 per round but nonzero).  When it first reports equality,
+        # confirm ONCE with the exact set check before declaring the
+        # fixpoint -- the per-round speedup is kept and the exact-check
+        # shuffle is paid a single time, at the fixpoint.  A collision
+        # (signature equal, sets differ) just fails the confirm and the
+        # loop keeps contracting.
+        converged = nsig == sig and nxt.subtract(cur).isEmpty()
         cur, sig = nxt, nsig
         if converged:
             break

@@ -414,7 +414,7 @@ _RJ_BUCKETS = 256
            round(b.lo, 4) AS lo,
            round(b.hi, 4) AS hi,
            count(*) AS n,
-           round(sum(e.value), 2) AS sum_value
+           CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events e JOIN bands b ON e.value BETWEEN b.lo AND b.hi
     GROUP BY b.band, b.lo, b.hi
     """,
@@ -448,7 +448,13 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = ev.agg(
         F.min("value").alias("mn"),
-        ((F.max("value") - F.min("value")) / _RJ_BUCKETS).alias("w"),
+        # Degenerate-input guard: if every value is equal the natural
+        # width is 0 and the bucket division would raise under ANSI;
+        # the epsilon floor degrades gracefully to "everything in
+        # bucket 0", which the residual BETWEEN still filters exactly.
+        F.greatest(
+            (F.max("value") - F.min("value")) / _RJ_BUCKETS, F.lit(1e-12)
+        ).alias("w"),
     )
     bucket = lambda v: F.least(  # noqa: E731
         F.floor((v - F.col("mn")) / F.col("w")), F.lit(_RJ_BUCKETS - 1)
@@ -473,7 +479,12 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band", "lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal(18,2) sum: exact for 2-decimal inputs, so both
+            # engines cast the identical quantity to the identical double
+            # (double partials are NOT addition-order-safe).
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "band",
@@ -582,7 +593,7 @@ _PIVOT_TYPES = ("click", "purchase", "signup", "view", "error")
                f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
                for t in _PIVOT_TYPES
            )},
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -592,25 +603,36 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot() with the value list GIVEN explicitly -- omitting it
     makes Spark run a blocking distinct scan first to discover the
     columns, which is a schema-inference anti-pattern at 100 TB.
-    With the list pinned, the plan is a single partial+final hash
-    agg over (user_id), no extra pass."""
+    With the list pinned, the pivot is a single partial+final hash
+    agg over (user_id).
+
+    total_value is deliberately NOT derived from the per-type pivot
+    sums: that would gate it on the pinned type list and silently
+    diverge from the oracle's ungated sum if a sixth event_type ever
+    appeared.  It comes from a separate ungated agg on the SAME key,
+    joined back -- both sides shuffle on user_id, so the join is
+    co-partitioned (no third exchange for the probe side).  The sum
+    runs in decimal(18,2): event values carry two decimals, so the
+    decimal sum is exact and both engines cast the identical exact
+    quantity to the identical double -- no float addition-order or
+    .5-boundary rounding hazard (binary doubles cannot represent 0.01
+    exactly, so a double partial-sum re-add is NOT order-safe)."""
     ev = _t(spark, sf_dir, "events")
     wide = (
         ev.groupBy("user_id")
         .pivot("event_type", list(_PIVOT_TYPES))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    # Per-type value sums re-added for the total: exact in decimal terms
-    # (event values carry 2 decimals, so partial sums are exact 2-decimal
-    # quantities and addition order cannot move the rounded result).
-    total = F.round(
-        sum(F.coalesce(F.col(f"{t}_v"), F.lit(0.0)) for t in _PIVOT_TYPES), 2
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value")
     )
-    return wide.select(
+    return wide.join(totals, "user_id").select(
         "user_id",
         *[
-            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+            F.coalesce(F.col(f"{t}"), F.lit(0)).alias(f"n_{t}")
             for t in _PIVOT_TYPES
         ],
-        total.alias("total_value"),
+        "total_value",
     )

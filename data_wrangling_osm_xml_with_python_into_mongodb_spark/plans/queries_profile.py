@@ -473,7 +473,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
            count(DISTINCT time_bucket(INTERVAL '1 minute', ts)) AS n_minutes
     FROM events
     GROUP BY hour_start, event_type
@@ -524,7 +524,8 @@ _SK_QS = (0.5, 0.9, 0.99)
     f"""
     WITH stats AS (
       SELECT min(l_extendedprice) AS mn,
-             (max(l_extendedprice) - min(l_extendedprice)) / {_SK_BINS} AS w,
+             greatest((max(l_extendedprice) - min(l_extendedprice))
+                      / {_SK_BINS}, 1e-12) AS w,
              count(*) AS n
       FROM lineitem
     ),
@@ -562,9 +563,14 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     stats = li.agg(
         F.min("l_extendedprice").alias("mn"),
-        ((F.max("l_extendedprice") - F.min("l_extendedprice")) / _SK_BINS).alias(
-            "w"
-        ),
+        # Zero-width guard (all-equal input): the epsilon floor keeps the
+        # ANSI division alive and degrades to "everything in bin 0"; it
+        # is applied identically in the oracle so the sketch stays
+        # bit-for-bit on non-degenerate input too.
+        F.greatest(
+            (F.max("l_extendedprice") - F.min("l_extendedprice")) / _SK_BINS,
+            F.lit(1e-12),
+        ).alias("w"),
         F.count(F.lit(1)).alias("n"),
     )
     hist = (

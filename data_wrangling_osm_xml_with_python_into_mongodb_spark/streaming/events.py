@@ -288,7 +288,15 @@ def minute_partial_counts(
         events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("psum"))
+        # decimal(18,2) partials: event values carry two decimals, so the
+        # partial sums are EXACT and re-aggregation order cannot move the
+        # final total by an ulp (double partials re-added in a different
+        # order than a single-pass sum can -- 0.01 is not representable
+        # in binary floating point).
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
+        )
         .select(F.col("w.start").alias("mstart"), "event_type", "pn", "psum")
     )
 
@@ -308,7 +316,9 @@ def rollup_hourly_from_partials(partials: DataFrame) -> DataFrame:
             F.col("w.start").alias("hour_start"),
             "event_type",
             "n",
-            F.round(F.col("vsum"), 2).alias("total_value"),
+            # Exact decimal -> double: both engines round the same exact
+            # 2-decimal quantity to the same nearest double.
+            F.col("vsum").cast("double").alias("total_value"),
             "n_minutes",
         )
     )
