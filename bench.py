@@ -67,6 +67,7 @@ HEADLINE = [
 EXTENDED = [
     "aj1_asof_join",
     "aj2_interval_join_pairs",
+    "aj3_asof_join_skewed",
     "rj1_range_join_buckets",
     "g2_radius_join_grid",
     "hr1_hypertable_rollup",
@@ -225,8 +226,11 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
         # sandbox's between-pass variance swamps a min-of-2.
         qs["dd2_ngram_jaccard_pairs"](spark, src_dir).count()
         times: dict[str, float] = {}
+        # aj1 vs aj3 on the same hot-user plant is the window-skew
+        # comparison: plain per-user window vs time-bucketed salting.
         for name in ("dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
-                     "dd3_minhash_lsh_pairs", "m3_ref_index_parts"):
+                     "dd3_minhash_lsh_pairs", "m3_ref_index_parts",
+                     "aj1_asof_join", "aj3_asof_join_skewed"):
             best = 1e9
             for _pass in range(3):
                 t0 = _time.time()

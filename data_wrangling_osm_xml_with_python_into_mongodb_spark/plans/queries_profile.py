@@ -385,15 +385,10 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "aj1_asof_join",
-    "As-of join (the time-series operator Spark lacks natively): each "
-    "purchase event attributed to the user's most recent click at or "
-    "before it (tiebreak: max click event_id).  Implemented as the "
-    "scalable union+window formulation -- ONE shuffle on user_id, a "
-    "single sort-based window carrying the last click forward -- not a "
-    "per-key lateral loop or a range cross-join.",
-    """
+# One oracle for BOTH physical as-of strategies (aj1 plain window,
+# aj3 time-bucketed): the LATERAL formulation pins the semantics the
+# bucketing must preserve exactly.
+_ASOF_SQL = """
     SELECT p.event_id AS purchase_id,
            p.user_id,
            p.ts AS purchase_ts,
@@ -409,55 +404,72 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY c.ts DESC, c.event_id DESC
       LIMIT 1
     ) c ON true
-    """,
+    """
+
+
+def _asof_clicks(spark, sf_dir: str, skewed: bool) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        purchases, clicks, on="user_id", ts="ts", idc="event_id",
+        skewed=skewed, bucket="1 day",
+    ).select(
+        F.col("_id").alias("purchase_id"),
+        F.col("_k").alias("user_id"),
+        F.col("_ts").alias("purchase_ts"),
+        F.col("asof_id").alias("click_id"),
+        F.col("asof_ts").alias("click_ts"),
+    )
+
+
+@register(
+    "aj1_asof_join",
+    "As-of join (the time-series operator Spark lacks natively): each "
+    "purchase event attributed to the user's most recent click at or "
+    "before it (tiebreak: max click event_id).  Implemented as the "
+    "scalable union+window formulation -- ONE shuffle on user_id, a "
+    "single sort-based window carrying the last click forward -- not a "
+    "per-key lateral loop or a range cross-join.",
+    _ASOF_SQL,
     tags=("join", "asof", "timeseries"),
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union both event roles, window per user ordered by
-    (ts, clicks-before-purchases, event_id): the carried last non-null
-    click at each purchase row IS the as-of match.  The oracle's
-    LATERAL formulation pins the semantics (max (ts, event_id) click
-    with ts <= purchase ts); at equal ts the click sorts first, so the
-    join is inclusive.  100 TB shape: one hash exchange on the join
-    key and a per-key sort -- the same cost as a groupBy, with no
-    row-count blowup.  Skew caveat: AQE does NOT split window
-    partitions (only joins/aggs), so one pathologically hot key
-    serializes its sort; the fix at that point is time-bucketing the
-    key (salt by coarse ts bucket, carry the bucket-boundary state
-    forward) -- not needed at any tested scale."""
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", F.lit(1).alias("is_click")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", F.lit(0).alias("is_click")
-    )
-    u = clicks.unionByName(purchases)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", F.desc("is_click"), "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    click_id = F.when(F.col("is_click") == 1, F.col("event_id"))
-    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
-    return (
-        u.select(
-            "user_id",
-            "ts",
-            "event_id",
-            "is_click",
-            F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
-            F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
-        )
-        .filter(F.col("is_click") == 0)
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            F.col("ts").alias("purchase_ts"),
-            "click_id",
-            "click_ts",
-        )
-    )
+    """operators/asof.asof_join, plain path: union both event roles,
+    window per user ordered by (ts, clicks-before-purchases, event_id)
+    -- the carried last non-null click at each purchase row IS the
+    as-of match.  The oracle's LATERAL formulation pins the semantics
+    (max (ts, event_id) click with ts <= purchase ts); at equal ts the
+    click sorts first, so the join is inclusive.  100 TB shape: one
+    hash exchange on the join key and a per-key sort -- the same cost
+    as a groupBy, with no row-count blowup.  Skew caveat: AQE does NOT
+    split window partitions (only joins/aggs), so one pathologically
+    hot key serializes its sort; aj3 is the same operator with
+    skewed=True (time-bucketed window salting) for that case."""
+    return _asof_clicks(spark, sf_dir, skewed=False)
+
+
+@register(
+    "aj3_asof_join_skewed",
+    "The SAME as-of join under the skew-resistant strategy: the window "
+    "key is salted with a coarse time bucket so a hot user's sort "
+    "spreads over one task per bucket; cross-bucket matches are "
+    "repaired by a carry-forward join over per-(user, bucket) click "
+    "summaries, whose row count is bounded by the time span -- not the "
+    "hot key's event count.  Oracle identical to aj1: the bucketing "
+    "must be invisible in the result.",
+    _ASOF_SQL,
+    tags=("join", "asof", "timeseries", "skew"),
+)
+def q_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/asof.asof_join with skewed=True, bucket='1 day': see
+    that module's docstring for the carry-forward construction and the
+    shuffle accounting (2 keyed exchanges of the event frame vs aj1's
+    1, each with per-task input bounded by bucket width).  The planted
+    hot-user equality test lives in tests/test_skew_stress.py."""
+    return _asof_clicks(spark, sf_dir, skewed=True)
 
 
 @register(

@@ -45,7 +45,8 @@ def oracle(skew_dir):
 @pytest.mark.parametrize(
     "qname",
     ["dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
-     "dd7_duplicate_clusters", "m3_ref_index_parts", "j4_most_referenced_parts"],
+     "dd7_duplicate_clusters", "m3_ref_index_parts", "j4_most_referenced_parts",
+     "aj1_asof_join", "aj3_asof_join_skewed"],
 )
 def test_skewed_query_matches_oracle(spark, skew_dir, oracle, qname):
     import __spark_entry__ as ent
@@ -78,4 +79,11 @@ def test_planted_shape(spark, skew_dir):
     m3 = ent.queries()["m3_ref_index_parts"](spark, skew_dir)
     hot = m3.orderBy(F.desc("refer_count")).first()
     assert hot["refer_count"] >= 2000
+
+    # Window-skew plant: ONE user with 10^4 events (default hot_events),
+    # the key a plain per-user window serializes onto a single task --
+    # aj1 (plain) and aj3 (time-bucketed) must both stay oracle-equal
+    # on it (parametrized test above).
+    ev = spark.read.parquet(f"{skew_dir}/events.parquet")
+    assert ev.filter(F.col("user_id") == 777_777).count() == 10_000
     assert len(hot["refers"].split("|")) == 100

@@ -62,7 +62,7 @@ DIMS = ["region", "nation"]
 # writes this into its /tmp cache markers so a logic change invalidates
 # previously-generated derived datasets instead of silently re-timing
 # stale data.
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 
 def scale_dir(spark, src: str, dst: str, factor: int = 10) -> None:
@@ -135,8 +135,9 @@ def plant_skew(
     dst: str,
     hot_docs: int = 10_000,
     hot_fanout: int = 10_000,
+    hot_events: int = 10_000,
 ) -> int:
-    """Copy an SF directory and plant two adversarial hot keys:
+    """Copy an SF directory and plant three adversarial hot keys:
 
     * ``documents`` gains ``hot_docs`` rows sharing a 10-stopword
       phrase, so each in-phrase 3-gram shingle has df == hot_docs --
@@ -150,13 +151,24 @@ def plant_skew(
       so m3's inverted index sees a posting list hot_fanout deep (its
       output slices to 100; refer_count carries the full cardinality)
       and j4/salted joins see a skewed build side.
+    * ``events`` gains ``hot_events`` rows for ONE user (user_id
+      777777, one event per minute, clicks with a purchase every 3rd),
+      the window-skew case: a plain per-user window (aj1) serializes
+      all hot_events rows in one task's sort, while the time-bucketed
+      strategy (aj3) spreads them one-bucket-per-task.  Deterministic
+      (ts/type/value derived from the row index) so both engines see
+      identical data.
 
     Returns the hot l_partkey (useful for asserting the planted shape).
     """
     from pyspark.sql import functions as F
 
     os.makedirs(dst, exist_ok=True)
-    passthrough = [t for t in (DIMS + list(FACT_KEYS)) if t not in ("documents", "lineitem")]
+    passthrough = [
+        t
+        for t in (DIMS + list(FACT_KEYS))
+        if t not in ("documents", "lineitem", "events")
+    ]
     for t in passthrough:
         spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
             f"{dst}/{t}.parquet"
@@ -187,6 +199,25 @@ def plant_skew(
     li.unionByName(planted_li).write.mode("overwrite").parquet(
         f"{dst}/lineitem.parquet"
     )
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    max_ev = ev.agg(F.max("event_id")).collect()[0][0]
+    planted_ev = spark.range(hot_events).select(
+        (F.col("id") + F.lit(int(max_ev) + 1)).alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-05 00:00:00"))
+            + F.make_interval(mins=F.col("id").cast("int"))
+        ).alias("ts"),
+        F.lit(777_777).alias("user_id"),
+        F.when(F.col("id") % 3 == 0, F.lit("purchase"))
+        .otherwise(F.lit("click"))
+        .alias("event_type"),
+        ((F.col("id") % 100) / F.lit(100.0) + F.lit(1.0)).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.unionByName(planted_ev.select(ev.columns)).write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/events.parquet")
     return int(hot_part)
 
 
