@@ -69,6 +69,7 @@ EXTENDED = [
     "aj2_interval_join_pairs",
     "aj3_asof_join_skewed",
     "rj1_range_join_buckets",
+    "rj2_range_join_agg_bands",
     "g2_radius_join_grid",
     "hr1_hypertable_rollup",
     "sk1_quantile_sketch",

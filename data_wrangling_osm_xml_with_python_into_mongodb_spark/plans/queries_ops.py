@@ -429,11 +429,16 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     so membership is exactly preserved), broadcast that small exploded
     dim, hash-join on bucket, and keep the BETWEEN as a residual
     filter.  Each probe row meets only the bands sharing its bucket
-    (~1), not all of them.  The band dim build uses ntile (a global
-    sort) -- fine for a dim-sized build; at 100 TB you would derive
-    band edges from approx_percentile instead, which changes only the
-    edge VALUES, not this join plan."""
+    (~1), not all of them.  The rewrite lives in operators/ranges.py
+    (shared with rj2).  THIS query's band dim build uses ntile (a
+    global sort) because equi-depth edges are what the oracle can pin
+    exactly -- fine for a dim-sized build; rj2 is the sort-free band
+    build (aggregate-derived edges), and tests/test_ranges.py covers
+    approx_percentile edges, which change only the edge VALUES, never
+    the join plan."""
     from pyspark.sql import Window
+
+    from ..operators.ranges import range_join
 
     ev = _t(spark, sf_dir, "events").select("event_id", "value")
     bands = (
@@ -446,36 +451,8 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
-    stats = ev.agg(
-        F.min("value").alias("mn"),
-        # Degenerate-input guard: if every value is equal the natural
-        # width is 0 and the bucket division would raise under ANSI;
-        # the epsilon floor degrades gracefully to "everything in
-        # bucket 0", which the residual BETWEEN still filters exactly.
-        F.greatest(
-            (F.max("value") - F.min("value")) / _RJ_BUCKETS, F.lit(1e-12)
-        ).alias("w"),
-    )
-    bucket = lambda v: F.least(  # noqa: E731
-        F.floor((v - F.col("mn")) / F.col("w")), F.lit(_RJ_BUCKETS - 1)
-    )
-    bands_b = (
-        bands.crossJoin(F.broadcast(stats))
-        .select(
-            "band",
-            "lo",
-            "hi",
-            F.explode(
-                F.sequence(bucket(F.col("lo")), bucket(F.col("hi")))
-            ).alias("bucket"),
-        )
-    )
-    probe = ev.crossJoin(F.broadcast(stats)).select(
-        "value", bucket(F.col("value")).alias("bucket")
-    )
     return (
-        probe.join(F.broadcast(bands_b), "bucket")
-        .filter(F.col("value").between(F.col("lo"), F.col("hi")))
+        range_join(ev.select("value"), bands, "value", n_buckets=_RJ_BUCKETS)
         .groupBy("band", "lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -492,6 +469,70 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("hi", 4).alias("hi"),
             "n",
             "sum_value",
+        )
+    )
+
+
+@register(
+    "rj2_range_join_agg_bands",
+    "The range join at non-dim band cardinality discipline: band edges "
+    "derived by plain AGGREGATION (per-brand min/max retail price -- "
+    "overlapping intervals), so the whole query contains NO global "
+    "sort, no window, no ntile; every part is joined to every brand "
+    "whose price range contains its price through the same bucket-grid "
+    "equi-join rewrite as rj1 (operators/ranges.py).  Exact-aggregate "
+    "edges keep the oracle exact where approx_percentile edges could "
+    "not be cross-engine-pinned (tests/test_ranges.py proves that path "
+    "against Spark's own naive non-equi join instead).",
+    """
+    WITH bands AS (
+      SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) AS hi
+      FROM part GROUP BY p_brand
+    )
+    SELECT b.p_brand AS brand,
+           round(b.lo, 2) AS lo,
+           round(b.hi, 2) AS hi,
+           count(*) AS n,
+           CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM part p JOIN bands b ON p.p_retailprice BETWEEN b.lo AND b.hi
+    GROUP BY b.p_brand, b.lo, b.hi
+    """,
+    tags=("join", "range"),
+)
+def q_range_join_agg_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: two exact aggregates (band dim + grid stats, both
+    AQE-splittable partial+final hash aggs), broadcast equi-join on
+    bucket, residual BETWEEN, final partial+final agg -- zero sorts
+    anywhere.  This is the 100 TB form rj1's docstring promises: when
+    the band source is no longer dim-buildable by ntile, derive edges
+    by aggregation (or approx_percentile for equi-depth) and reuse the
+    identical join plan."""
+    from ..operators.ranges import range_join
+
+    part = _t(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    bands = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.min("p_retailprice").alias("lo"),
+        F.max("p_retailprice").alias("hi"),
+    )
+    return (
+        range_join(
+            part.select("p_retailprice"), bands, "p_retailprice",
+            n_buckets=_RJ_BUCKETS,
+        )
+        .groupBy("brand", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "brand",
+            F.round("lo", 2).alias("lo"),
+            F.round("hi", 2).alias("hi"),
+            "n",
+            "sum_price",
         )
     )
 
