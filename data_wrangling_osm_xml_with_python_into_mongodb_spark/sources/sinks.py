@@ -87,3 +87,93 @@ def write_mongodb(
         ):
             return False
         raise
+
+
+def _bsonable(v):
+    """Row/Decimal/numpy scalars -> plain BSON-encodable Python."""
+    import decimal
+
+    from pyspark.sql import Row
+
+    if isinstance(v, Row):
+        return {k: _bsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _bsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_bsonable(x) for x in v]
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if hasattr(v, "item") and type(v).__module__ == "numpy":
+        return v.item()
+    return v
+
+
+def write_mongodb_wire(
+    docs: DataFrame,
+    host: str,
+    port: int,
+    database: str,
+    collection: str,
+    mode: str = "overwrite",
+    batch_size: int = 1000,
+) -> int:
+    """First-party MongoDB sink over the raw wire protocol (reference
+    S4 -- mongoimport bulk load, main.ipynb:1269-1270 -- re-expressed
+    as a DISTRIBUTED insert): every partition opens its own OP_MSG
+    connection (sources/mongo_wire.py, no driver dependency) and bulk
+    inserts its rows in ``batch_size`` batches, so the load runs from
+    all executors in parallel instead of funneling through one
+    mongoimport process.  ``mode='overwrite'`` drops the collection
+    first, mirroring the reference's drop-then-recreate lifecycle
+    (mongo_audit.py:325-327).  Returns the server's post-load count --
+    callers assert it against ``docs.count()`` for the round-trip
+    check.  Proven e2e against tools/fake_mongod.py (real TCP, real
+    BSON) in tests/test_mongo_wire.py; a real mongod accepts the same
+    bytes."""
+    from .mongo_wire import MongoWireClient
+
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    with MongoWireClient(host, port) as admin:
+        if mode == "overwrite":
+            admin.drop_collection(database, collection)
+
+        def _write_partition(rows) -> None:
+            client = MongoWireClient(host, port)
+            try:
+                batch: list[dict] = []
+                for row in rows:
+                    batch.append(_bsonable(row))
+                    if len(batch) >= batch_size:
+                        client.insert_many(database, collection, batch)
+                        batch = []
+                if batch:
+                    client.insert_many(database, collection, batch)
+            finally:
+                client.close()
+
+        docs.foreachPartition(_write_partition)
+        return admin.count(database, collection)
+
+
+def read_mongodb_wire(
+    spark,
+    host: str,
+    port: int,
+    database: str,
+    collection: str,
+    schema=None,
+) -> DataFrame:
+    """Readback for the wire sink: driver-side find (batched cursor)
+    into a DataFrame.  Parity/verification path for collection-sized
+    data -- a production read of a LARGE collection would instead
+    partition the key space and issue one find per partition from
+    executors (same client, one range filter each); the engine's
+    analytic store is parquet, Mongo is the serving-side sink."""
+    from .mongo_wire import MongoWireClient
+
+    with MongoWireClient(host, port) as client:
+        rows = client.find_all(database, collection)
+    if schema is not None:
+        return spark.createDataFrame(rows, schema=schema)
+    return spark.createDataFrame(rows)

@@ -65,6 +65,42 @@ def probe_mongodb(spark) -> str:
         shutil.rmtree(dbpath, ignore_errors=True)
 
 
+def probe_mongodb_wire(spark) -> str:
+    """Wire-protocol round trip -- runs in EVERY environment: the
+    engine's own OP_MSG/BSON client sink (sources/mongo_wire.py)
+    against the in-repo TCP server (tools/fake_mongod.py), real bytes
+    on a real socket; a mongod-equipped environment can point the same
+    sink at a live server unchanged."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.sinks import (
+        read_mongodb_wire,
+        write_mongodb_wire,
+    )
+    from tools.fake_mongod import FakeMongod
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_src = docs.count()
+    with FakeMongod() as srv:
+        n1 = write_mongodb_wire(
+            docs, "127.0.0.1", srv.port, "osm", "documents", mode="overwrite"
+        )
+        n2 = write_mongodb_wire(
+            docs, "127.0.0.1", srv.port, "osm", "documents", mode="overwrite"
+        )
+        back = read_mongodb_wire(
+            spark, "127.0.0.1", srv.port, "osm", "documents", schema=docs.schema
+        )
+        n_back = back.count()
+        same = sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, docs.collect())
+        )
+    assert n1 == n2 == n_back == n_src, (n1, n2, n_back, n_src)
+    assert same, "readback rows differ from source rows"
+    return (
+        f"PASS: {n_src}-row distributed OP_MSG write + overwrite-idempotence "
+        f"+ readback value equality (port {srv.port})"
+    )
+
+
 def probe_merge(spark) -> str:
     """Real MERGE INTO when a transactional catalog exists."""
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.audits import merge_upsert_into
@@ -106,7 +142,11 @@ def main() -> int:
     import pyspark
 
     print(f"pyspark={pyspark.__version__}")
-    for name, probe in (("mongodb_sink", probe_mongodb), ("merge_into", probe_merge)):
+    for name, probe in (
+        ("mongodb_wire_sink", probe_mongodb_wire),
+        ("mongodb_connector_sink", probe_mongodb),
+        ("merge_into", probe_merge),
+    ):
         try:
             print(f"{name}: {probe(spark)}")
         except Exception:
