@@ -237,9 +237,13 @@ def merge_upsert_into(
     Delta/Iceberg jar does), so callers environment-gate exactly like
     the MongoDB sink (sources/sinks.py): attempt, and fall back to
     ``merge_upsert`` + overwrite when the capability is absent.  The
-    sandbox ships no transactional-format jar, so the gated pytest
-    (tests/test_audits.py) documents and skips there, while the
-    statement builder and the transform twin stay fully tested.
+    sandbox ships no transactional-format jar (and no network to
+    vendor one), so the gated pytest (tests/test_audits.py) documents
+    and skips the STATEMENT path there -- but the transactional
+    SEMANTICS execute un-gated via sources/cow_table.CowTable, which
+    implements the same contract (this merge_upsert transform + commit
+    log + copy-on-write file pruning + atomic commits) natively; see
+    tests/test_cow_table.py and the merge_cow probe in SINKS_E2E.txt.
     """
     # Unique per call: a fixed name would let two concurrent merges in
     # one session clobber each other's source view, and the finally

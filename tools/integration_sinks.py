@@ -134,6 +134,32 @@ def probe_merge(spark) -> str:
         spark.sql("DROP TABLE IF EXISTS _merge_e2e")
 
 
+def probe_merge_cow(spark) -> str:
+    """Transactional MERGE via the engine's own copy-on-write table
+    (sources/cow_table.py) -- runs in EVERY environment: commit-log
+    snapshot, file-pruned rewrite, atomic commit, time travel."""
+    import tempfile
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        CowTable,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="cow_e2e_") as d:
+        base = spark.range(1000).repartition(8).selectExpr("id AS k", "id AS v")
+        t = CowTable.create(spark, f"{d}/t", base)
+        src = spark.range(990, 1010).selectExpr("id AS k", "id * 10 AS v")
+        doc = t.merge(src, "k")
+        n = t.read().count()
+        assert n == 1010, f"post-merge count {n} != 1010"
+        assert t.read(0).count() == 1000, "time travel to v0 broken"
+        assert doc["files_kept"] + doc["files_rewritten"] == 8
+        return (
+            f"PASS: MERGE on CowTable (1010 rows post-merge; "
+            f"{doc['files_rewritten']}/8 files rewritten, "
+            f"{doc['files_kept']} carried by reference; v0 time travel ok)"
+        )
+
+
 def main() -> int:
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
 
@@ -146,6 +172,7 @@ def main() -> int:
         ("mongodb_wire_sink", probe_mongodb_wire),
         ("mongodb_connector_sink", probe_mongodb),
         ("merge_into", probe_merge),
+        ("merge_cow", probe_merge_cow),
     ):
         try:
             print(f"{name}: {probe(spark)}")
