@@ -80,6 +80,7 @@ EXTENDED = [
     "t9_pii_redaction",
     "t11_unigram_logprob",
     "sql2_local_supplier_volume",
+    "mm4_jpeg_decode_stats",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

@@ -102,21 +102,31 @@ def _decode_stub(data: bytes, require_codec: bool = False) -> np.ndarray:
 def decode_media(data: bytes) -> np.ndarray:
     """REAL image decode: (H, W, C) uint8 pixels.
 
-    PNG decodes natively via the stdlib codec (functions/png.py) --
-    no external dependency.  Other formats go through PIL when
-    installed; without it they hit the documented codec gate."""
+    PNG and baseline grayscale JPEG decode natively via the stdlib
+    codecs (functions/png.py, functions/jpeg.py) -- no external
+    dependency.  Other formats (color/progressive JPEG, WebP, ...)
+    go through PIL when installed; without it they hit the documented
+    codec gate."""
+    from .jpeg import JPEG_MAGIC, decode_jpeg
     from .png import PNG_MAGIC, decode_png
 
     if data[: len(PNG_MAGIC)] == PNG_MAGIC:
         return decode_png(data)
+    if data[: len(JPEG_MAGIC)] == JPEG_MAGIC:
+        try:
+            return decode_jpeg(data)
+        except ValueError:
+            # Color/progressive JPEG: fall through to the PIL gate.
+            pass
     try:
         import io
 
         from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG payload and no PIL in this environment; PNG decodes "
-            "natively (functions/png.py), other formats need a codec lib"
+            "payload needs a codec this environment lacks; PNG and "
+            "baseline grayscale JPEG decode natively (functions/png.py, "
+            "functions/jpeg.py), other formats need PIL"
         ) from e
     arr = np.asarray(Image.open(io.BytesIO(data)))
     return arr[:, :, None] if arr.ndim == 2 else arr
@@ -147,6 +157,45 @@ def synth_png_media(docs: DataFrame, width: int = 16, height: int = 8) -> DataFr
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "data": payloads}
             )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("data", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synth_jpeg_media(docs: DataFrame, blocks_x: int = 4, blocks_y: int = 2) -> DataFrame:
+    """REAL encoded JPEGs derived deterministically from documents:
+    each doc becomes a (8*blocks_y, 8*blocks_x) grayscale baseline
+    JPEG of CONSTANT 8x8 blocks, block b's value = byte b of
+    md5(text).  Constant blocks survive the lossy pipeline exactly
+    under the default quant table (functions/jpeg.py module
+    docstring), so the full entropy-coding + DCT machinery runs while
+    a DuckDB oracle still predicts every decoded pixel statistic from
+    the md5 hex digits -- the mm3 technique extended to the second
+    format."""
+    from .jpeg import encode_jpeg
+
+    nblocks = blocks_x * blocks_y
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5((text or "").encode("utf-8")).digest()
+                vals = np.frombuffer(digest[:nblocks], dtype=np.uint8)
+                arr = np.repeat(
+                    np.repeat(vals.reshape(blocks_y, blocks_x), 8, axis=0),
+                    8,
+                    axis=1,
+                )
+                payloads.append(encode_jpeg(arr))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": payloads})
 
     return docs.select("doc_id", "text").mapInPandas(
         run,

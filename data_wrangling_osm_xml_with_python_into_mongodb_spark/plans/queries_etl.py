@@ -289,6 +289,56 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_decode_stats(synth_png_media(docs))
 
 
+# Each doc -> a 32x16 grayscale baseline JPEG of eight CONSTANT 8x8
+# blocks, block b's value = digest byte b.  Constant blocks round-trip
+# the lossy pipeline EXACTLY under the uniform-8 quant table (DC =
+# 8*(v-128) is divisible by 8; ACs quantize to 0 -- functions/jpeg.py
+# module docstring), so DuckDB predicts the decoded pixels while Spark
+# runs the full Huffman+DCT decode for real.  Per-pixel stats weight
+# every block equally (64 px each), so mean = sum(bytes)/8.
+_MM4_ORACLE = r"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 200),
+p AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i ->
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1)) AS dig
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(32 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       round(list_sum(dig) / 8.0, 4) AS mean_byte,
+       CAST(list_min(dig) AS INT) AS min_byte,
+       CAST(list_max(dig) AS INT) AS max_byte
+FROM p
+"""
+
+
+@register(
+    "mm4_jpeg_decode_stats",
+    "REAL lossy-format decode under the oracle: each document becomes "
+    "a genuine baseline JPEG (ITU T.81 markers, Annex K Huffman "
+    "tables, zigzag+DCT entropy coding), Spark decodes it with the "
+    "dependency-free stdlib codec (functions/jpeg.py) inside an Arrow "
+    "mapInPandas stage, and DuckDB independently predicts every pixel "
+    "statistic from the md5 hex digits -- exactness engineered via "
+    "quantization-exact constant blocks, so lossy-compression "
+    "machinery runs under an exact oracle.",
+    _MM4_ORACLE,
+    tags=("multimodal", "decode"),
+)
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import png_decode_stats, synth_jpeg_media
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # png_decode_stats dispatches on magic bytes (decode_media), so the
+    # same stats stage serves both native codecs.
+    return png_decode_stats(synth_jpeg_media(docs))
+
+
 _TAG_PROFILE_ORACLE = f"""
 WITH kv AS (
   SELECT t.k AS k, t.v AS v
