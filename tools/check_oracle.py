@@ -4,7 +4,16 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet tables, then compares row count, column
 names/order-insensitive schema, and an order-insensitive value hash.
 
-Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+Usage:  python tools/check_oracle.py [--since REF] [sf_dir] [query ...]
+
+``--since REF`` (e.g. ``--since HEAD``, ``--since origin/main``) runs
+only the queries whose defining module -- or a package module that
+module imports by name -- changed vs REF (committed diff + working
+tree).  Iteration mode for a 90+-query registry; the full-registry
+transcripts (CHECK_FULL_r{N}.txt) are still cut with no flag at round
+end.  The import scan is one level deep by module-name mention, so a
+deep transitive change (operator -> helper -> query) can be missed:
+when touching shared low-level helpers, run the full gate.
 """
 
 from __future__ import annotations
@@ -52,14 +61,75 @@ def value_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
+def _changed_files(ref: str) -> set[str]:
+    """Repo-relative paths changed vs ``ref``: committed diff plus the
+    working tree (staged, unstaged, untracked)."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", REPO, "diff", "--name-only", ref],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    status = subprocess.run(
+        ["git", "-C", REPO, "status", "--porcelain"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    return {p.strip() for p in out if p.strip()} | {
+        ln[3:].strip() for ln in status if ln.strip()
+    }
+
+
+def _changed_queries(qs: dict, ref: str) -> set[str]:
+    """Queries whose defining module changed, or whose defining module
+    mentions a changed package module by name (one-level import
+    heuristic -- see the module docstring caveat)."""
+    import os
+
+    changed = _changed_files(ref)
+    changed_py = {p for p in changed if p.endswith(".py")}
+    # module-name stems of changed package files: "queries_ops", "asof"...
+    changed_stems = {
+        os.path.splitext(os.path.basename(p))[0]
+        for p in changed_py
+        if p.startswith("data_wrangling_osm_xml_with_python_into_mongodb_spark/")
+    }
+    src_cache: dict[str, str] = {}
+    selected = set()
+    for name, fn in qs.items():
+        f = getattr(fn, "__wrapped__", fn).__code__.co_filename
+        rel = os.path.relpath(f, REPO)
+        if rel in changed_py:
+            selected.add(name)
+            continue
+        if f not in src_cache:
+            try:
+                with open(f) as fh:
+                    src_cache[f] = fh.read()
+            except OSError:
+                src_cache[f] = ""
+        if any(stem in src_cache[f] for stem in changed_stems):
+            selected.add(name)
+    return selected
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as ent
     from pyspark.sql import SparkSession
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    since = None
+    if "--since" in args:
+        i = args.index("--since")
+        since = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # Deliberately a VANILLA session (not session.py's tuned builder):
     # the correctness driver constructs its own plain SparkSession, so
@@ -82,6 +152,13 @@ def main() -> int:
         )
 
     qs, oracles = ent.queries(), ent.oracle_sql()
+    if since is not None:
+        picked = _changed_queries(qs, since)
+        only = (only & picked) if only else picked
+        print(f"# --since {since}: {len(picked)}/{len(qs)} queries selected")
+        if not only:
+            print("# nothing changed; full transcripts still need a no-flag run")
+            return 0
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
