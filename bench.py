@@ -81,6 +81,8 @@ EXTENDED = [
     "t11_unigram_logprob",
     "sql2_local_supplier_volume",
     "mm4_jpeg_decode_stats",
+    "mm5_wav_decode_stats",
+    "t12_train_eval_split",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

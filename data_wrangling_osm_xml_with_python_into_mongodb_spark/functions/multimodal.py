@@ -208,6 +208,76 @@ def synth_jpeg_media(docs: DataFrame, blocks_x: int = 4, blocks_y: int = 2) -> D
     )
 
 
+def synth_wav_media(docs: DataFrame, tile: int = 64, rate: int = 8000) -> DataFrame:
+    """REAL encoded audio derived deterministically from documents:
+    each doc becomes an 8-bit mono PCM WAV whose samples are the md5
+    digest tiled ``tile`` times (16*tile samples).  Genuine RIFF
+    containers through the stdlib codec (functions/audio.py); the
+    oracle predicts every amplitude statistic from the digest hex."""
+    from .audio import encode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                digest = hashlib.md5((text or "").encode("utf-8")).digest()
+                samples = np.frombuffer(digest * tile, dtype=np.uint8)
+                payloads.append(encode_wav(samples, sample_rate=rate))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "data": payloads})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType(), False),
+                T.StructField("data", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("min_amp", T.IntegerType()),
+        T.StructField("max_amp", T.IntegerType()),
+    ]
+)
+
+
+def wav_decode_stats(media: DataFrame) -> DataFrame:
+    """Decode every WAV payload with the REAL codec and report
+    amplitude statistics -- the audio twin of png_decode_stats.
+    Narrow (no shuffle); Arrow-batched."""
+    from .audio import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                arr, rate = decode_wav(bytes(data))
+                rows.append(
+                    (
+                        mid,
+                        arr.shape[0],
+                        rate,
+                        arr.shape[1],
+                        round(float(arr.mean()), 4),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WAV_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
 PNG_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -339,6 +339,47 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_decode_stats(synth_jpeg_media(docs))
 
 
+# 16 digest bytes tiled 64x -> 1024 samples; tiling preserves the
+# per-byte weighting, so amplitude stats reduce to digest-byte stats.
+_MM5_ORACLE = r"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 200),
+p AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i ->
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16 +
+           (strpos('0123456789abcdef', substr(h, CAST(2*i+2 AS INT), 1)) - 1)) AS dig
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(1024 AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels,
+       round(list_sum(dig) / 16.0, 4) AS mean_amp,
+       CAST(list_min(dig) AS INT) AS min_amp,
+       CAST(list_max(dig) AS INT) AS max_amp
+FROM p
+"""
+
+
+@register(
+    "mm5_wav_decode_stats",
+    "REAL audio decode under the oracle: each document becomes a "
+    "genuine 8-bit PCM RIFF/WAV (stdlib codec, functions/audio.py), "
+    "Spark decodes container + samples inside an Arrow mapInPandas "
+    "stage, and DuckDB independently predicts every amplitude "
+    "statistic from the md5 hex digits -- the image technique (mm3 "
+    "PNG, mm4 JPEG) completing the multimodal set with audio.",
+    _MM5_ORACLE,
+    tags=("multimodal", "decode", "audio"),
+)
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import synth_wav_media, wav_decode_stats
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return wav_decode_stats(synth_wav_media(docs))
+
+
 _TAG_PROFILE_ORACLE = f"""
 WITH kv AS (
   SELECT t.k AS k, t.v AS v

@@ -1029,3 +1029,55 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+@register(
+    "t12_train_eval_split",
+    "Deterministic hash-based corpus split (train/validation/test "
+    "81.25/12.5/6.25 by the first md5 nibble of doc_id) -- the "
+    "reproducible-assignment primitive every training pipeline needs: "
+    "no RNG state, no shuffle of the assignment itself, any worker "
+    "recomputes a doc's split from its id alone.  Reported as per-"
+    "(split, lang) doc counts and char volume; both engines hash the "
+    "identical decimal string, so assignment is pinned cross-engine.",
+    """
+    WITH s AS (
+      SELECT CASE WHEN d < 13 THEN 'train'
+                  WHEN d < 15 THEN 'validation'
+                  ELSE 'test' END AS split,
+             lang, n_chars
+      FROM (SELECT strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS d,
+                   lang, n_chars
+            FROM documents)
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY split, lang
+    """,
+    tags=("pipeline", "split", "agg"),
+)
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow projection (md5 of the id string, no shuffle for the
+    ASSIGNMENT -- a 100 TB corpus splits embarrassingly parallel) plus
+    a single partial+final hash agg for the report.  The hex-nibble
+    threshold gives exact power-of-two fractions; finer ratios use
+    more nibbles the same way."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = (
+        F.when(d < 13, F.lit("train"))
+        .when(d < 15, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
