@@ -17,7 +17,7 @@ whose scale path is the LSH/IVF variant in queries_vectors.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -1039,4 +1039,119 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(se, "eval_id")
         .filter(jac >= F.lit(DECONTAM_JACCARD))
         .select("train_id", "eval_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_DD12_STORE_MAX = 250  # doc_id < this = the already-ingested store
+
+
+@register(
+    "dd12_incremental_dedup",
+    "INCREMENTAL dedup -- the streaming-ingest shape dd1/dd10 lack: an "
+    "incoming batch checked against the PERSISTED fingerprint index of "
+    "everything already ingested (anti/semi-join on fingerprint), then "
+    "first-wins deduped within itself.  Duplicates are planted "
+    "in-query from doc_id arithmetic (the dd9/t9 fixture technique): "
+    "every 7th batch doc re-uses a store doc's text (store dup), "
+    "every 7th+1 gets one of 40 synthetic texts shared across the "
+    "batch (in-batch dup).  Store hits outrank in-batch hits.",
+    f"""
+    WITH store AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {_DD12_STORE_MAX}
+    ),
+    batch0 AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id >= {_DD12_STORE_MAX}
+    ),
+    batch AS (
+      SELECT b.doc_id, b.lang,
+             CASE WHEN b.doc_id % 7 = 0 THEN s.text
+                  WHEN b.doc_id % 7 = 1 THEN 'planted batch dup ' || (b.doc_id % 40)
+                  ELSE b.text END AS text
+      FROM batch0 b
+      LEFT JOIN store s ON s.doc_id = b.doc_id % {_DD12_STORE_MAX // 5}
+    ),
+    store_fp AS (
+      SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM store
+    ),
+    batch_fp AS (
+      SELECT doc_id, lang,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM batch
+    ),
+    tagged AS (
+      SELECT b.doc_id, b.lang, b.fp,
+             s.fp IS NOT NULL AS in_store,
+             min(b.doc_id) OVER (PARTITION BY b.fp) AS first_id
+      FROM batch_fp b LEFT JOIN store_fp s ON b.fp = s.fp
+    )
+    SELECT CASE WHEN in_store THEN 'dup_of_store'
+                WHEN doc_id > first_id THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           lang,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints
+    FROM tagged
+    GROUP BY status, lang
+    """,
+    tags=("dedup", "pipeline", "join"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the store side is the MATERIALIZED fingerprint
+    index a recurring ingest maintains (here derived in-query), so the
+    batch never rescans ingested text -- one fingerprint-keyed join
+    against the index (broadcast when the batch is small, shuffle-hash
+    when not; both sides bucketable on fp for an exchange-free steady
+    state) plus one window/agg on the batch's own fingerprints, whose
+    state is batch-sized, not corpus-sized."""
+    K = _DD12_STORE_MAX
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    store = docs.filter(F.col("doc_id") < K).select("doc_id", "text")
+    batch0 = docs.filter(F.col("doc_id") >= K).select("doc_id", "lang", "text")
+    src = store.select(
+        F.col("doc_id").alias("_sid"), F.col("text").alias("_stext")
+    )
+    batch = (
+        batch0.join(
+            F.broadcast(src), batch0["doc_id"] % (K // 5) == src["_sid"], "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("doc_id") % 7 == 0, F.col("_stext"))
+            .when(
+                F.col("doc_id") % 7 == 1,
+                F.concat(
+                    F.lit("planted batch dup "), (F.col("doc_id") % 40).cast("string")
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    store_fp = (
+        store.select(TX.fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    batch_fp = batch.select(
+        "doc_id", "lang", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    tagged = (
+        batch_fp.join(F.broadcast(store_fp), "fp", "left")
+        .withColumn("first_id", F.min("doc_id").over(w))
+    )
+    status = (
+        F.when(F.col("_hit"), F.lit("dup_of_store"))
+        .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        tagged.select(status.alias("status"), "lang", "fp")
+        .groupBy("status", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+        )
     )
