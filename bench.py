@@ -83,6 +83,8 @@ EXTENDED = [
     "mm4_jpeg_decode_stats",
     "mm5_wav_decode_stats",
     "t12_train_eval_split",
+    "dd12_incremental_dedup",
+    "sk2_hll_sketch",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

@@ -667,3 +667,100 @@ def q_interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "click_id", "user_id")
     )
+
+
+_HLL_M = 256  # registers; first two hex chars of the hash
+
+
+@register(
+    "sk2_hll_sketch",
+    "Mergeable cardinality sketch (explicit HyperLogLog): per-language "
+    "distinct-text estimation state built from md5 bits -- register = "
+    "first byte of the hash, rank = leading-zeros+1 of the next 60 "
+    "bits, per-register max.  The oracle reproduces the REGISTERS and "
+    "the harmonic denominator bit-for-bit (sums of powers of two are "
+    "exact in IEEE doubles), pinning the sketch itself; the log-based "
+    "estimate is derived downstream (tests/test_hll.py asserts its "
+    "accuracy) because cross-engine libm ulp differences make logs "
+    "unpinnable -- the sums+counts-not-ratios oracle rule.",
+    f"""
+    WITH hashed AS (
+      SELECT lang, md5(text) AS h FROM documents
+    ),
+    ranked AS (
+      SELECT lang,
+             strpos('0123456789abcdef', substr(h, 1, 1)) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 17 AS bucket,
+             CASE WHEN b1 = 0 THEN 61 ELSE b1 END AS rank
+      FROM (
+        SELECT lang, h,
+               strpos(array_to_string(list_transform(range(3, 18), i ->
+                 lpad(bin(strpos('0123456789abcdef',
+                                 substr(h, CAST(i AS INT), 1)) - 1), 4, '0')),
+                 ''), '1') AS b1
+        FROM hashed
+      )
+    ),
+    registers AS (
+      SELECT lang, bucket, max(rank) AS m_rank
+      FROM ranked GROUP BY lang, bucket
+    )
+    SELECT r.lang,
+           CAST({_HLL_M} AS INT) AS m,
+           CAST({_HLL_M} - count(*) AS INT) AS n_zero_registers,
+           round(sum(power(0.5, m_rank)) + ({_HLL_M} - count(*)), 6)
+             AS harmonic_denom,
+           e.n_exact
+    FROM registers r
+    JOIN (SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+          FROM hashed GROUP BY lang) e ON r.lang = e.lang
+    GROUP BY r.lang, e.n_exact
+    """,
+    tags=("sketch", "agg", "profiling"),
+)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: the register table IS the mergeable state -- one
+    partial+final hash agg builds per-partition partials that merge by
+    max, then a per-group rollup of 256 rows; no distinct, no sort,
+    constant state per group.  Expressions are shared verbatim with
+    the oracle (conv/bin/lpad string-bit arithmetic), so the sketch is
+    engine-pinned, unlike approx_count_distinct whose HLL++ internals
+    are Spark-private.  The exact distinct rides along for the
+    accuracy pytest; a production run would drop it (that is the
+    point of the sketch)."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.selectExpr("lang", "md5(text) AS h")
+    ranked = hashed.selectExpr(
+        "lang",
+        "h",
+        "conv(substring(h, 1, 2), 16, 10) AS bucket",
+        "instr(array_join(transform(sequence(3, 17), i -> "
+        "lpad(bin(conv(substring(h, i, 1), 16, 10)), 4, '0')), ''), '1') AS b1",
+    ).selectExpr(
+        "lang",
+        "h",
+        "CAST(bucket AS INT) AS bucket",
+        "CASE WHEN b1 = 0 THEN 61 ELSE b1 END AS rank",
+    )
+    registers = ranked.groupBy("lang", "bucket").agg(
+        F.max("rank").alias("m_rank")
+    )
+    exact = hashed.groupBy("lang").agg(
+        F.countDistinct("h").cast("bigint").alias("n_exact")
+    )
+    return (
+        registers.groupBy("lang")
+        .agg(
+            F.lit(_HLL_M).cast("int").alias("m"),
+            (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int").alias(
+                "n_zero_registers"
+            ),
+            F.round(
+                F.sum(F.pow(F.lit(0.5), F.col("m_rank")))
+                + (F.lit(_HLL_M) - F.count(F.lit(1))),
+                6,
+            ).alias("harmonic_denom"),
+        )
+        .join(exact, "lang")
+        .select("lang", "m", "n_zero_registers", "harmonic_denom", "n_exact")
+    )
