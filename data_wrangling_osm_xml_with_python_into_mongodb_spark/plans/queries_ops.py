@@ -677,3 +677,60 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "total_value",
     )
+
+
+@register(
+    "a12_cube_matrix",
+    "CUBE over (orderstatus, orderpriority): all four grouping-set "
+    "levels -- detail, per-status, per-priority and grand total -- in "
+    "one pass, the full cross-tab behind a two-dimensional drill-down "
+    "report (generalizes a11's ROLLUP, which only emits prefix levels).",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS orderstatus,
+           coalesce(o_orderpriority, '<all>') AS orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS INTEGER) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native cube(): like a11's rollup, Spark plans ONE Expand node
+    feeding a single partial+final hash aggregate, so all 2^2 grouping
+    sets cost one scan + one shuffle -- the naive alternative (four
+    group-bys unioned) scans the fact table four times.  Expand
+    multiplies rows 4x BEFORE the partial agg, but map-side combine
+    collapses them to |groups| per partition, so the shuffle stays
+    group-sized at any scale.  The price sum runs in decimal(18,2):
+    Expand feeds each input row to several grouping sets, so partial
+    sums re-add in engine-specific orders and only an exact decimal
+    sum is order-proof (same rule as p11).  grouping() disambiguates
+    real NULL keys from subtotal rows identically in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias(
+                "orderstatus"
+            ),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias(
+                "orderpriority"
+            ),
+            "gid",
+            "n",
+            "total_price",
+        )
+    )
