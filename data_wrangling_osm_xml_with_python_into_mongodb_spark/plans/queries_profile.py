@@ -764,3 +764,99 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "lang")
         .select("lang", "m", "n_zero_registers", "harmonic_denom", "n_exact")
     )
+
+
+_CM_W = 256  # sketch width (columns per hash row)
+_CM_D = 4  # sketch depth (independent hash rows)
+
+
+@register(
+    "sk3_countmin_heavy_hitters",
+    "Mergeable frequency sketch (explicit Count-Min): per-event-stream "
+    "user frequencies summarized into a 4x256 counter grid -- row j's "
+    "hash is the first byte of md5(j||'|'||user) -- then the top-10 "
+    "true-heaviest users are estimated as min-over-rows of their "
+    "counters.  Counters are exact integer counts derived from the "
+    "same md5 arithmetic in both engines, so the SKETCH STATE and the "
+    "estimates are pinned bit-for-bit; est_n >= true_n by "
+    "construction (the CM one-sided error bound, asserted in "
+    "tests/test_sketches.py).",
+    f"""
+    WITH hashed AS (
+      SELECT jj.j,
+             md5(CAST(jj.j AS VARCHAR) || '|' || CAST(ev.user_id AS VARCHAR))
+               AS h
+      FROM events ev
+      CROSS JOIN (SELECT unnest(range({_CM_D})) AS j) jj
+    ),
+    counters AS (
+      SELECT j,
+             strpos('0123456789abcdef', substr(h, 1, 1)) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 17 AS bucket,
+             count(*) AS c
+      FROM hashed GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT user_id, count(*) AS true_n
+      FROM events GROUP BY user_id
+      ORDER BY true_n DESC, user_id LIMIT 10
+    ),
+    cand AS (
+      SELECT t.user_id, t.true_n, jj.j,
+             md5(CAST(jj.j AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR))
+               AS h
+      FROM truth t
+      CROSS JOIN (SELECT unnest(range({_CM_D})) AS j) jj
+    ),
+    cand_b AS (
+      SELECT user_id, true_n, j,
+             strpos('0123456789abcdef', substr(h, 1, 1)) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 17 AS bucket
+      FROM cand
+    )
+    SELECT c.user_id, c.true_n, CAST(min(ct.c) AS BIGINT) AS est_n
+    FROM cand_b c JOIN counters ct ON ct.j = c.j AND ct.bucket = c.bucket
+    GROUP BY c.user_id, c.true_n
+    """,
+    tags=("sketch", "agg", "profiling"),
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: the 4x256 counter grid IS the mergeable state --
+    the explode(sequence) multiplies rows 4x BEFORE the partial agg,
+    but map-side combine collapses each partition to <=1024 partial
+    counters, so the shuffle carries sketch-sized state regardless of
+    input size (the same partial+final shape as sk1/sk2).  The truth
+    side is a TakeOrderedAndProject top-10 (driver merges per-partition
+    heaps; no global sort), and the probe joins 40 candidate rows
+    against the 1024-row counter table -- both broadcast-sized by
+    construction.  A production run drops the truth column; it rides
+    along here to pin the one-sided error bound under the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select("user_id").selectExpr(
+        "user_id", f"explode(sequence(0, {_CM_D - 1})) AS j"
+    ).selectExpr(
+        "j",
+        f"CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', "
+        f"CAST(user_id AS STRING))), 1, 2), 16, 10) AS INT) AS bucket",
+    )
+    counters = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "user_id")
+        .limit(10)
+    )
+    cand = truth.selectExpr(
+        "user_id", "true_n", f"explode(sequence(0, {_CM_D - 1})) AS j"
+    ).selectExpr(
+        "user_id",
+        "true_n",
+        "j",
+        "CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', "
+        "CAST(user_id AS STRING))), 1, 2), 16, 10) AS INT) AS bucket",
+    )
+    return (
+        cand.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").cast("bigint").alias("est_n"))
+    )
