@@ -1081,3 +1081,101 @@ def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+_GOPHER_FILLER = ("data", "table", "row", "order")
+
+
+@register(
+    "t13_gopher_quality_rules",
+    "Rule-based corpus filter (Gopher/MassiveText-style, Rae et al. "
+    "2021, public): per-document pass/fail on word-count bounds, "
+    "mean-word-length bounds, repetition (distinct-token ratio) and "
+    "minimum common-word hits, rolled up per language with per-rule "
+    "and all-rules pass counts -- the audit report a filtering run "
+    "emits before dropping documents.  Every rule compares INTEGER "
+    "token statistics (sums and counts, never float ratios), so both "
+    "engines agree exactly.",
+    f"""
+    WITH toks AS (
+      SELECT lang,
+             len(ts) AS nw,
+             list_sum(list_transform(ts, t -> length(t))) AS sumlen,
+             len(list_distinct(ts)) AS nu,
+             len(list_filter(ts, t -> t IN
+                 ({", ".join(f"'{w}'" for w in _GOPHER_FILLER)}))) AS filler
+      FROM (
+        SELECT lang, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+      )
+    ),
+    rules AS (
+      SELECT lang,
+             (nw BETWEEN 25 AND 80) AS r_wc,
+             (sumlen BETWEEN 4 * nw AND 5 * nw) AS r_mwl,
+             (2 * nu > nw) AS r_rep,
+             (filler >= 3) AS r_filler
+      FROM toks
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+           CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+           CAST(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+           CAST(sum(CASE WHEN r_filler THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_filler,
+           CAST(sum(CASE WHEN r_wc AND r_mwl AND r_rep AND r_filler
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM rules
+    GROUP BY lang
+    """,
+    tags=("text", "quality", "agg"),
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow scan -> per-row token-array expressions (all JVM
+    codegen: split/aggregate/array_distinct/filter -- no Python) ->
+    one partial+final agg on lang.  Nothing here grows with corpus
+    size except the embarrassingly-parallel map side; the shuffle
+    carries |langs| x 6 longs.  The integer-threshold form of each
+    rule (sumlen BETWEEN 4*nw AND 5*nw instead of mean in [4,5])
+    avoids cross-engine float division entirely -- the same
+    sums-not-ratios rule the sketches use."""
+    filler_arr = ", ".join(f"'{w}'" for w in _GOPHER_FILLER)
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.selectExpr(
+        "lang", r"split(trim(text), '\\s+') AS ts"
+    ).selectExpr(
+        "lang",
+        "size(ts) AS nw",
+        "aggregate(ts, 0L, (a, t) -> a + length(t)) AS sumlen",
+        "size(array_distinct(ts)) AS nu",
+        f"size(filter(ts, t -> t IN ({filler_arr}))) AS filler",
+    )
+    rules = toks.select(
+        "lang",
+        F.col("nw").between(25, 80).alias("r_wc"),
+        F.col("sumlen").between(4 * F.col("nw"), 5 * F.col("nw")).alias(
+            "r_mwl"
+        ),
+        (2 * F.col("nu") > F.col("nw")).alias("r_rep"),
+        (F.col("filler") >= 3).alias("r_filler"),
+    )
+    as_n = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return rules.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_n("r_wc").alias("n_wc"),
+        as_n("r_mwl").alias("n_mwl"),
+        as_n("r_rep").alias("n_rep"),
+        as_n("r_filler").alias("n_filler"),
+        F.sum(
+            F.when(
+                F.col("r_wc")
+                & F.col("r_mwl")
+                & F.col("r_rep")
+                & F.col("r_filler"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )

@@ -197,3 +197,68 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "m8_cdc_snapshot",
+    "CDC changelog apply: the events stream read as a change log over "
+    "a per-user profile table (error rows = DELETE, all other rows = "
+    "UPSERT carrying value), replayed in (ts, event_id) order to the "
+    "latest-state snapshot -- the lakehouse 'apply CDC to snapshot' "
+    "operator that MERGE-based ingestion (m5) runs incrementally.  "
+    "Users whose LAST change is a delete vanish from the snapshot; "
+    "the summary groups survivors by their final event type.",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(value AS DECIMAL(18,2)) AS value,
+             event_type = 'error' AS is_delete
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, event_type, value, is_delete,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    )
+    SELECT event_type AS final_type,
+           count(*) AS n_users,
+           CAST(sum(value) AS DOUBLE) AS total_value
+    FROM latest
+    WHERE rn = 1 AND NOT is_delete
+    GROUP BY event_type
+    """,
+    tags=("update", "cdc", "window"),
+)
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins replay as ONE window over (user_id) ordered by
+    (ts, event_id) -- no iterative per-change application, no driver
+    loop: the shuffle partitions by user so every user's log replays
+    independently and in parallel, which is exactly how a 1000-executor
+    run applies a 100 TB changelog (Debezium/Delta CDF shape).  The
+    tombstone filter happens AFTER picking the last row, preserving
+    delete-then-reinsert semantics; the downstream agg reuses the same
+    user partitioning.  Decimal sum for cross-engine exactness (p11
+    rule)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("value"),
+            (F.col("event_type") == "error").alias("is_delete"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+    )
+    return latest.groupBy(F.col("event_type").alias("final_type")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("value").cast("double").alias("total_value"),
+    )
