@@ -507,3 +507,98 @@ def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:
         )
         .select(F.col("ref").alias("_id"), "refers", "refer_count")
     )
+
+
+def nest_subdocs_json(pairs: DataFrame) -> DataFrame:
+    """TRUE recursive subdocument nesting (reference
+    clean_and_write.py:128-143 ``subdiv_key``): colon-separated tag
+    keys become arbitrarily deep nested documents, one canonical JSON
+    text per (element, root key).
+
+    Input: ``(id bigint, k string, v string)`` with ``k`` containing
+    at least one ``:``; at most one row per (id, k).  Output:
+    ``(id, root, subdoc)`` where ``subdoc`` is the nested document as
+    canonical JSON -- sorted keys, compact separators -- so two
+    engines (or two runs) produce byte-identical text.
+
+    Unlike the dot-path map (``subdoc_path``, the flat columnar
+    stand-in documented as the F8 deviation), this reproduces the
+    reference's recursion EXACTLY, at any depth.  Arbitrary-depth
+    nesting has no static columnar type, so the assembly step is an
+    Arrow-batched ``mapInPandas`` over id-grouped pairs -- Python
+    touches each pair once; everything before (explode, filter,
+    dedupe) and after (group-bys, joins) stays JVM-side.  A malformed
+    corpus where one key is both a leaf and a prefix
+    (``a:b`` = x AND ``a:b:c`` = y) fails fast with the conflicting
+    key named -- the reference crashes with a bare AttributeError on
+    the same input (clean_and_write.py:139).
+
+    Scale: one shuffle keyed on element id (the same key the document
+    builder already groups by, so it co-partitions with
+    shape_documents' aggregation); per-group state is one element's
+    tag list.  Python cost is O(total tag pairs), Arrow-batched.
+    """
+    import json
+
+    from ..schema import RAW_ELEMENT_SCHEMA  # noqa: F401  (cited schema)
+
+    def _assemble(batches):
+        import pandas as pd
+
+        def nest(entries):
+            out: dict = {}
+            for k, v in entries:
+                parts = k.split(":")
+                node = out
+                for seg in parts[:-1]:
+                    nxt = node.get(seg)
+                    if nxt is None:
+                        nxt = node[seg] = {}
+                    elif not isinstance(nxt, dict):
+                        raise ValueError(
+                            f"subdocument conflict: {k!r} descends "
+                            f"through leaf key {seg!r}"
+                        )
+                    node = nxt
+                leaf = parts[-1]
+                if isinstance(node.get(leaf), dict):
+                    raise ValueError(
+                        f"subdocument conflict: leaf {k!r} collides "
+                        f"with an existing subdocument"
+                    )
+                node[leaf] = v
+            return out
+
+        for pdf in batches:
+            rows = []
+            for id_, entries in zip(pdf["id"], pdf["entries"]):
+                # entries: list of {"k":..., "v":...}; sort for a
+                # deterministic insertion order (dict-update = last
+                # wins in the reference; dedupe upstream makes order
+                # only a determinism concern, not a semantics one).
+                pairs_ = sorted((e["k"], e["v"]) for e in entries)
+                by_root: dict[str, list] = {}
+                for k, v in pairs_:
+                    root, _, rest = k.partition(":")
+                    by_root.setdefault(root, []).append((rest, v))
+                for root, sub in by_root.items():
+                    rows.append(
+                        (
+                            id_,
+                            root,
+                            json.dumps(
+                                nest(sub),
+                                sort_keys=True,
+                                separators=(",", ":"),
+                                ensure_ascii=False,
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["id", "root", "subdoc"])
+
+    grouped = pairs.groupBy("id").agg(
+        F.collect_list(F.struct("k", "v")).alias("entries")
+    )
+    return grouped.mapInPandas(
+        _assemble, "id bigint, root string, subdoc string"
+    )

@@ -485,3 +485,116 @@ def q_osm_ref_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("refers")).alias("refers"),
         F.col("refer_count").cast("long").alias("refer_count"),
     )
+
+
+_F8_ORACLE = rf"""
+WITH raw AS (
+  SELECT CAST(_id AS BIGINT) AS id, tags
+  FROM read_parquet('{FIXTURE_PARQUET}')
+),
+exploded AS (
+  SELECT id, x.k AS k, x.v AS v
+  FROM (SELECT id, unnest(tags) AS x FROM raw)
+  WHERE contains(x.k, ':')
+),
+planted AS (
+  SELECT id, 'service:bicycle:pump' AS k, 'yes' AS v
+  FROM raw WHERE id % 5 = 0
+  UNION ALL
+  SELECT id, 'service:bicycle:repair:tools' AS k, 'basic' AS v
+  FROM raw WHERE id % 5 = 1
+),
+pairs AS (  -- one row per (id, k): keep-min dedupe, mirrored in Spark
+  SELECT id, k, min(v) AS v
+  FROM (SELECT * FROM exploded UNION ALL SELECT * FROM planted)
+  GROUP BY id, k
+),
+p AS (
+  SELECT id, parts[1] AS root, parts[2] AS a, parts[3] AS b,
+         parts[4] AS c, len(parts) AS d, v
+  FROM (SELECT id, string_split(k, ':') AS parts, v FROM pairs)
+),
+l3 AS (  -- depth-4 leaves: {{c: v}} per (id, root, a, b)
+  SELECT id, root, a, b,
+         '{{' || string_agg(to_json(c) || ':' || to_json(v), ',' ORDER BY c)
+             || '}}' AS j
+  FROM p WHERE d = 4 GROUP BY id, root, a, b
+),
+l2items AS (
+  SELECT id, root, a, b AS key, to_json(v) AS jv FROM p WHERE d = 3
+  UNION ALL
+  SELECT id, root, a, b AS key, j AS jv FROM l3
+),
+l2 AS (
+  SELECT id, root, a,
+         '{{' || string_agg(to_json(key) || ':' || jv, ',' ORDER BY key)
+             || '}}' AS j
+  FROM l2items GROUP BY id, root, a
+),
+l1items AS (
+  SELECT id, root, a AS key, to_json(v) AS jv FROM p WHERE d = 2
+  UNION ALL
+  SELECT id, root, a AS key, j AS jv FROM l2
+),
+subdocs AS (
+  SELECT id, root,
+         '{{' || string_agg(to_json(key) || ':' || jv, ',' ORDER BY key)
+             || '}}' AS subdoc
+  FROM l1items GROUP BY id, root
+)
+SELECT id, root, subdoc FROM subdocs
+"""
+
+
+@register(
+    "f8_nested_subdocs",
+    "TRUE recursive subdocument nesting (reference F8 subdiv_key, "
+    "clean_and_write.py:128-143): every colon-path tag key on the OSM "
+    "fixture -- plus planted depth-3/depth-4 keys derived from id "
+    "arithmetic -- is assembled into its nested document, emitted as "
+    "canonical JSON (sorted keys, compact separators) per (element, "
+    "root).  The oracle rebuilds the same nested JSON bottom-up with "
+    "fixed-depth SQL aggregation, so the hash pins every byte of "
+    "every assembled subdocument; depths beyond the oracle's 4 are "
+    "covered by tests/test_osm_pipeline.py.",
+    _F8_ORACLE,
+    tags=("etl", "nested"),
+)
+def q_nested_subdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-shaped like the etl audit (sf-independent).  JVM-side
+    explode/filter/union/dedupe feeds the Arrow-batched recursive
+    assembler (operators/shape.py:nest_subdocs_json) -- the one
+    genuinely non-columnar step; see its docstring for the 100 TB
+    shape (single id-keyed shuffle, co-partitioned with the document
+    builder)."""
+    from ..operators.shape import nest_subdocs_json
+
+    raw = spark.read.parquet(FIXTURE_PARQUET).select(
+        F.col("_id").cast("long").alias("id"), "tags"
+    )
+    exploded = (
+        raw.select("id", F.explode("tags").alias("t"))
+        .filter(F.col("t.k").contains(":"))
+        .select("id", F.col("t.k").alias("k"), F.col("t.v").alias("v"))
+    )
+    planted = (
+        raw.filter(F.col("id") % 5 == 0)
+        .select(
+            "id",
+            F.lit("service:bicycle:pump").alias("k"),
+            F.lit("yes").alias("v"),
+        )
+        .unionByName(
+            raw.filter(F.col("id") % 5 == 1).select(
+                "id",
+                F.lit("service:bicycle:repair:tools").alias("k"),
+                F.lit("basic").alias("v"),
+            )
+        )
+    )
+    pairs = (
+        exploded.unionByName(planted)
+        .groupBy("id", "k")
+        .agg(F.min("v").alias("v"))
+    )
+    return nest_subdocs_json(pairs)

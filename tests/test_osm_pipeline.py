@@ -416,3 +416,43 @@ def test_split_reader_rejects_declared_non_utf8(spark, tmp_path):
         _check_split_encoding(b"\xfe\xff\x00<", "x")
     _check_split_encoding(b"<?xml version=\"1.0\"?><osm>", "x")
     _check_split_encoding(b"<osm>", "x")
+
+
+def test_nest_subdocs_depth_beyond_oracle_and_conflicts(spark):
+    """The f8 oracle pins depths <= 4; this covers the genuinely
+    recursive cases past it -- a depth-5 chain and both conflict
+    directions (leaf under leaf, leaf over subdoc), which must fail
+    fast with the offending key named rather than the reference's
+    bare AttributeError (clean_and_write.py:139)."""
+    import json
+
+    import pytest
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+        nest_subdocs_json,
+    )
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "id bigint, k string, v string")
+        return nest_subdocs_json(df).collect()
+
+    out = run(
+        [
+            (1, "a:b:c:d:e", "deep"),
+            (1, "a:b:x", "mid"),
+            (1, "a:top", "t"),
+            (2, "a:b", "other-element"),
+        ]
+    )
+    by = {(r["id"], r["root"]): r["subdoc"] for r in out}
+    assert json.loads(by[(1, "a")]) == {
+        "b": {"c": {"d": {"e": "deep"}}, "x": "mid"},
+        "top": "t",
+    }
+    assert by[(1, "a")] == '{"b":{"c":{"d":{"e":"deep"}},"x":"mid"},"top":"t"}'
+    assert json.loads(by[(2, "a")]) == {"b": "other-element"}
+
+    with pytest.raises(Exception, match="conflict"):
+        run([(1, "a:b", "leaf"), (1, "a:b:c", "deeper")])
+    with pytest.raises(Exception, match="conflict"):
+        run([(1, "a:b:c", "deeper"), (1, "a:b", "leaf")])
