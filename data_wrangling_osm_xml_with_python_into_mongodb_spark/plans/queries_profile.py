@@ -860,3 +860,121 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "true_n")
         .agg(F.min("c").cast("bigint").alias("est_n"))
     )
+
+
+_BF_M = 2048  # bloom filter bits
+_BF_K = 4  # hash functions
+_BF_PROBES = 5000  # deterministic probe domain: user_id in [0, 5000)
+
+
+@register(
+    "sk4_bloom_membership",
+    "Mergeable membership sketch (explicit Bloom filter): the set of "
+    "signup users is summarized into a 2048-bit filter (bit j,u = "
+    "md5(j||'|'||u) mod 2048, 4 hashes), then a fixed 5000-user probe "
+    "domain is answered from the BITS ALONE and cross-tabbed against "
+    "ground truth -- zero false negatives by construction, false "
+    "positives counted.  Bit positions are exact integer md5 "
+    "arithmetic in both engines, so the filter state (n_set_bits "
+    "rides on every row) and every probe answer are pinned.",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    ),
+    bits AS (
+      SELECT DISTINCT
+             (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+               % {_BF_M} AS bit
+      FROM (
+        SELECT md5(CAST(jj.j AS VARCHAR) || '|'
+                   || CAST(m.user_id AS VARCHAR)) AS h
+        FROM members m
+        CROSS JOIN (SELECT unnest(range({_BF_K})) AS j) jj
+      )
+    ),
+    probes AS (
+      SELECT unnest(range({_BF_PROBES})) AS user_id
+    ),
+    probe_bits AS (
+      SELECT user_id, j,
+             (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+               + strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+               % {_BF_M} AS bit
+      FROM (
+        SELECT p.user_id, jj.j,
+               md5(CAST(jj.j AS VARCHAR) || '|'
+                   || CAST(p.user_id AS VARCHAR)) AS h
+        FROM probes p
+        CROSS JOIN (SELECT unnest(range({_BF_K})) AS j) jj
+      )
+    ),
+    answers AS (
+      SELECT pb.user_id,
+             count(b.bit) = {_BF_K} AS bloom_positive
+      FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+      GROUP BY pb.user_id
+    )
+    SELECT a.bloom_positive,
+           m.user_id IS NOT NULL AS is_member,
+           count(*) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_set_bits
+    FROM answers a LEFT JOIN members m ON m.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("sketch", "agg", "join"),
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: the bit set IS the mergeable state (bitwise-OR =
+    distinct-union of positions) -- built with one partial+final
+    distinct over <=2048 ints, so the shuffle carries filter-sized
+    state no matter how large the member set; probes answer against a
+    broadcast of the bits with NO access to the member table, which
+    is the whole point of shipping a Bloom filter to 1000 executors
+    instead of the set itself.  The truth join rides along only to
+    pin the FP/FN cross-tab under the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    members = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+    )
+    bit_expr = (
+        "CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', "
+        f"CAST(user_id AS STRING))), 1, 3), 16, 10) % {_BF_M} AS INT) AS bit"
+    )
+    bits = (
+        members.selectExpr("user_id", f"explode(sequence(0, {_BF_K - 1})) AS j")
+        .selectExpr(bit_expr)
+        .distinct()
+    )
+    probes = spark.range(_BF_PROBES).select(F.col("id").alias("user_id"))
+    probe_bits = probes.selectExpr(
+        "user_id", f"explode(sequence(0, {_BF_K - 1})) AS j"
+    ).selectExpr("user_id", bit_expr)
+    answers = (
+        probe_bits.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .join(probes, "user_id", "right")
+        .select(
+            "user_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) == _BF_K).alias(
+                "bloom_positive"
+            ),
+        )
+    )
+    n_set = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))
+    return (
+        answers.join(
+            members.withColumn("_m", F.lit(True)), "user_id", "left"
+        )
+        .groupBy(
+            "bloom_positive",
+            F.col("_m").isNotNull().alias("is_member"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_probes"))
+        .crossJoin(F.broadcast(n_set))
+    )

@@ -72,3 +72,62 @@ def test_countmin_counters_merge_by_sum(spark):
         k = (r["j"], r["bucket"])
         merged[k] = merged.get(k, 0) + r["c"]
     assert merged == whole
+
+
+def test_bloom_no_false_negatives_and_fp_envelope(spark):
+    import __spark_entry__ as ent
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import (
+        queries_profile as qp,
+    )
+
+    rows = ent.queries()["sk4_bloom_membership"](spark, SF).collect()
+    cells = {(r["bloom_positive"], r["is_member"]): r["n_probes"] for r in rows}
+    # A (False, True) cell would be a false negative -- structurally
+    # impossible for a Bloom filter; its absence is the core invariant.
+    assert (False, True) not in cells
+    n_members_probed = cells.get((True, True), 0)
+    assert n_members_probed > 0
+    fp = cells.get((True, False), 0)
+    tn = cells.get((False, False), 0)
+    n_set = rows[0]["n_set_bits"]
+    # FP prob for a probe = (fraction of set bits)^K; 3x envelope.
+    p_fp = (n_set / qp._BF_M) ** qp._BF_K
+    assert fp <= max(10, 3 * p_fp * (fp + tn)), (fp, tn, p_fp)
+
+
+def test_bloom_bits_merge_by_union(spark):
+    """Merge law: the filter of a union is the bitwise OR (= distinct
+    union of set positions) of per-split filters -- what makes the
+    build a partial+final distinct at any scale."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import (
+        queries_profile as qp,
+    )
+
+    members = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+    )
+    bit_expr = (
+        "CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', "
+        f"CAST(user_id AS STRING))), 1, 3), 16, 10) % {qp._BF_M} AS INT) AS bit"
+    )
+
+    def bits(df):
+        return {
+            r["bit"]
+            for r in df.selectExpr(
+                "user_id", f"explode(sequence(0, {qp._BF_K - 1})) AS j"
+            )
+            .selectExpr(bit_expr)
+            .distinct()
+            .collect()
+        }
+
+    whole = bits(members)
+    lo = bits(members.filter(F.col("user_id") % 2 == 0))
+    hi = bits(members.filter(F.col("user_id") % 2 == 1))
+    assert lo | hi == whole
