@@ -978,3 +978,118 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_probes"))
         .crossJoin(F.broadcast(n_set))
     )
+
+
+@register(
+    "w5_cumulative_distinct_users",
+    "Daily actives + CUMULATIVE distinct users: per day, how many "
+    "distinct users were active and how many users had ever been seen "
+    "by that day -- the growth-curve query.  Naive windowed "
+    "count-distinct holds per-frame sets; this is the first-seen "
+    "rewrite: distinct-per-user min(day), then a day-level running "
+    "sum, so no set state ever exceeds a counter.",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS n_active
+      FROM events GROUP BY 1
+    ),
+    news AS (
+      SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY 1
+    )
+    SELECT d.day,
+           d.n_active,
+           coalesce(n.n_new, 0) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day) AS BIGINT)
+             AS n_cumulative
+    FROM daily d LEFT JOIN news n ON n.day = d.day
+    """,
+    tags=("window", "agg", "timeseries"),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-seen rewrite is what survives scale: a windowed
+    COUNT(DISTINCT) over an unbounded preceding frame would hold a
+    per-frame user set (O(users) state PER DAY); min-per-user + a
+    running sum over |days| rows keeps all heavy aggregation in
+    partial+final hash aggs keyed on user, and the only window runs
+    over the day-level rollup -- driver-trivial cardinality at any
+    scale (this is also the incremental form a streaming job
+    maintains).  The final single-partition window is over |days|
+    rows, not events."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn(
+            "n_cumulative", F.sum("n_new").over(w).cast("bigint")
+        )
+    )
+
+
+@register(
+    "hr2_ohlc_bars",
+    "Timeseries downsampling to OHLC bars: per (event_type, hour) the "
+    "open/high/low/close of value plus row count -- the canonical "
+    "lossy rollup a monitoring or market pipeline stores instead of "
+    "raw ticks.  Open/close are argmin/argmax by a zero-padded "
+    "(epoch-micros, event_id) string key -- unique, identically "
+    "ordered in both engines.",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           CAST(arg_min(CAST(value AS DECIMAL(18,2)),
+                        printf('%020d%012d', epoch_us(ts), event_id))
+                AS DOUBLE) AS open,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+           CAST(arg_max(CAST(value AS DECIMAL(18,2)),
+                        printf('%020d%012d', epoch_us(ts), event_id))
+                AS DOUBLE) AS close,
+           count(*) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "timeseries"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial+final hash agg keyed on (type, hour): min_by/max_by
+    partials carry a single (value, key) pair each, so the shuffle is
+    bar-sized, never tick-sized -- the same mergeable-state discipline
+    as the sketches, and exactly how a continuous aggregate (hr1)
+    would maintain bars incrementally.  The zero-padded (epoch-micros,
+    event_id) string tiebreak makes open/close well-defined even with
+    duplicate timestamps; decimal casts keep extrema exact (p11 rule)."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    key = F.format_string(
+        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar_ts")
+        )
+        .agg(
+            F.min_by(v, key).cast("double").alias("open"),
+            F.max(v).cast("double").alias("high"),
+            F.min(v).cast("double").alias("low"),
+            F.max_by(v, key).cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
