@@ -710,3 +710,131 @@ def q_wide_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# --- v9: product quantization (Jegou et al. 2011, public). ----------
+_PQ_S = 8  # subspaces (64 dims -> 8 subvectors of 8)
+_PQ_C = 16  # codes per subspace
+_PQ_SCALE = 1048576  # 2^20: float -> exact integer grid (floor)
+_PQ_QUERY_ID = 42  # fixed ADC query vector
+
+
+@register(
+    "v9_pq_encode_adc",
+    "Product quantization: every vector is compressed to 8 four-bit "
+    "codes (one per 8-dim subvector, nearest of 16 codebook entries "
+    "anchored on vec_id<16), then ranked against a fixed query by "
+    "ASYMMETRIC DISTANCE -- summing 8 precomputed (subspace, code) "
+    "query distances with NO access to the original vectors.  All "
+    "distances are exact integer arithmetic on a floor(x * 2^20) "
+    "grid, so codebook assignment (ties -> smallest code) and every "
+    "ADC score are pinned bit-for-bit across engines.",
+    f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x ->
+               CAST(floor(x * {_PQ_SCALE}.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS c, iv AS av FROM emb WHERE vec_id < {_PQ_C}
+    ),
+    qv AS (SELECT iv AS qv FROM emb WHERE vec_id = {_PQ_QUERY_ID}),
+    pairs AS (
+      SELECT e.vec_id, a.c, ss.s,
+             CAST(list_sum(list_transform(range(8), i ->
+               (e.iv[ss.s * 8 + i + 1] - a.av[ss.s * 8 + i + 1])
+               * (e.iv[ss.s * 8 + i + 1] - a.av[ss.s * 8 + i + 1])))
+               AS BIGINT) AS dist
+      FROM emb e
+      CROSS JOIN anchors a
+      CROSS JOIN (SELECT unnest(range({_PQ_S})) AS s) ss
+    ),
+    mind AS (
+      SELECT vec_id, s, min(dist) AS md FROM pairs GROUP BY 1, 2
+    ),
+    codes AS (
+      SELECT p.vec_id, p.s, min(p.c) AS code
+      FROM pairs p
+      JOIN mind m ON p.vec_id = m.vec_id AND p.s = m.s AND p.dist = m.md
+      GROUP BY 1, 2
+    ),
+    adc_tab AS (
+      SELECT a.c, ss.s,
+             CAST(list_sum(list_transform(range(8), i ->
+               (q.qv[ss.s * 8 + i + 1] - a.av[ss.s * 8 + i + 1])
+               * (q.qv[ss.s * 8 + i + 1] - a.av[ss.s * 8 + i + 1])))
+               AS BIGINT) AS qdist
+      FROM qv q
+      CROSS JOIN anchors a
+      CROSS JOIN (SELECT unnest(range({_PQ_S})) AS s) ss
+    )
+    SELECT c.vec_id,
+           array_to_string(list(CAST(c.code AS VARCHAR) ORDER BY c.s), '|')
+             AS code_str,
+           CAST(sum(t.qdist) AS BIGINT) AS adc_dist
+    FROM codes c JOIN adc_tab t ON t.s = c.s AND t.c = c.code
+    GROUP BY c.vec_id
+    """,
+    tags=("vector", "quantization", "search"),
+)
+def q_pq_encode_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape IS the operator: the codebook (128 subvectors)
+    broadcasts everywhere, encoding is a narrow map over the corpus
+    (16x fanout against the BROADCAST anchors, collapsed by the
+    min-struct partial agg before any exchange), and query-time
+    scoring touches only the 8-byte code rows plus a 128-entry lookup
+    table -- the original 256-byte vectors never move.  That 32x scan
+    reduction is why PQ is the memory-resident scale path past IVF
+    (v4/v8) when the corpus outgrows raw-vector RAM.  Integer-grid
+    distances (floor to a 2^20 lattice; float->double is exact) kill
+    cross-engine float-fold nondeterminism in the argmin; the <0.5%
+    grid rounding is irrelevant to assignment quality and pytest pins
+    the reconstruction story separately."""
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_PQ_SCALE}.0D) AS BIGINT))"
+        ).alias("iv"),
+    )
+    anchors = emb.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.col("iv").alias("av")
+    )
+    # Spark arrays are 0-indexed (the oracle's list math is 1-indexed).
+    dists8 = (
+        f"transform(sequence(0, {_PQ_S - 1}), s -> "
+        f"aggregate(sequence(0, 7), 0L, (acc, i) -> "
+        f"acc + (iv[s * 8 + i] - av[s * 8 + i])"
+        f" * (iv[s * 8 + i] - av[s * 8 + i])))"
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id",
+            "c",
+            F.posexplode(F.expr(dists8)).alias("s", "dist"),
+        )
+    )
+    codes = pairs.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "c")).getField("c").alias("code")
+    )
+    qv = emb.filter(F.col("vec_id") == _PQ_QUERY_ID).select("iv")
+    adc_tab = (
+        qv.crossJoin(F.broadcast(anchors))
+        .select("c", F.posexplode(F.expr(dists8)).alias("s", "qdist"))
+    )
+    return (
+        codes.join(F.broadcast(adc_tab), (codes["s"] == adc_tab["s"]) & (codes["code"] == adc_tab["c"]))
+        .groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(codes["s"], "code"))),
+                    lambda x: x.getField("code").cast("string"),
+                ),
+                "|",
+            ).alias("code_str"),
+            F.sum("qdist").cast("bigint").alias("adc_dist"),
+        )
+    )
