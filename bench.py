@@ -85,6 +85,16 @@ EXTENDED = [
     "t12_train_eval_split",
     "dd12_incremental_dedup",
     "sk2_hll_sketch",
+    # Round-8 additions.
+    "a12_cube_matrix",
+    "sk3_countmin_heavy_hitters",
+    "sk4_bloom_membership",
+    "m8_cdc_snapshot",
+    "t13_gopher_quality_rules",
+    "f8_nested_subdocs",
+    "w5_cumulative_distinct_users",
+    "hr2_ohlc_bars",
+    "v9_pq_encode_adc",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

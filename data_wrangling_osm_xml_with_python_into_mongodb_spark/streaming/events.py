@@ -392,3 +392,101 @@ def run_interval_join_to_memory_sink(
     finally:
         q.stop()
     return spark.table(table_name)
+
+
+def cdc_snapshot_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the m8 CDC apply
+    (plans/queries_updates.py:q_cdc_snapshot): maintain the
+    last-writer-wins state per user as the changelog streams in.
+
+    The replay order is the same zero-padded (epoch-micros, event_id)
+    key the batch window sorts by, so max_by picks the identical
+    winner; the aggregate carries ONE (key, change) struct per user --
+    per-key state is O(1), total state is O(|users|), which is the
+    floor for a CDC snapshot (every live key must be representable).
+    No watermark: a snapshot can never expire keys, only tombstone
+    them -- the downstream filter drops users whose final change is a
+    delete.  Works identically on a batch frame, which is what the
+    stream==batch pytest asserts."""
+    # Batch frames may arrive straight off the raw parquet (NTZ ts);
+    # the stream reader already normalized.  unix_micros needs TIMESTAMP.
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    key = F.format_string(
+        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    last = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("event_type"),
+                F.col("value").cast("decimal(18,2)").alias("value"),
+            ),
+            key,
+        ).alias("final")
+    )
+    return last.select(
+        "user_id",
+        F.col("final.event_type").alias("final_type"),
+        F.col("final.value").alias("value"),
+    ).filter(F.col("final_type") != "error")
+
+
+def run_cdc_snapshot_to_memory_sink(
+    spark: SparkSession, sf_dir: str, table_name: str = "cdc_snapshot"
+) -> DataFrame:
+    """Drive the streaming CDC snapshot over a static directory
+    (complete mode: the sink holds the full current snapshot, exactly
+    how a serving layer would consume it) and return the materialized
+    state."""
+    snap = cdc_snapshot_stream(read_event_stream(spark, sf_dir))
+    q = (
+        snap.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)
+
+
+def countmin_grid_stream(events: DataFrame, depth: int, width_hex_chars: int = 2) -> DataFrame:
+    """Streaming maintenance of the sk3 Count-Min counter grid
+    (plans/queries_profile.py:q_countmin_heavy_hitters): the same
+    md5-derived (row, bucket) cells, kept incrementally as a streaming
+    aggregation.
+
+    This is the payoff of mergeable-sketch discipline: the streaming
+    state is the SKETCH ITSELF (depth x 256 counters, constant in
+    stream length), so a 100 TB/day stream maintains frequency
+    estimates with bounded memory while the exact per-key counts it
+    approximates would need O(|keys|) state.  Batch/stream dual; the
+    pytest asserts cell-for-cell equality against the batch grid."""
+    hashed = events.selectExpr(
+        "user_id", f"explode(sequence(0, {depth - 1})) AS j"
+    ).selectExpr(
+        "j",
+        f"CAST(conv(substring(md5(concat(CAST(j AS STRING), '|', "
+        f"CAST(user_id AS STRING))), 1, {width_hex_chars}), 16, 10) AS INT)"
+        " AS bucket",
+    )
+    return hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def run_countmin_grid_to_memory_sink(
+    spark: SparkSession, sf_dir: str, depth: int, table_name: str = "cm_grid"
+) -> DataFrame:
+    grid = countmin_grid_stream(read_event_stream(spark, sf_dir), depth)
+    q = (
+        grid.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)

@@ -195,3 +195,48 @@ def test_interval_join_stream_equals_batch(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_cdc_snapshot_stream_equals_batch(spark):
+    """The streaming last-writer-wins snapshot must equal the batch
+    m8 replay (same winner under the same (ts, event_id) key, same
+    tombstone semantics) -- and agree with the oracle-gated m8 rollup
+    when summarized the same way."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        cdc_snapshot_stream,
+        run_cdc_snapshot_to_memory_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_cdc_snapshot_to_memory_sink(spark, sf).collect()
+    batch = cdc_snapshot_stream(
+        spark.read.parquet(f"{sf}/events.parquet")
+    ).collect()
+    key = lambda r: (r["user_id"], r["final_type"], r["value"])  # noqa: E731
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
+    assert len(streamed) == len({r["user_id"] for r in streamed})
+
+
+def test_countmin_grid_stream_equals_batch(spark):
+    """Streaming sketch maintenance: the complete-mode counter grid
+    must match the batch-built grid cell for cell (the merge law live,
+    not just asserted on splits)."""
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import (
+        queries_profile as qp,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        countmin_grid_stream,
+        run_countmin_grid_to_memory_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_countmin_grid_to_memory_sink(spark, sf, qp._CM_D).collect()
+    batch = countmin_grid_stream(
+        spark.read.parquet(f"{sf}/events.parquet"), qp._CM_D
+    ).collect()
+    as_map = lambda rows: {(r["j"], r["bucket"]): r["c"] for r in rows}  # noqa: E731
+    sm, bm = as_map(streamed), as_map(batch)
+    assert sm == bm
+    assert len(sm) <= qp._CM_D * 256
