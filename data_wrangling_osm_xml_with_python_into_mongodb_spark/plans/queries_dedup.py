@@ -1155,3 +1155,136 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
         )
     )
+
+
+@register(
+    "dd13_containment_pairs",
+    "ASYMMETRIC containment dedup: snippet-in-host detection that "
+    "symmetric Jaccard (dd2) structurally misses -- a 12-token "
+    "excerpt of a 60-token host scores |A∩B|/|A| ≈ 1 but Jaccard "
+    "≈ 0.15.  Snippets are planted in-query (doc_id % 11 = 3 docs "
+    "become the first 12 tokens of host (doc_id*7) % 250), shingle "
+    "sets are the dd2 3-grams, and pairs with 10*n_common >= "
+    "9*n_small are reported oriented (contained, container).  All "
+    "integer set arithmetic -- no float threshold.",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lower(trim(text)) AS text FROM documents
+    ),
+    snips AS (
+      SELECT b.doc_id,
+             array_to_string(string_split(h.text, ' ')[1:12], ' ') AS text
+      FROM base b JOIN base h ON h.doc_id = (b.doc_id * 7) % 250
+      WHERE b.doc_id % 11 = 3
+    ),
+    derived AS (
+      SELECT doc_id, text FROM base WHERE doc_id % 11 <> 3
+      UNION ALL SELECT doc_id, text FROM snips
+    ),
+    shingles AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, len(toks) - 1),
+                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
+               AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM derived)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+    sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+    kept AS (
+      SELECT s.doc_id, s.shingle FROM shingles s
+      JOIN sh_df d ON s.shingle = d.shingle
+      WHERE d.df <= {PAIR_DF_CAP}
+    ),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM kept a JOIN kept b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    oriented AS (
+      SELECT CASE WHEN sa.n_sh < sb.n_sh
+                    OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+                  THEN id_a ELSE id_b END AS id_small,
+             CASE WHEN sa.n_sh < sb.n_sh
+                    OR (sa.n_sh = sb.n_sh AND id_a < id_b)
+                  THEN id_b ELSE id_a END AS id_big,
+             n_common,
+             least(sa.n_sh, sb.n_sh) AS n_small
+      FROM common
+      JOIN sizes sa ON common.id_a = sa.doc_id
+      JOIN sizes sb ON common.id_b = sb.doc_id
+    )
+    SELECT id_small, id_big, n_common, CAST(n_small AS BIGINT) AS n_small
+    FROM oriented
+    WHERE 10 * n_common >= 9 * n_small
+    """,
+    tags=("dedup", "join"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale shape as dd2 (ONE shingle shuffle, grouped in-row
+    pair expansion bounded by PAIR_DF_CAP^2 per shingle, candidate
+    set joined to broadcastable sizes) -- only the final scoring
+    differs: the asymmetric denominator min(|A|,|B|) plus pair
+    orientation, both cheap row expressions.  The planted-snippet
+    derivation joins 250 host rows broadcast against the %11 slice,
+    so corpus prep adds no shuffle either."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("text")
+    )
+    hosts = docs.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("hid"), F.col("text").alias("htext")
+    )
+    snips = (
+        docs.filter(F.col("doc_id") % 11 == 3)
+        .select("doc_id", ((F.col("doc_id") * 7) % 250).alias("hid"))
+        .join(F.broadcast(hosts), "hid")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice(F.split("htext", " "), 1, 12)
+            ).alias("text"),
+        )
+    )
+    derived = _spread(
+        docs.filter(F.col("doc_id") % 11 != 3).unionByName(snips)
+    )
+    sh = derived.select(
+        "doc_id",
+        F.explode(TX.word_shingles_arrow(F.col("text"), 3)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
+        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    a_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "id_small"
+            ),
+            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "id_big"
+            ),
+            "n_common",
+            F.least("na", "nb").cast("bigint").alias("n_small"),
+        )
+        .filter(10 * F.col("n_common") >= 9 * F.col("n_small"))
+    )

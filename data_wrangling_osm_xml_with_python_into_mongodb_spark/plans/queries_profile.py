@@ -1093,3 +1093,41 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+@register(
+    "o4_exact_group_percentiles",
+    "EXACT per-group percentiles (p25/p50/p95 of event value per "
+    "type): the precise counterpart of the sk1 sketch -- linear "
+    "interpolation at rank p*(n-1), the definition both engines "
+    "share (Spark percentile == DuckDB quantile_cont).  This is the "
+    "operator you run when the group count is small and exactness is "
+    "contractual (SLA reporting); sk1 is what replaces it when "
+    "per-group data no longer fits a sort.",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.25), 2) AS p25,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.5), 2) AS p50,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.95), 2) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def q_exact_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's percentile() is an exact typed aggregate: partials
+    collect per-partition value buffers and the final merge sorts
+    once per group -- O(group size) memory on the merging executor,
+    which is precisely the scale ceiling the docstring assigns it
+    (five groups here; a million-key groupBy would use
+    approx_percentile or sk1 instead).  One partial+final agg, no
+    window, no global sort; both engines interpolate at p*(n-1) so
+    round(,2) only guards the last ulp of the division."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.25)"), 2).alias("p25"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.95)"), 2).alias("p95"),
+    )
