@@ -95,6 +95,9 @@ EXTENDED = [
     "w5_cumulative_distinct_users",
     "hr2_ohlc_bars",
     "v9_pq_encode_adc",
+    "o4_exact_group_percentiles",
+    "dd13_containment_pairs",
+    "g3_knn_grid",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
