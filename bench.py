@@ -98,6 +98,8 @@ EXTENDED = [
     "o4_exact_group_percentiles",
     "dd13_containment_pairs",
     "g3_knn_grid",
+    "hr3_gapfill_locf",
+    "aj4_point_in_time_join",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

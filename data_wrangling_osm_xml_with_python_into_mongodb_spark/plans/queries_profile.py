@@ -1131,3 +1131,165 @@ def q_exact_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.5)"), 2).alias("p50"),
         F.round(F.expr("percentile(CAST(value AS DOUBLE), 0.95)"), 2).alias("p95"),
     )
+
+
+@register(
+    "hr3_gapfill_locf",
+    "Timeseries gap-fill with last-observation-carried-forward: the "
+    "sparse per-minute signup bars are re-gridded onto the complete "
+    "minute spine between the first and last observation; missing "
+    "minutes get n=0, an is_gap flag, and the value total carried "
+    "forward from the last real bar -- time_bucket_gapfill + locf, "
+    "the query every monitoring dashboard runs over irregular data.",
+    """
+    WITH bars AS (
+      SELECT date_trunc('minute', ts) AS m,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events WHERE event_type = 'signup'
+      GROUP BY 1
+    ),
+    bounds AS (SELECT min(m) AS lo, max(m) AS hi FROM bars),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+      FROM bounds
+    )
+    SELECT s.m AS minute_ts,
+           coalesce(b.n, 0) AS n,
+           CAST(last_value(b.s IGNORE NULLS)
+                OVER (ORDER BY s.m ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) AS filled_total,
+           b.n IS NULL AS is_gap
+    FROM spine s LEFT JOIN bars b ON b.m = s.m
+    """,
+    tags=("timeseries", "window", "agg"),
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bars aggregate is the only input-sized stage (one
+    partial+final hash agg); the spine is generated, not scanned --
+    sequence() between the broadcast min/max -- so the gap-fill join
+    and the LOCF window run over |minutes| rows regardless of event
+    volume.  The single unpartitioned window is spine-sized (tens of
+    thousands of rows for a year of minutes); a multi-series gapfill
+    partitions it by series key, which is the 100 TB form.  Decimal
+    bar totals make the carried value exact (p11 rule); the first
+    spine row always has an observation (the spine starts AT the
+    first bar), so LOCF never reads before the window."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    bars = ev.groupBy(F.date_trunc("minute", "ts").alias("m")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+    )
+    bounds = bars.agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(lo, hi, INTERVAL 1 MINUTE)")
+        ).alias("m")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(bars, "m", "left")
+        .select(
+            F.col("m").alias("minute_ts"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("s", ignorenulls=True).over(w).cast("double").alias(
+                "filled_total"
+            ),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+@register(
+    "aj4_point_in_time_join",
+    "Point-in-time (temporal dimension) join: every purchase looks up "
+    "the user's state -- the m7-style SCD2 dimension built from the "
+    "NON-purchase event stream -- as of strictly before the purchase "
+    "in the (ts, event_id) total order; purchases before any state "
+    "read 'none'.  The warehouse primitive behind as-of dimension "
+    "lookups (training-data feature backfill without leakage).",
+    """
+    WITH changes AS (
+      SELECT user_id, state, ts, event_id FROM (
+        SELECT user_id, event_type AS state, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE event_type <> 'purchase'
+      ) WHERE prev IS NULL OR state <> prev
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(value AS DECIMAL(18,2)) AS value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           coalesce(
+             (SELECT c.state FROM changes c
+              WHERE c.user_id = p.user_id
+                AND (c.ts < p.ts
+                     OR (c.ts = p.ts AND c.event_id < p.purchase_id))
+              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1),
+             'none') AS state_at,
+           CAST(p.value AS DOUBLE) AS value
+    FROM p
+    """,
+    tags=("join", "asof", "scd", "window"),
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated per-purchase lookup the oracle runs is O(F x D)
+    at scale; the production form here is the aj1 union+window
+    rewrite applied to a DIMENSION: state-change rows and purchases
+    union into one stream, ONE shuffle on user_id, and a last-non-null
+    window over the shared (ts, event_id) sort resolves every lookup
+    with no row blowup and no range predicate -- the plan cost is one
+    exchange + one sort no matter how many interval rows the SCD2
+    dimension holds.  rowsBetween(..., -1) gives the strictly-before
+    semantics; (ts, event_id) is a total order so both engines pick
+    the identical change row."""
+    ev = _t(spark, sf_dir, "events")
+    wchg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.lag("event_type").over(wchg).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("state") != F.col("prev")))
+        .select(
+            "user_id",
+            "state",
+            "ts",
+            "event_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(None).cast("decimal(18,2)").alias("value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.lit(None).cast("string").alias("state"),
+        "ts",
+        "event_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    merged = changes.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        merged.withColumn(
+            "state_at", F.last("state", ignorenulls=True).over(w)
+        )
+        .filter(F.col("purchase_id").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("state_at", F.lit("none")).alias("state_at"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
