@@ -46,7 +46,9 @@ def oracle(skew_dir):
     "qname",
     ["dd1_exact_dedup", "dd2_ngram_jaccard_pairs", "dd3_minhash_lsh_pairs",
      "dd7_duplicate_clusters", "m3_ref_index_parts", "j4_most_referenced_parts",
-     "aj1_asof_join", "aj3_asof_join_skewed"],
+     "aj1_asof_join", "aj3_asof_join_skewed",
+     # Round 8: same hot-user / hot-phrase exposure as aj1 / dd2.
+     "aj4_point_in_time_join", "m8_cdc_snapshot", "dd13_containment_pairs"],
 )
 def test_skewed_query_matches_oracle(spark, skew_dir, oracle, qname):
     import __spark_entry__ as ent
