@@ -509,6 +509,37 @@ def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:
     )
 
 
+def nest_pairs(entries: list[tuple[str, str]]) -> dict:
+    """The recursive core of :func:`nest_subdocs_json` (reference
+    subdiv_key, clean_and_write.py:128-143), exposed at module level
+    so the roundtrip property (nest -> flatten == input) is testable
+    without a Spark job per example (tests/test_osm_pipeline.py
+    hypothesis suite).  Conflicting key shapes fail fast with the
+    offending key named."""
+    out: dict = {}
+    for k, v in entries:
+        parts = k.split(":")
+        node = out
+        for seg in parts[:-1]:
+            nxt = node.get(seg)
+            if nxt is None:
+                nxt = node[seg] = {}
+            elif not isinstance(nxt, dict):
+                raise ValueError(
+                    f"subdocument conflict: {k!r} descends "
+                    f"through leaf key {seg!r}"
+                )
+            node = nxt
+        leaf = parts[-1]
+        if isinstance(node.get(leaf), dict):
+            raise ValueError(
+                f"subdocument conflict: leaf {k!r} collides "
+                f"with an existing subdocument"
+            )
+        node[leaf] = v
+    return out
+
+
 def nest_subdocs_json(pairs: DataFrame) -> DataFrame:
     """TRUE recursive subdocument nesting (reference
     clean_and_write.py:128-143 ``subdiv_key``): colon-separated tag
@@ -542,32 +573,10 @@ def nest_subdocs_json(pairs: DataFrame) -> DataFrame:
 
     from ..schema import RAW_ELEMENT_SCHEMA  # noqa: F401  (cited schema)
 
+    nest = nest_pairs
+
     def _assemble(batches):
         import pandas as pd
-
-        def nest(entries):
-            out: dict = {}
-            for k, v in entries:
-                parts = k.split(":")
-                node = out
-                for seg in parts[:-1]:
-                    nxt = node.get(seg)
-                    if nxt is None:
-                        nxt = node[seg] = {}
-                    elif not isinstance(nxt, dict):
-                        raise ValueError(
-                            f"subdocument conflict: {k!r} descends "
-                            f"through leaf key {seg!r}"
-                        )
-                    node = nxt
-                leaf = parts[-1]
-                if isinstance(node.get(leaf), dict):
-                    raise ValueError(
-                        f"subdocument conflict: leaf {k!r} collides "
-                        f"with an existing subdocument"
-                    )
-                node[leaf] = v
-            return out
 
         for pdf in batches:
             rows = []

@@ -456,3 +456,49 @@ def test_nest_subdocs_depth_beyond_oracle_and_conflicts(spark):
         run([(1, "a:b", "leaf"), (1, "a:b:c", "deeper")])
     with pytest.raises(Exception, match="conflict"):
         run([(1, "a:b:c", "deeper"), (1, "a:b", "leaf")])
+
+
+def test_nest_pairs_roundtrip_property():
+    """Hypothesis roundtrip law for the recursive nester: for ANY
+    prefix-conflict-free set of colon paths, flatten(nest(pairs))
+    recovers exactly the input pairs -- nesting is lossless and
+    addressability-preserving at arbitrary depth."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+        nest_pairs,
+    )
+
+    seg = st.text(alphabet="abcd", min_size=1, max_size=3)
+    path = st.lists(seg, min_size=1, max_size=5).map(":".join)
+
+    def conflict_free(paths):
+        pset = set(paths)
+        for p in pset:
+            parts = p.split(":")
+            for i in range(1, len(parts)):
+                if ":".join(parts[:i]) in pset:
+                    return False
+        return True
+
+    pairs_strategy = (
+        st.lists(path, min_size=1, max_size=12, unique=True)
+        .filter(conflict_free)
+        .map(lambda ps: [(p, f"v{i}") for i, p in enumerate(sorted(ps))])
+    )
+
+    def flatten(d, prefix=""):
+        for k, v in d.items():
+            key = f"{prefix}:{k}" if prefix else k
+            if isinstance(v, dict):
+                yield from flatten(v, key)
+            else:
+                yield (key, v)
+
+    @settings(max_examples=200, deadline=None)
+    @given(pairs_strategy)
+    def check(pairs):
+        assert sorted(flatten(nest_pairs(pairs))) == sorted(pairs)
+
+    check()
