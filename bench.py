@@ -293,7 +293,12 @@ def _run_block(block: str, sf_dir: str) -> int:
             print("{}")
             spark.stop()
             return 0
-        t1, s1, _tm1 = _time_queries(spark, qs, sf1_dir, n_passes=2)
+        # 3 passes, not 2: after a cache-cold day the first sf1 pass
+        # pays 10-50 s of first-touch page faults (v7 measured 49.8 ->
+        # 10.4 -> 5.0 -> 4.4 s in one fresh JVM); with 2 passes the
+        # recorded min is still warm-up, and round-over-round sf1
+        # deltas read as phantom regressions.
+        t1, s1, _tm1 = _time_queries(spark, qs, sf1_dir, n_passes=3)
         print(
             json.dumps(
                 {
