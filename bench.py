@@ -315,6 +315,11 @@ def _run_block(block: str, sf_dir: str) -> int:
         )
     elif block == "skew":
         print(json.dumps(_bench_skew(spark, qs, sf_dir) or {}))
+    elif block == "etl":
+        sf = float(
+            os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
+        )
+        print(json.dumps(_bench_etl(spark, target_mb=77.0 * sf / 0.1)))
     spark.stop()
     return 0
 
@@ -415,10 +420,6 @@ def main() -> int:
         spark, qs, sf_dir, n_passes=1, names=EXTENDED
     )
 
-    # ETL input scales with the benchmark SF (77 MB -- the reference's
-    # own extract size -- at the default sf0.1).
-    etl = _bench_etl(spark, target_mb=77.0 * sf / 0.1)
-
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_wall",
@@ -430,7 +431,6 @@ def main() -> int:
         "value_tmean": round(sum(tmeans.values()), 3),
         "ext": ext_timings,
         "sf": sf,
-        **etl,
         "ts": int(time.time()),
     }
 
@@ -438,6 +438,21 @@ def main() -> int:
     # BEFORE the subprocess blocks so the two JVMs' heaps never
     # coexist (each sized for the full machine).
     spark.stop()
+
+    # ETL in its OWN JVM (like sf1/skew), not the main session: after
+    # the 5-pass headline + the ext block, the main JVM's heap is
+    # fragmented across ~200 stages and the ETL shape stage measured
+    # 35-40% slow (14.3 MB/s in-process vs 21+ fresh, identical code).
+    # A fresh JVM gives the number a 1000-executor cluster would see.
+    # Inline fallback keeps the metric present if the subprocess dies.
+    etl = _subprocess_block("etl", sf_dir, timeout_s=600)
+    if etl is None:
+        es = get_spark(app_name="bench_etl_fallback")
+        try:
+            etl = _bench_etl(es, target_mb=77.0 * sf / 0.1)
+        finally:
+            es.stop()
+    result.update(etl)
 
     # 10x scale-up + planted-skew blocks (default sf0.1 runs only;
     # SPARK_GRAFT_SF1=0 disables both).  Each runs in its own process:
