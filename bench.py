@@ -60,10 +60,10 @@ HEADLINE = [
     "w2_top2_orders_per_customer",
 ]
 
-# Round-7 additions timed as their own block: kept OUT of the headline
-# so round-over-round headline comparisons stay apples-to-apples; one
-# pass each (they are sub-second-to-seconds queries, the min-of-3
-# protocol is reserved for the headline).
+# Round-7/8 additions timed as their own block: kept OUT of the
+# headline so round-over-round headline comparisons stay
+# apples-to-apples; one pass each (they are sub-second-to-seconds
+# queries, the multi-pass protocol is reserved for the headline).
 EXTENDED = [
     "aj1_asof_join",
     "aj2_interval_join_pairs",
