@@ -100,6 +100,7 @@ EXTENDED = [
     "g3_knn_grid",
     "hr3_gapfill_locf",
     "aj4_point_in_time_join",
+    "i2_tfidf_topk",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

@@ -1179,3 +1179,90 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pass"),
     )
+
+
+_TFIDF_TERMS = ("hash", "vector", "batch")
+_TFIDF_TOPK = 10
+
+
+def _tfidf_sql() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(_TFIDF_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i in range(len(_TFIDF_TERMS))
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 + ln(tf_{i}) ELSE 0 END)"
+        f" * (ln((n_docs + 1) / (df_{i} + 1)) + 1)"
+        for i in range(len(_TFIDF_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, round({score}, 4) AS tfidf
+    FROM base CROSS JOIN stats
+    ORDER BY tfidf DESC, doc_id
+    LIMIT {_TFIDF_TOPK}
+    """
+
+
+@register(
+    "i2_tfidf_topk",
+    "TF-IDF keyword retrieval (sublinear tf, smooth idf -- the "
+    "sklearn formulation, public) for a fixed 3-term query: completes "
+    "the retrieval family next to BM25 (i1) with the length-"
+    "normalization-free scorer a simpler ranking pipeline uses.  Same "
+    "engine-pinning rules as i1: tf via native array filters, ln only "
+    "inside a round(,4) gate, doc_id tiebreak.",
+    _tfidf_sql(),
+    tags=("text", "search"),
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical 100 TB shape to i1: one codegen'd projection computes
+    every per-document tf (no token explode), one tiny stats aggregate
+    broadcasts df/n back, and the top-k is a TakeOrderedAndProject --
+    no global sort, no shuffle keyed on anything document-sized."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    base = docs.select(
+        "doc_id",
+        *[
+            _term_freq(toks, t).alias(f"tf_{i}")
+            for i, t in enumerate(_TFIDF_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df_{i}")
+            for i in range(len(_TFIDF_TERMS))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_TFIDF_TERMS)):
+        tf_n = F.when(
+            F.col(f"tf_{i}") > 0, 1 + F.log(F.col(f"tf_{i}"))
+        ).otherwise(F.lit(0.0))
+        idf = F.log((F.col("n_docs") + 1) / (F.col(f"df_{i}") + 1)) + 1
+        part = tf_n * idf
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), "doc_id")
+        .limit(_TFIDF_TOPK)
+    )

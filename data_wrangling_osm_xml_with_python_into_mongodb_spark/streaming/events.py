@@ -490,3 +490,51 @@ def run_countmin_grid_to_memory_sink(
     finally:
         q.stop()
     return spark.table(table_name)
+
+
+def ohlc_bars_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of hr2 (plans/queries_profile.py:q_ohlc_bars):
+    per-(event_type, hour) OHLC bars maintained incrementally.
+
+    min_by/max_by/min/max/count are all mergeable one-pair-or-scalar
+    aggregates, so per-bar state is constant-size no matter how many
+    ticks land in the hour -- the same discipline that lets the batch
+    partial+final agg ship bar-sized shuffles.  The (epoch-micros,
+    event_id) string key makes open/close deterministic under any
+    arrival order, which is exactly what a stream needs (events arrive
+    out of order by construction)."""
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    v = F.col("value").cast("decimal(18,2)")
+    key = F.format_string(
+        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bar_ts")
+        )
+        .agg(
+            F.min_by(v, key).cast("double").alias("open"),
+            F.max(v).cast("double").alias("high"),
+            F.min(v).cast("double").alias("low"),
+            F.max_by(v, key).cast("double").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def run_ohlc_bars_to_memory_sink(
+    spark: SparkSession, sf_dir: str, table_name: str = "ohlc_bars"
+) -> DataFrame:
+    bars = ohlc_bars_stream(read_event_stream(spark, sf_dir))
+    q = (
+        bars.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(table_name)

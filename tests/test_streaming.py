@@ -240,3 +240,24 @@ def test_countmin_grid_stream_equals_batch(spark):
     sm, bm = as_map(streamed), as_map(batch)
     assert sm == bm
     assert len(sm) <= qp._CM_D * 256
+
+
+def test_ohlc_bars_stream_equals_batch(spark):
+    """Streaming OHLC maintenance must equal the batch hr2 bars bar
+    for bar -- open/close deterministic under streaming arrival order
+    because both engines rank by the same (epoch, event_id) key."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.events import (
+        ohlc_bars_stream,
+        run_ohlc_bars_to_memory_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_ohlc_bars_to_memory_sink(spark, sf).collect()
+    batch = ohlc_bars_stream(
+        spark.read.parquet(f"{sf}/events.parquet")
+    ).collect()
+    key = lambda r: (  # noqa: E731
+        r["event_type"], r["bar_ts"], r["open"], r["high"],
+        r["low"], r["close"], r["n_ticks"],
+    )
+    assert sorted(map(key, streamed)) == sorted(map(key, batch))
