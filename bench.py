@@ -320,7 +320,14 @@ def _run_block(block: str, sf_dir: str) -> int:
         sf = float(
             os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
         )
-        print(json.dumps(_bench_etl(spark, target_mb=77.0 * sf / 0.1)))
+        out = _bench_etl(spark, target_mb=77.0 * sf / 0.1)
+        # cpus/attempt ride along (cf. the sf1 block) so a reduced-
+        # thread last-resort retry is visible next to its numbers.
+        out["etl_cpus"] = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        out["etl_attempt"] = int(
+            os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "0")
+        )
+        print(json.dumps(out))
     spark.stop()
     return 0
 
