@@ -121,12 +121,21 @@ def _dispatch_frame(raw: DataFrame) -> DataFrame:
             "list_v"
         ),
         # List-ify then per-element normalization (clean_and_write.py:
-        # 300-305 + :97-111); trim+split yields a singleton for values
-        # without ';', so one lambda covers both paths.
+        # 300-305 + :97-111).  The ';'-free singleton (virtually every
+        # phone tag) takes a NON-HOF branch: a transform() lambda is
+        # CodegenFallback, so routing singletons through it evaluated
+        # format_phone's regex/concat tree INTERPRETED per phone row --
+        # jstack-sampled as the hottest block of the dispatch stage.
+        # split(trim(v)) on a ';'-free value is exactly [trim(v)], so
+        # the branches agree by construction.
         F.when(
             k == "phone",
-            F.transform(
-                F.split(F.trim(v), r"\s*;\s*"), lambda p: C.format_phone(p)
+            F.when(
+                ~v.contains(";"), F.array(C.format_phone(F.trim(v)))
+            ).otherwise(
+                F.transform(
+                    F.split(F.trim(v), r"\s*;\s*"), lambda p: C.format_phone(p)
+                )
             ),
         ).alias("phone_v"),
         # IS_IN_MAP constant replacement (clean_and_write.py:216-217):
@@ -158,22 +167,6 @@ def _dispatch_frame(raw: DataFrame) -> DataFrame:
         "_id",
         *_STRUCTURAL,
         "k",
-        F.when(k == "name", list_v).alias("name_v"),
-        phone_v,
-        F.when(k == "amenity", list_v).alias("amenity_v"),
-        F.when(k == "shop", list_v).alias("shop_v"),
-        F.col("isin_v"),
-        *[
-            F.when(k == f"addr:{f}", F.col("addr_v")).alias(f"addr_{f}_v")
-            for f in ADDR_FIELDS
-        ],
-        F.col("addr_unit_street_v"),
-        F.when(k.startswith("addr:"), F.lit(1)).alias("has_addr_v"),
-        F.when(k == "ele", int_v).alias("ele_v"),
-        F.when(k == "population", int_v).alias("population_v"),
-        F.when(k == "lanes", int_v).alias("lanes_v"),
-        F.when(k == "building:levels", float_v).alias("building_levels_v"),
-        F.when(k == "maxheight", float_v).alias("maxheight_v"),
         F.when(
             k.isin(*C.LIST_KEYS),
             F.struct(
@@ -209,6 +202,17 @@ def _dispatch_frame(raw: DataFrame) -> DataFrame:
                 v.alias("val"),
             ),
         ).alias("entry_sub"),
+        # addr rows: subpath-keyed cleaned value + the street-row
+        # '#unit' token (us), feeding both the addr struct promotion and
+        # the unit fallback post-agg.
+        F.when(
+            (F.col("root") == "addr") & F.col("has_colon"),
+            F.struct(
+                F.col("subpath").alias("k"),
+                F.col("addr_v").alias("v"),
+                F.col("addr_unit_street_v").alias("us"),
+            ),
+        ).alias("entry_addr"),
         # Null-guarded: tagless/problem-char rows must not feed the map
         # (map keys cannot be null); collect_list skips the nulls.
         F.when(k.isNotNull(), F.struct(k.alias("k"), v.alias("v"))).alias(
@@ -239,12 +243,17 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     # leak LAST_WIN semantics into unrelated caller queries.
     kv = _dispatch_frame(raw)
 
-    # ONE imperative aggregate: the six entry streams ride in a single
-    # collect_list of a combined struct (TypedImperativeAggregate buffer
-    # updates are interpreted per row -- six separate collect_lists cost
-    # ~6x the buffer work; measured ~0.5s of a 2.4s ETL pass at 20 MB).
-    # The per-entry maps are split back out post-agg with array folds
-    # over the ~tags-per-element-sized collected array.
+    # EXACTLY TWO aggregate functions: first(struct(structural)) and
+    # one collect_list of the combined entry struct.  ObjectHashAggregate
+    # (forced by collect_list) evaluates every aggregate's update
+    # projection INTERPRETED per input row -- the earlier 28-function
+    # form (6 first + 21 max + collect_list) spent ~35% of the whole
+    # shaping stage in AggregationIterator update chains (jstack-sampled
+    # at local[1]).  The promoted scalar columns are derived post-agg
+    # instead: an element_at lookup on the maps this stage builds anyway
+    # (dup-free fast path), with a lazy array_max fallback re-deriving
+    # the reference's max-over-all-rows semantics only for elements
+    # whose tags contain a duplicate key after rewrite.
     entry_all = F.when(
         F.col("k").isNotNull(),
         F.struct(
@@ -253,26 +262,17 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             F.col("entry_float"),
             F.col("entry_bool"),
             F.col("entry_sub"),
+            F.col("entry_addr"),
             F.col("entry_tag"),
         ),
     )
 
     grp = kv.groupBy("_id").agg(
-        *[F.first(c).alias(c) for c in _STRUCTURAL],
-        F.max("name_v").alias("name"),
-        F.max("phone_v").alias("phone"),
-        F.max("amenity_v").alias("amenity"),
-        F.max("shop_v").alias("shop"),
-        F.max("isin_v").alias("is_in"),
-        *[F.max(f"addr_{f}_v").alias(f"addr_{f}") for f in ADDR_FIELDS],
-        F.max("addr_unit_street_v").alias("addr_unit_street"),
-        F.max("has_addr_v").alias("has_addr"),
-        F.max("ele_v").alias("ele"),
-        F.max("population_v").alias("population"),
-        F.max("lanes_v").alias("lanes"),
-        F.max("building_levels_v").alias("building_levels"),
-        F.max("maxheight_v").alias("maxheight"),
+        F.first(F.struct(*_STRUCTURAL)).alias("_s"),
         F.collect_list(entry_all).alias("_entries"),
+    )
+    grp = grp.select(
+        "_id", *[F.col("_s")[c].alias(c) for c in _STRUCTURAL], "_entries"
     )
 
     # Duplicate tag keys (repeated XML keys, _N-strip collisions like
@@ -301,9 +301,11 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     )
     grp = grp.select(
         "*",
-        F.when(F.size(ent_keys) == F.size(F.array_distinct(ent_keys)), ent0)
-        .otherwise(ent_keep_last)
-        .alias("_entries_d"),
+        (F.size(ent_keys) != F.size(F.array_distinct(ent_keys))).alias("_dups"),
+    )
+    grp = grp.select(
+        "*",
+        F.when(F.col("_dups"), ent_keep_last).otherwise(ent0).alias("_entries_d"),
     )
 
     ent = F.col("_entries_d")
@@ -327,8 +329,50 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         F.filter(
             F.transform(ent, lambda e: e["entry_sub"]), lambda x: x.isNotNull()
         ).alias("_sub_entries"),
+        # addr rows keyed by subpath (street/unit/...): the fast-path
+        # source for the promoted addr struct fields.
+        F.map_from_entries(
+            F.filter(
+                F.transform(
+                    ent,
+                    lambda e: F.when(
+                        e["entry_addr"].isNotNull(),
+                        F.struct(e["entry_addr"]["k"], e["entry_addr"]["v"]),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("_addr_map"),
         entries_map("entry_tag").alias("tags"),
     )
+
+    # Promoted scalar columns, derived (not aggregated -- see the agg
+    # comment above).  Fast path: one element_at on the already-built
+    # map.  Dup path (rare): re-derive the reference's
+    # max-over-all-tag-rows semantics with an array_max over the
+    # UNDEDUPED entry array -- CaseWhen evaluates branches lazily per
+    # row, so dup-free elements never pay the HOF.
+    dups = F.col("_dups")
+
+    def _pmax(val_fn) -> Column:
+        return F.array_max(F.transform(ent0, val_fn))
+
+    def _promoted(map_col: str, entry_field: str, key: str) -> Column:
+        slow = _pmax(
+            lambda e: F.when(e[entry_field]["k"] == key, e[entry_field]["v"])
+        )
+        return F.when(dups, slow).otherwise(F.element_at(F.col(map_col), key))
+
+    def _promoted_addr(f: str) -> Column:
+        slow = _pmax(
+            lambda e: F.when(e["entry_addr"]["k"] == f, e["entry_addr"]["v"])
+        )
+        return F.when(dups, slow).otherwise(F.element_at(F.col("_addr_map"), f))
+
+    # max-over-all semantics needs no dup fallback for these two: the
+    # probe below ranges over ALL entries either way.
+    addr_unit_street = _pmax(lambda e: e["entry_addr"]["us"])
+    has_addr = F.exists(ent0, lambda e: e["entry_addr"].isNotNull())
 
     # Post-agg: per-document array ops on small arrays (one pass each).
     sub = F.col("_sub_entries")
@@ -355,9 +399,9 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     # addr:street (reference audit_addr, clean_and_write.py:323-326).
     addr_struct = F.struct(
         *[
-            F.coalesce(F.col("addr_unit"), F.col("addr_unit_street")).alias("unit")
+            F.coalesce(_promoted_addr("unit"), addr_unit_street).alias("unit")
             if f == "unit"
-            else F.col(f"addr_{f}").alias(f)
+            else _promoted_addr(f).alias(f)
             for f in ADDR_FIELDS
         ]
     )
@@ -387,23 +431,28 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             F.lit(None).cast("array<struct<type:string,ref:string,role:string>>")
         )
         .alias("members"),
-        F.col("name"),
-        F.col("phone"),
-        F.col("amenity"),
-        F.col("shop"),
-        F.col("is_in"),
-        F.when(F.col("has_addr") == 1, addr_struct)
+        _promoted("lists", "entry_list", "name").alias("name"),
+        _promoted("lists", "entry_list", "phone").alias("phone"),
+        _promoted("lists", "entry_list", "amenity").alias("amenity"),
+        _promoted("lists", "entry_list", "shop").alias("shop"),
+        # is_in's promoted value is a dataset CONSTANT per key
+        # (isin_map_value), so keep-last == max and no dup fallback is
+        # needed.
+        F.element_at(F.col("lists"), "is_in").alias("is_in"),
+        F.when(has_addr, addr_struct)
         .otherwise(
             F.lit(None).cast(
                 "struct<" + ",".join(f"{f}:string" for f in ADDR_FIELDS) + ">"
             )
         )
         .alias("addr"),
-        F.col("ele"),
-        F.col("population"),
-        F.col("lanes"),
-        F.col("building_levels"),
-        F.col("maxheight"),
+        _promoted("ints", "entry_int", "ele").alias("ele"),
+        _promoted("ints", "entry_int", "population").alias("population"),
+        _promoted("ints", "entry_int", "lanes").alias("lanes"),
+        _promoted("floats", "entry_float", "building:levels").alias(
+            "building_levels"
+        ),
+        _promoted("floats", "entry_float", "maxheight").alias("maxheight"),
         # Defensive: the agg yields empty (not null) maps, but keep the
         # canonical-schema guarantee explicit.
         F.coalesce("lists", F.expr("map()").cast("map<string,array<string>>")).alias("lists"),
