@@ -243,136 +243,108 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     # leak LAST_WIN semantics into unrelated caller queries.
     kv = _dispatch_frame(raw)
 
-    # EXACTLY TWO aggregate functions: first(struct(structural)) and
-    # one collect_list of the combined entry struct.  ObjectHashAggregate
-    # (forced by collect_list) evaluates every aggregate's update
-    # projection INTERPRETED per input row -- the earlier 28-function
-    # form (6 first + 21 max + collect_list) spent ~35% of the whole
-    # shaping stage in AggregationIterator update chains (jstack-sampled
-    # at local[1]).  The promoted scalar columns are derived post-agg
-    # instead: an element_at lookup on the maps this stage builds anyway
-    # (dup-free fast path), with a lazy array_max fallback re-deriving
-    # the reference's max-over-all-rows semantics only for elements
-    # whose tags contain a duplicate key after rewrite.
-    entry_all = F.when(
-        F.col("k").isNotNull(),
-        F.struct(
-            F.col("entry_list"),
-            F.col("entry_int"),
-            F.col("entry_float"),
-            F.col("entry_bool"),
-            F.col("entry_sub"),
-            F.col("entry_addr"),
-            F.col("entry_tag"),
-        ),
-    )
-
+    # PRE-FILTERED per-kind collects: collect_list SKIPS null inputs,
+    # so each typed entry stream arrives post-agg already filtered to
+    # its own (usually empty or tiny) array and every map is ONE direct
+    # map_from_entries -- no combined-struct re-extraction.  The earlier
+    # designs measured on the 77 MB corpus, worst first: 28 agg
+    # functions (6 first + 21 max + collect_list of a 7-field combined
+    # struct) spent ~35% of the stage in interpreted
+    # AggregationIterator update chains; 2 functions + post-agg
+    # transform/filter per map moved that cost into ~15 interpreted HOF
+    # passes per element.  This form pays 8 cheap interpreted updates
+    # per tag row (null-check + append) and ~6 HOF passes per element,
+    # most over empty arrays.  Promoted scalars derive post-agg: an
+    # element_at on the maps (dup-free fast path) with a lazy array_max
+    # fallback re-deriving the reference's max-over-all-rows semantics
+    # only for elements whose tags contain a duplicate key after
+    # rewrite.
     grp = kv.groupBy("_id").agg(
         F.first(F.struct(*_STRUCTURAL)).alias("_s"),
-        F.collect_list(entry_all).alias("_entries"),
+        F.collect_list("entry_list").alias("_l_list"),
+        F.collect_list("entry_int").alias("_l_int"),
+        F.collect_list("entry_float").alias("_l_float"),
+        F.collect_list("entry_bool").alias("_l_bool"),
+        F.collect_list("entry_sub").alias("_l_sub"),
+        F.collect_list("entry_addr").alias("_l_addr"),
+        F.collect_list("entry_tag").alias("_l_tag"),
     )
     grp = grp.select(
-        "_id", *[F.col("_s")[c].alias(c) for c in _STRUCTURAL], "_entries"
+        "_id",
+        *[F.col("_s")[c].alias(c) for c in _STRUCTURAL],
+        *[c for c in grp.columns if c.startswith("_l_")],
     )
 
     # Duplicate tag keys (repeated XML keys, _N-strip collisions like
     # name + name_1) resolve last-TAG-wins, like the reference's dict
-    # update: dedup the collected entry array ONCE by the row's tag key
-    # before any map build, so map_from_entries never sees a duplicate
-    # key in ANY of the six maps (every map's key space is an injective
-    # function of the tag key: k itself, or root/':'->'.' path) -- and
-    # the pipeline needs no mapKeyDedupPolicy session conf.
+    # update (clean_and_write.py:355-356): dedup each collected list
+    # keep-last before its map build, so map_from_entries never sees a
+    # duplicate key.  Per-kind keep-last equals global keep-last: a tag
+    # key always dispatches to the same kinds, and every kind's map key
+    # is an injective function of the tag key (k itself, subpath, or
+    # (root, path)).
     #
     # Cost model: the dup-free common case (virtually every element)
     # pays ONE native array_distinct size probe on the tags-sized
     # array; only elements actually containing a duplicate key take
-    # the quadratic interpreted-HOF keep-last scan (Spark's If
-    # evaluates branches lazily per row).  Per-map unconditional
-    # keep-last scans here measured ~2.3x on the whole shaping stage.
-    ent0 = F.col("_entries")
-    _key = lambda e: e["entry_tag"]["k"]  # noqa: E731  (always non-null)
-    ent_keys = F.transform(ent0, _key)
-    ent_keep_last = F.filter(
-        ent0,
-        lambda e, i: ~F.exists(
-            F.slice(ent0, i + 2, F.size(ent0)),
-            lambda later: _key(later) == _key(e),
-        ),
-    )
+    # the quadratic interpreted-HOF keep-last scans (Spark's If
+    # evaluates branches lazily per row).
+    tag_keys = F.transform(F.col("_l_tag"), lambda e: e["k"])
     grp = grp.select(
         "*",
-        (F.size(ent_keys) != F.size(F.array_distinct(ent_keys))).alias("_dups"),
+        (F.size(tag_keys) != F.size(F.array_distinct(tag_keys))).alias("_dups"),
     )
-    grp = grp.select(
-        "*",
-        F.when(F.col("_dups"), ent_keep_last).otherwise(ent0).alias("_entries_d"),
-    )
-
-    ent = F.col("_entries_d")
-
-    def entries_map(field: str) -> Column:
-        """Split one entry stream back out of the (deduped) combined
-        collect_list and build its map (nulls = rows that weren't this
-        entry kind)."""
-        return F.map_from_entries(
-            F.filter(
-                F.transform(ent, lambda e: e[field]), lambda x: x.isNotNull()
-            )
-        )
-
-    grp = grp.select(
-        "*",
-        entries_map("entry_list").alias("lists"),
-        entries_map("entry_int").alias("ints"),
-        entries_map("entry_float").alias("floats"),
-        entries_map("entry_bool").alias("bools"),
-        F.filter(
-            F.transform(ent, lambda e: e["entry_sub"]), lambda x: x.isNotNull()
-        ).alias("_sub_entries"),
-        # addr rows keyed by subpath (street/unit/...): the fast-path
-        # source for the promoted addr struct fields.
-        F.map_from_entries(
-            F.filter(
-                F.transform(
-                    ent,
-                    lambda e: F.when(
-                        e["entry_addr"].isNotNull(),
-                        F.struct(e["entry_addr"]["k"], e["entry_addr"]["v"]),
-                    ),
-                ),
-                lambda x: x.isNotNull(),
-            )
-        ).alias("_addr_map"),
-        entries_map("entry_tag").alias("tags"),
-    )
-
-    # Promoted scalar columns, derived (not aggregated -- see the agg
-    # comment above).  Fast path: one element_at on the already-built
-    # map.  Dup path (rare): re-derive the reference's
-    # max-over-all-tag-rows semantics with an array_max over the
-    # UNDEDUPED entry array -- CaseWhen evaluates branches lazily per
-    # row, so dup-free elements never pay the HOF.
     dups = F.col("_dups")
 
-    def _pmax(val_fn) -> Column:
-        return F.array_max(F.transform(ent0, val_fn))
-
-    def _promoted(map_col: str, entry_field: str, key: str) -> Column:
-        slow = _pmax(
-            lambda e: F.when(e[entry_field]["k"] == key, e[entry_field]["v"])
+    def _keep_last(arr: Column, key_fn) -> Column:
+        return F.filter(
+            arr,
+            lambda e, i: ~F.exists(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda later: key_fn(later) == key_fn(e),
+            ),
         )
+
+    def _dedup(col: str, key_fn=lambda e: e["k"]) -> Column:
+        c = F.col(col)
+        return F.when(dups, _keep_last(c, key_fn)).otherwise(c)
+
+    grp = grp.select(
+        "*",
+        F.map_from_entries(_dedup("_l_list")).alias("lists"),
+        F.map_from_entries(_dedup("_l_int")).alias("ints"),
+        F.map_from_entries(_dedup("_l_float")).alias("floats"),
+        F.map_from_entries(_dedup("_l_bool")).alias("bools"),
+        _dedup(
+            "_l_sub",
+            key_fn=lambda e: F.concat_ws("\x00", e["r"], e["p"]),
+        ).alias("_sub_entries"),
+        # addr rows keyed by subpath (street/unit/...): the fast-path
+        # source for the promoted addr struct fields.  The us field is
+        # dropped before the map build (map entries are (key, value)).
+        F.map_from_entries(
+            F.transform(
+                _dedup("_l_addr"), lambda e: F.struct(e["k"], e["v"])
+            )
+        ).alias("_addr_map"),
+        F.map_from_entries(_dedup("_l_tag")).alias("tags"),
+    )
+
+    def _pmax(col: str, val_fn) -> Column:
+        return F.array_max(F.transform(F.col(col), val_fn))
+
+    def _promoted(map_col: str, list_col: str, key: str) -> Column:
+        slow = _pmax(list_col, lambda e: F.when(e["k"] == key, e["v"]))
         return F.when(dups, slow).otherwise(F.element_at(F.col(map_col), key))
 
     def _promoted_addr(f: str) -> Column:
-        slow = _pmax(
-            lambda e: F.when(e["entry_addr"]["k"] == f, e["entry_addr"]["v"])
-        )
+        slow = _pmax("_l_addr", lambda e: F.when(e["k"] == f, e["v"]))
         return F.when(dups, slow).otherwise(F.element_at(F.col("_addr_map"), f))
 
-    # max-over-all semantics needs no dup fallback for these two: the
-    # probe below ranges over ALL entries either way.
-    addr_unit_street = _pmax(lambda e: e["entry_addr"]["us"])
-    has_addr = F.exists(ent0, lambda e: e["entry_addr"].isNotNull())
+    # max-over-all semantics needs no dup fallback for these two: both
+    # range over the full (undeduped) addr list either way.
+    addr_unit_street = _pmax("_l_addr", lambda e: e["us"])
+    has_addr = F.size("_l_addr") > 0
 
     # Post-agg: per-document array ops on small arrays (one pass each).
     sub = F.col("_sub_entries")
@@ -431,10 +403,10 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             F.lit(None).cast("array<struct<type:string,ref:string,role:string>>")
         )
         .alias("members"),
-        _promoted("lists", "entry_list", "name").alias("name"),
-        _promoted("lists", "entry_list", "phone").alias("phone"),
-        _promoted("lists", "entry_list", "amenity").alias("amenity"),
-        _promoted("lists", "entry_list", "shop").alias("shop"),
+        _promoted("lists", "_l_list", "name").alias("name"),
+        _promoted("lists", "_l_list", "phone").alias("phone"),
+        _promoted("lists", "_l_list", "amenity").alias("amenity"),
+        _promoted("lists", "_l_list", "shop").alias("shop"),
         # is_in's promoted value is a dataset CONSTANT per key
         # (isin_map_value), so keep-last == max and no dup fallback is
         # needed.
@@ -446,13 +418,13 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             )
         )
         .alias("addr"),
-        _promoted("ints", "entry_int", "ele").alias("ele"),
-        _promoted("ints", "entry_int", "population").alias("population"),
-        _promoted("ints", "entry_int", "lanes").alias("lanes"),
-        _promoted("floats", "entry_float", "building:levels").alias(
+        _promoted("ints", "_l_int", "ele").alias("ele"),
+        _promoted("ints", "_l_int", "population").alias("population"),
+        _promoted("ints", "_l_int", "lanes").alias("lanes"),
+        _promoted("floats", "_l_float", "building:levels").alias(
             "building_levels"
         ),
-        _promoted("floats", "entry_float", "maxheight").alias("maxheight"),
+        _promoted("floats", "_l_float", "maxheight").alias("maxheight"),
         # Defensive: the agg yields empty (not null) maps, but keep the
         # canonical-schema guarantee explicit.
         F.coalesce("lists", F.expr("map()").cast("map<string,array<string>>")).alias("lists"),
