@@ -95,6 +95,23 @@ def _map_literal(mapping: dict[str, str]) -> Column:
 
 # --- F1: phone normalization (clean_and_write.py:97-111) ------------------
 
+def _is_preformatted(num: Column) -> Column:
+    """Exactly ``^\\+1-\\d{3}-\\d{3}-\\d{4}$`` without the regex engine
+    (this predicate runs once per phone tag -- jstack showed the
+    anchored rlike as measurable): 15 chars whose non-digit
+    subsequence is exactly ``+---`` (translate deletes digits), with
+    the four non-digits pinned at positions 1/3/7/11 and the country
+    code ``1`` at position 2.  Any extra non-digit would lengthen the
+    subsequence; any misplaced one fails a position test."""
+    return (
+        (F.length(num) == 15)
+        & (F.substring(num, 1, 3) == "+1-")
+        & (F.substring(num, 7, 1) == "-")
+        & (F.substring(num, 11, 1) == "-")
+        & (F.translate(num, "0123456789", "") == "+---")
+    )
+
+
 def format_phone(num: Column) -> Column:
     """Normalize to ``+1-AAA-NNN-NNNN[ xEXT]``.
 
@@ -105,8 +122,10 @@ def format_phone(num: Column) -> Column:
     """
     digits = F.regexp_replace(num, r"\D", "")
     # '^(1*)306' -> '$1360': anchored, so only the first occurrence.
+    # Gated behind a byte-scan instr: numbers not containing '306'
+    # anywhere (virtually all) never enter the regex engine.
     digits = F.when(
-        digits.rlike(r"^1*306"),
+        (F.instr(digits, "306") > 0) & digits.rlike(r"^1*306"),
         F.regexp_replace(digits, r"^(1*)306", r"$1360"),
     ).otherwise(digits)
     digits = F.when(digits.startswith("1"), digits).otherwise(F.concat(F.lit("1"), digits))
@@ -123,7 +142,7 @@ def format_phone(num: Column) -> Column:
     )
     plain = F.concat(head, F.substring(digits, 8, 2_000_000))
     formatted = F.when(F.length(digits) > 12, with_ext).otherwise(plain)
-    return F.when(num.rlike(f"^{PHONE_RE}$"), num).otherwise(formatted)
+    return F.when(_is_preformatted(num), num).otherwise(formatted)
 
 
 # --- F11: phone area-code audit (main.ipynb:799-821 ex_audit_phone) -------

@@ -292,7 +292,12 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     tag_keys = F.transform(F.col("_l_tag"), lambda e: e["k"])
     grp = grp.select(
         "*",
-        (F.size(tag_keys) != F.size(F.array_distinct(tag_keys))).alias("_dups"),
+        # size-<2 short-circuit: And skips the transform/array_distinct
+        # probe entirely for 0/1-tag elements.
+        (
+            (F.size(F.col("_l_tag")) > 1)
+            & (F.size(tag_keys) != F.size(F.array_distinct(tag_keys)))
+        ).alias("_dups"),
     )
     dups = F.col("_dups")
 
