@@ -159,6 +159,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node appearing in ``edges`` with the minimum node id
     reachable from it: columns ``(id, cluster_id)``.
@@ -198,6 +199,11 @@ def connected_components(
         converged = nsig == sig and nxt.subtract(cur).isEmpty()
         cur, sig = nxt, nsig
         if converged:
+            if stats is not None:
+                # Measured contraction rounds to fixpoint -- the bench
+                # records this next to wall time so the O(log^2 n)
+                # claim carries a number.
+                stats["rounds"] = _round + 1
             break
     else:
         raise ConvergenceError(

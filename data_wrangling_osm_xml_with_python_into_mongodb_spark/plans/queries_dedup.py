@@ -572,6 +572,21 @@ def q_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd9_cc_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Bench evidence for the contraction claim: run dd9's exact edge
+    set through connected_components with the round counter on and
+    return {rounds, n_labels} -- recorded beside dd9's wall time so the
+    O(log^2 n) bound carries a measured number (the planted 120-chain
+    needs 119 propagation rounds; contraction should land ~2*log2)."""
+    edges = _jaccard_edges(spark, sf_dir, DUP_CLUSTER_JACCARD).unionAll(
+        _chain_edges(spark, sf_dir)
+    )
+    stats: dict = {}
+    labels = connected_components(edges, src="id_a", dst="id_b", stats=stats)
+    stats["n_labels"] = labels.count()
+    return stats
+
+
 _N_PERM = 16
 _N_BANDS = 4  # 4 rows per band
 _PERMS = perm_params(_N_PERM)

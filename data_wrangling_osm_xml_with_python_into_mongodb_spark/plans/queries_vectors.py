@@ -663,6 +663,21 @@ def q_wide_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid components are averages (already rounded to 6), but the
     cosine accumulation order still differs einsum-vs-fold, and an
     unrounded argmin could flip on a near-tie ulp."""
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        wide_ivf_candidates(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+def wide_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v8's scored candidate frame BEFORE the per-query top-k window --
+    factored out so the bench can record the probe's pruning power
+    (rows scored / corpus) next to its wall time."""
     emb = _t(spark, sf_dir, "embeddings")
     wide = emb.select("vec_id", "label", _widen_spark().alias("v"))
     exploded = wide.select("label", F.posexplode("v")).select(
@@ -691,25 +706,31 @@ def q_wide_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = wide.select(
         F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv")
     )
-    w_top = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+    return assign.join(
+        cand,
+        (cand["label"] == assign["probed_label"])
+        & (cand["neighbor_id"] != assign["vec_id"]),
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "probed_label",
+        "neighbor_id",
+        F.round(V.cosine("v", "cv", dim=WIDE_DIM), 6).alias("cos_sim"),
     )
-    return (
-        assign.join(
-            cand,
-            (cand["label"] == assign["probed_label"])
-            & (cand["neighbor_id"] != assign["vec_id"]),
-        )
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "probed_label",
-            "neighbor_id",
-            F.round(V.cosine("v", "cv", dim=WIDE_DIM), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-    )
+
+
+def v8_probe_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Pruning evidence for the bench: how many rows v8's probe
+    actually scores vs the brute-force corpus (v7 scores
+    queries x corpus)."""
+    n_cand = wide_ivf_candidates(spark, sf_dir).count()
+    corpus = _t(spark, sf_dir, "embeddings").count()
+    n_q = 5
+    brute = n_q * (corpus - 1)
+    return {
+        "v8_rows_scored": n_cand,
+        "v8_bruteforce_rows": brute,
+        "v8_candidate_fraction": round(n_cand / max(brute, 1), 4),
+    }
 
 
 # --- v9: product quantization (Jegou et al. 2011, public). ----------
