@@ -109,6 +109,9 @@ EXTENDED = [
     "hr3_gapfill_locf",
     "aj4_point_in_time_join",
     "i2_tfidf_topk",
+    # Round-9 additions.
+    "m9_ref_docs_incremental",
+    "i3_tfidf_incremental",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

@@ -16,15 +16,16 @@ Spark-native re-expression of the reference's ETL core ``shape_element``
    consumer, so the multi-consumer trees stay put.  Without the dedup
    the fused stage's generated method grows past what HotSpot will JIT
    and Janino compile time explodes (measured 7-40x slower end to end).
-3. **Re-aggregate per element** -- one hash aggregation on ``_id``
-   builds every promoted column (conditional ``max(when(k=..))``), the
-   typed side-maps (``map_from_entries(collect_list(when(..)))``, null
-   entries skipped by collect_list), the lossless tags map, and the
-   structural columns (``first()`` -- functionally dependent on
-   ``_id``, carried through the outer explode so the source is scanned
-   exactly once).  Partial aggregation runs map-side, so the shuffle
-   carries ~one compact row per element and no separate join is
-   needed.
+3. **Re-aggregate per element** -- one aggregation on ``_id`` with
+   per-kind pre-filtered ``collect_list`` streams (null entries
+   skipped) plus one ``first(struct(structural))`` -- functionally
+   dependent on ``_id``, carried through the outer explode so the
+   source is scanned exactly once.  Each typed map is a direct
+   ``map_from_entries`` over its own (usually empty) collected list;
+   promoted scalar columns derive post-agg from the maps, with a lazy
+   max-over-all-rows fallback for duplicate-key elements.  Partial
+   aggregation runs map-side, so the shuffle carries ~one compact row
+   per element and no separate join is needed.
 
 Mapping of the reference's per-element steps:
 
@@ -486,6 +487,82 @@ def validate_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return docs.filter(ok), docs.filter(~ok)
 
 
+def _ref_pairs(docs: DataFrame) -> DataFrame:
+    """(src_id, ref) edge stream of the reference index: way node_refs
+    (already deduped per way by shape_documents) plus relation member
+    refs (duplicates KEPT -- the reference counts them)."""
+    way_refs = docs.select(
+        F.col("_id").alias("src_id"), F.explode_outer("node_refs").alias("ref")
+    )
+    rel_refs = docs.select(
+        F.col("_id").alias("src_id"),
+        F.explode_outer(F.col("members")["ref"]).alias("ref"),
+    )
+    return way_refs.unionByName(rel_refs).filter(F.col("ref").isNotNull())
+
+
+def apply_ref_docs_delta(
+    index: DataFrame, inserted_docs: DataFrame, deleted_docs: DataFrame
+) -> DataFrame:
+    """Incrementally maintain the UNCAPPED ref_docs index (columns
+    ``(_id, refers)``, as built by :func:`build_ref_docs` with
+    ``cap=None``) under an element insert/delete batch -- the
+    warehouse-style alternative to the reference's drop-and-recreate
+    (mongo_audit.py:271-329), using the same anti/semi idiom as
+    incremental dedup (dd12).
+
+    The historical corpus is NEVER rescanned: a deleted element's
+    outgoing refs come off its own document (available in any CDC
+    feed at delete time), and the only index rows touched are the
+    refs the batch actually mentions -- everything else passes through
+    an anti-join untouched.  At scale the delta sides are broadcast,
+    so the index is never shuffled.
+
+    Duplicate-preserving arithmetic: relation members may reference
+    the same id twice and the index keeps both copies, so removal is
+    a per-element filter (NOT array_except, which would set-ify the
+    survivors) and insertion is concat + sort.  Refs whose posting
+    list empties are dropped, exactly as a full rebuild would lack
+    them.
+    """
+    ins_by_ref = (
+        _ref_pairs(inserted_docs)
+        .groupBy("ref")
+        .agg(F.collect_list("src_id").alias("_ins"))
+    )
+    del_by_ref = (
+        _ref_pairs(deleted_docs)
+        .groupBy("ref")
+        .agg(F.collect_set("src_id").alias("_del"))
+    )
+    delta = ins_by_ref.join(del_by_ref, "ref", "full")
+    empty = F.array().cast("array<string>")
+    dels = F.coalesce(F.col("_del"), empty)
+    updated = (
+        index.withColumnRenamed("_id", "ref")
+        # right outer keeps batch-introduced refs absent from the
+        # index; the small delta side is the broadcast build side.
+        .join(F.broadcast(delta), "ref", "right")
+        .select(
+            F.col("ref").alias("_id"),
+            F.array_sort(
+                F.concat(
+                    F.filter(
+                        F.coalesce(F.col("refers"), empty),
+                        lambda x: ~F.array_contains(dels, x),
+                    ),
+                    F.coalesce(F.col("_ins"), empty),
+                )
+            ).alias("refers"),
+        )
+        .filter(F.size("refers") > 0)
+    )
+    untouched = index.join(
+        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
+    )
+    return untouched.unionByName(updated)
+
+
 def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:
     """The inverted reference index (mongo_audit.py:271-329): for every
     referenced id, the sorted list of referencing document ids, plus
@@ -499,16 +576,7 @@ def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:
     window exchange, sort-based and spill-safe, which also yields the
     exact total per key), so no aggregation buffer ever holds more
     than ``cap`` entries even for a hot referenced id."""
-    way_refs = docs.select(
-        F.col("_id").alias("src_id"), F.explode_outer("node_refs").alias("ref")
-    )
-    rel_refs = docs.select(
-        F.col("_id").alias("src_id"),
-        F.explode_outer(F.col("members")["ref"]).alias("ref"),
-    )
-    refs = (
-        way_refs.unionByName(rel_refs).filter(F.col("ref").isNotNull())
-    )
+    refs = _ref_pairs(docs)
     if cap is None:
         return (
             refs.groupBy("ref")

@@ -487,6 +487,74 @@ def q_osm_ref_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M9_ORACLE = rf"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{FIXTURE_PARQUET}')
+),
+final AS (  -- (base - deletes) + inserts == the post-batch corpus
+  SELECT * FROM raw
+  WHERE CAST(_id AS BIGINT) % 7 = 0                -- the insert batch
+     OR (CAST(_id AS BIGINT) % 7 <> 0
+         AND CAST(_id AS BIGINT) % 11 <> 0)        -- base minus deletes
+),
+way_refs AS (
+  SELECT _id AS src, unnest(list_distinct(nds)) AS ref
+  FROM final WHERE doc_type = 'way'
+),
+rel_refs AS (
+  SELECT _id AS src, m.ref AS ref
+  FROM (SELECT _id, unnest(members) AS m FROM final WHERE doc_type = 'relation')
+),
+refs AS (
+  SELECT src, ref FROM way_refs WHERE ref IS NOT NULL
+  UNION ALL
+  SELECT src, ref FROM rel_refs WHERE ref IS NOT NULL
+)
+SELECT ref AS _id,
+       array_to_string(list_sort(list(src)), '|') AS refers,
+       count(*) AS refer_count
+FROM refs
+GROUP BY ref
+"""
+
+
+@register(
+    "m9_ref_docs_incremental",
+    "Incremental maintenance of the m6 ref_docs materialized view "
+    "(the reference drop-and-recreates it, mongo_audit.py:271-329): "
+    "an element batch -- inserts (_id % 7 = 0, held out of the base "
+    "build) and deletes (_id % 11 = 0 of the base) -- is applied to "
+    "the persisted uncapped index via the dd12 anti/semi idiom: "
+    "untouched postings pass through a broadcast anti-join verbatim, "
+    "only refs the batch mentions are rewritten (duplicate-preserving "
+    "filter + concat + sort), and the historical corpus is never "
+    "rescanned.  Oracle: a full rebuild over (base - deletes) + "
+    "inserts must match exactly.",
+    _M9_ORACLE,
+    tags=("mview", "incremental", "osm"),
+)
+def q_ref_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/shape.apply_ref_docs_delta does the maintenance; this
+    query stages base/batch off the fixture (in production the 'old'
+    index is a table read -- here it is built inline once, and the
+    delta path provably touches only it plus the batch docs)."""
+    from ..operators.shape import apply_ref_docs_delta, build_ref_docs
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    docs = shape_documents(raw)
+    id_l = F.col("_id").cast("long")
+    base = docs.filter(id_l % 7 != 0)
+    inserted = docs.filter(id_l % 7 == 0)
+    deleted = base.filter(id_l % 11 == 0)
+    old_index = build_ref_docs(base)  # uncapped: (_id, refers)
+    new_index = apply_ref_docs_delta(old_index, inserted, deleted)
+    return new_index.select(
+        "_id",
+        F.concat_ws("|", F.col("refers")).alias("refers"),
+        F.size("refers").cast("long").alias("refer_count"),
+    )
+
+
 _F8_ORACLE = rf"""
 WITH raw AS (
   SELECT CAST(_id AS BIGINT) AS id, tags

@@ -1266,3 +1266,117 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tfidf").desc(), "doc_id")
         .limit(_TFIDF_TOPK)
     )
+
+def _tfidf_incremental_sql() -> str:
+    """Oracle for i3: a FULL rebuild on the unioned corpus -- stats over
+    every document, scoring restricted to the added batch.  Equality
+    with the Spark side proves the additive df/n_docs merge."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::DOUBLE AS tf_{i}"
+        for i, t in enumerate(_TFIDF_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_{i}"
+        for i in range(len(_TFIDF_TERMS))
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 + ln(tf_{i}) ELSE 0 END)"
+        f" * (ln((n_docs + 1) / (df_{i} + 1)) + 1)"
+        for i in range(len(_TFIDF_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {tf_cols}
+      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
+            FROM documents)
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs,
+             {df_cols}
+      FROM base
+    )
+    SELECT doc_id, round({score}, 4) AS tfidf, n_docs AS n_docs_used
+    FROM base CROSS JOIN stats
+    WHERE doc_id % 10 = 0
+    ORDER BY tfidf DESC, doc_id
+    LIMIT {_TFIDF_TOPK}
+    """
+
+
+@register(
+    "i3_tfidf_incremental",
+    "Incremental retrieval-stats maintenance (the dd12 idiom applied "
+    "to i2): an added document batch (doc_id % 10 = 0) updates the "
+    "persisted corpus stats row by PURE ADDITION (n_docs and every "
+    "per-term df are sums, so new_stats = old_stats + batch_stats), "
+    "then scores the batch against the merged stats.  The historical "
+    "corpus is touched only through its one persisted stats row -- no "
+    "rescan; the oracle full-rebuilds stats on the unioned corpus and "
+    "must agree exactly (n_docs_used rides in the output to pin the "
+    "merged stats in the hash gate).",
+    _tfidf_incremental_sql(),
+    tags=("text", "search", "incremental"),
+)
+def q_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: two tiny one-row aggregates (the 'persisted' stats
+    row stands in for a stats table read -- in production it IS a
+    table), one unionByName+sum merge, and the scoring crossJoin
+    broadcasts the merged row over the BATCH only.  The base corpus
+    appears in the plan solely under its stats aggregate; the scoring
+    side never scans it."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    is_batch = (F.col("doc_id") % 10) == 0
+
+    def tf_frame(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            *[
+                _term_freq(toks, t).alias(f"tf_{i}")
+                for i, t in enumerate(_TFIDF_TERMS)
+            ],
+        )
+
+    def stats_row(d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long"))
+                .cast("double")
+                .alias(f"df_{i}")
+                for i in range(len(_TFIDF_TERMS))
+            ],
+        )
+
+    batch = tf_frame(docs.filter(is_batch))
+    old_stats = stats_row(tf_frame(docs.filter(~is_batch)))  # persisted row
+    delta_stats = stats_row(batch)
+    merged = old_stats.unionByName(delta_stats).agg(
+        F.sum("n_docs").alias("n_docs"),
+        *[
+            F.sum(f"df_{i}").alias(f"df_{i}")
+            for i in range(len(_TFIDF_TERMS))
+        ],
+    )
+
+    scored = batch.crossJoin(F.broadcast(merged))
+    score = None
+    for i in range(len(_TFIDF_TERMS)):
+        tf_n = F.when(
+            F.col(f"tf_{i}") > 0, 1 + F.log(F.col(f"tf_{i}"))
+        ).otherwise(F.lit(0.0))
+        idf = F.log((F.col("n_docs") + 1) / (F.col(f"df_{i}") + 1)) + 1
+        part = tf_n * idf
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            "doc_id",
+            F.round(score, 4).alias("tfidf"),
+            F.col("n_docs").alias("n_docs_used"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id")
+        .limit(_TFIDF_TOPK)
+    )
+
+

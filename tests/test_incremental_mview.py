@@ -1,0 +1,137 @@
+"""Incremental materialized-view maintenance (m9 / i3).
+
+The oracle gate proves one batch == full rebuild at the fixture; these
+tests pin the algebraic properties the driver cannot see:
+
+* batch-ORDER invariance: applying {inserts} then {deletes} equals
+  applying {deletes} then {inserts} equals one combined batch equals a
+  full rebuild (apply_ref_docs_delta is a commutative fold over
+  disjoint batches);
+* duplicate preservation: a relation referencing the same id twice
+  keeps both copies through updates of OTHER srcs on the same ref;
+* stats additivity for i3's merge (df/n_docs are sums).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+    apply_ref_docs_delta,
+    build_ref_docs,
+)
+
+DOC_COLS = "_id string, doc_type string, node_refs array<string>, members array<struct<type:string,ref:string,role:string>>"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_COLS)
+
+
+def _mem(*refs):
+    return [("node", r, "role") for r in refs]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Base ways/relations plus two delta batches (disjoint ids)."""
+    base = _docs(
+        spark,
+        [
+            ("w1", "way", ["n1", "n2"], None),
+            ("w2", "way", ["n2", "n3"], None),
+            # duplicate member ref: both copies must survive unrelated
+            # updates to n2's posting list
+            ("r1", "relation", None, _mem("n2", "n2", "n4")),
+            ("w9", "way", ["n9"], None),
+        ],
+    )
+    ins_a = _docs(spark, [("w5", "way", ["n2", "n5"], None)])
+    del_b = ["w2", "w9"]
+    return base, ins_a, del_b
+
+
+def _canon(df):
+    return sorted(
+        (r["_id"], tuple(r["refers"])) for r in df.collect()
+    )
+
+
+def test_batch_order_invariance_and_rebuild_equality(spark, corpus):
+    base, ins_a, del_b_ids = corpus
+    deleted = base.filter(F.col("_id").isin(del_b_ids))
+    survivors = base.filter(~F.col("_id").isin(del_b_ids))
+    empty = base.filter(F.lit(False))
+
+    full = build_ref_docs(survivors.unionByName(ins_a))
+    idx0 = build_ref_docs(base)
+
+    # one combined batch
+    combined = apply_ref_docs_delta(idx0, ins_a, deleted)
+    # inserts first, then deletes
+    i_then_d = apply_ref_docs_delta(
+        apply_ref_docs_delta(idx0, ins_a, empty), empty, deleted
+    )
+    # deletes first, then inserts
+    d_then_i = apply_ref_docs_delta(
+        apply_ref_docs_delta(idx0, empty, deleted), ins_a, empty
+    )
+
+    want = _canon(full)
+    assert _canon(combined) == want
+    assert _canon(i_then_d) == want
+    assert _canon(d_then_i) == want
+
+
+def test_duplicate_member_refs_preserved(spark, corpus):
+    base, ins_a, del_b_ids = corpus
+    deleted = base.filter(F.col("_id").isin(del_b_ids))
+    out = apply_ref_docs_delta(build_ref_docs(base), ins_a, deleted)
+    n2 = {r["_id"]: r["refers"] for r in out.collect()}["n2"]
+    # w2 deleted, w5 inserted; r1's DOUBLE reference to n2 survives
+    assert n2 == ["r1", "r1", "w1", "w5"]
+
+
+def test_emptied_posting_is_dropped(spark, corpus):
+    base, _, _ = corpus
+    deleted = base.filter(F.col("_id") == "w9")  # sole referrer of n9
+    empty = base.filter(F.lit(False))
+    out = apply_ref_docs_delta(build_ref_docs(base), empty, deleted)
+    assert "n9" not in {r["_id"] for r in out.collect()}
+    # and a full rebuild agrees
+    assert _canon(out) == _canon(
+        build_ref_docs(base.filter(F.col("_id") != "w9"))
+    )
+
+
+def test_i3_stats_additivity(spark):
+    """new_stats = old_stats + batch_stats must equal full-corpus stats
+    exactly (they are integer counts in doubles)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_text import (
+        _TFIDF_TERMS,
+        _term_freq,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " ")
+    tf = docs.select(
+        "doc_id",
+        *[_term_freq(toks, t).alias(f"tf_{i}") for i, t in enumerate(_TFIDF_TERMS)],
+    )
+
+    def stats(d):
+        return d.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("double").alias(f"df_{i}")
+                for i in range(len(_TFIDF_TERMS))
+            ],
+        ).collect()[0]
+
+    is_batch = (F.col("doc_id") % 10) == 0
+    old = stats(tf.filter(~is_batch))
+    delta = stats(tf.filter(is_batch))
+    full = stats(tf)
+    for f in full.asDict():
+        assert old[f] + delta[f] == full[f], f
