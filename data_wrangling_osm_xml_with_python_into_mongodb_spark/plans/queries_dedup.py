@@ -34,14 +34,24 @@ from .queries import _spread, _t, register
 # Shared shingle SQL fragment: distinct lowercase 3-word shingles.
 # Matches TX.word_shingles(text, 3) for documents with >= 3 tokens
 # (every synthetic doc has >= 3 tokens).
-_SHINGLES_SQL = """
-      SELECT doc_id,
-             unnest(list_distinct(
-               list_transform(range(1, len(toks) - 1),
-                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
-               AS shingle
-      FROM (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks
-            FROM documents)
+# Tokenization + shingling mirrored EXACTLY from word_shingles_arrow
+# (functions/text.py): Java-whitespace-class split (\v == \x0b), and a
+# <3-token document yields ONE whole-text shingle (not zero) -- without
+# the mirror, a short or tab-containing document would silently split
+# the Spark/DuckDB results (latent on today's corpus, ADVICE r8).
+_SHINGLES_SQL = r"""
+      SELECT doc_id, unnest(sh) AS shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_distinct(
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '[ 	
+]+') AS toks
+              FROM documents)
+      )
 """
 
 
@@ -1196,13 +1206,18 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text FROM base WHERE doc_id % 11 <> 3
       UNION ALL SELECT doc_id, text FROM snips
     ),
-    shingles AS (
-      SELECT doc_id,
-             unnest(list_distinct(
-               list_transform(range(1, len(toks) - 1),
-                              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
-               AS shingle
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM derived)
+    shingles AS (  -- word_shingles_arrow mirror: ws-class split, <3-token fallback
+      SELECT doc_id, unnest(sh) AS shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN
+                 list_distinct(
+                   list_transform(range(1, len(toks) - 1),
+                                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+               ELSE [array_to_string(toks, ' ')] END AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(text, '[ \t\n\f\r\v]+') AS toks
+              FROM derived)
+      )
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
     sh_df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),

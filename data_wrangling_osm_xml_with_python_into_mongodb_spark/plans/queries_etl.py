@@ -578,9 +578,17 @@ pairs AS (  -- one row per (id, k): keep-min dedupe, mirrored in Spark
   GROUP BY id, k
 ),
 p AS (
+  -- Depth guard: this oracle hand-assembles nesting only to depth 4
+  -- (d = 2/3/4 branches below); a deeper key would be SILENTLY
+  -- dropped here while nest_subdocs_json nests it, surfacing as a
+  -- baffling hash mismatch.  error() makes the oracle fail loudly
+  -- instead the moment the fixture grows a 5-segment key.
   SELECT id, parts[1] AS root, parts[2] AS a, parts[3] AS b,
-         parts[4] AS c, len(parts) AS d, v
-  FROM (SELECT id, string_split(k, ':') AS parts, v FROM pairs)
+         CASE WHEN len(parts) > 4
+              THEN error('f8 oracle supports depth <= 4, got key ' || k)
+              ELSE parts[4] END AS c,
+         len(parts) AS d, v
+  FROM (SELECT id, k, string_split(k, ':') AS parts, v FROM pairs)
 ),
 l3 AS (  -- depth-4 leaves: {{c: v}} per (id, root, a, b)
   SELECT id, root, a, b,

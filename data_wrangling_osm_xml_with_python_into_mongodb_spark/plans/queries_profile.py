@@ -1048,19 +1048,20 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Timeseries downsampling to OHLC bars: per (event_type, hour) the "
     "open/high/low/close of value plus row count -- the canonical "
     "lossy rollup a monitoring or market pipeline stores instead of "
-    "raw ticks.  Open/close are argmin/argmax by a zero-padded "
-    "(epoch-micros, event_id) string key -- unique, identically "
-    "ordered in both engines.",
+    "raw ticks.  Open/close are argmin/argmax by an "
+    "arithmetic (epoch-micros * 10^12 + event_id) decimal key -- "
+    "unique, identically ordered in both engines for any long "
+    "inputs.",
     """
     SELECT event_type,
            date_trunc('hour', ts) AS bar_ts,
            CAST(arg_min(CAST(value AS DECIMAL(18,2)),
-                        printf('%020d%012d', epoch_us(ts), event_id))
+                        epoch_us(ts)::HUGEINT * 1000000000000 + event_id)
                 AS DOUBLE) AS open,
            CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
            CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
            CAST(arg_max(CAST(value AS DECIMAL(18,2)),
-                        printf('%020d%012d', epoch_us(ts), event_id))
+                        epoch_us(ts)::HUGEINT * 1000000000000 + event_id)
                 AS DOUBLE) AS close,
            count(*) AS n_ticks
     FROM events
@@ -1073,13 +1074,22 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials carry a single (value, key) pair each, so the shuffle is
     bar-sized, never tick-sized -- the same mergeable-state discipline
     as the sketches, and exactly how a continuous aggregate (hr1)
-    would maintain bars incrementally.  The zero-padded (epoch-micros,
-    event_id) string tiebreak makes open/close well-defined even with
+    would maintain bars incrementally.  The arithmetic (epoch-micros,
+    event_id) tiebreak makes open/close well-defined even with
     duplicate timestamps; decimal casts keep extrema exact (p11 rule)."""
     ev = _t(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(18,2)")
-    key = F.format_string(
-        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    # Deterministic total order as ARITHMETIC, not string formatting:
+    # epoch_micros * 10^12 + event_id in decimal(38,0)/HUGEINT.  The
+    # old zero-padded %020d%012d key silently broke lexicographic
+    # ordering for negative epochs or event_id >= 10^12 (%d just widens
+    # the field); the arithmetic key stays numerically ordered for any
+    # long inputs and equals (ts, event_id) lex order whenever
+    # 0 <= event_id < 10^12 (the generator domain; asserted in
+    # tests/test_streaming.py).
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10**12)
+        + F.col("event_id")
     )
     return (
         ev.groupBy(

@@ -399,7 +399,7 @@ def cdc_snapshot_stream(events: DataFrame) -> DataFrame:
     (plans/queries_updates.py:q_cdc_snapshot): maintain the
     last-writer-wins state per user as the changelog streams in.
 
-    The replay order is the same zero-padded (epoch-micros, event_id)
+    The replay order is the same (epoch-micros, event_id) arithmetic
     key the batch window sorts by, so max_by picks the identical
     winner; the aggregate carries ONE (key, change) struct per user --
     per-key state is O(1), total state is O(|users|), which is the
@@ -412,8 +412,17 @@ def cdc_snapshot_stream(events: DataFrame) -> DataFrame:
     # the stream reader already normalized.  unix_micros needs TIMESTAMP.
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    key = F.format_string(
-        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    # Deterministic total order as ARITHMETIC, not string formatting:
+    # epoch_micros * 10^12 + event_id in decimal(38,0)/HUGEINT.  The
+    # old zero-padded %020d%012d key silently broke lexicographic
+    # ordering for negative epochs or event_id >= 10^12 (%d just widens
+    # the field); the arithmetic key stays numerically ordered for any
+    # long inputs and equals (ts, event_id) lex order whenever
+    # 0 <= event_id < 10^12 (the generator domain; asserted in
+    # tests/test_streaming.py).
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10**12)
+        + F.col("event_id")
     )
     last = events.groupBy("user_id").agg(
         F.max_by(
@@ -500,14 +509,23 @@ def ohlc_bars_stream(events: DataFrame) -> DataFrame:
     aggregates, so per-bar state is constant-size no matter how many
     ticks land in the hour -- the same discipline that lets the batch
     partial+final agg ship bar-sized shuffles.  The (epoch-micros,
-    event_id) string key makes open/close deterministic under any
+    event_id) arithmetic key makes open/close deterministic under any
     arrival order, which is exactly what a stream needs (events arrive
     out of order by construction)."""
     if dict(events.dtypes).get("ts") == "timestamp_ntz":
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     v = F.col("value").cast("decimal(18,2)")
-    key = F.format_string(
-        "%020d%012d", F.unix_micros("ts"), F.col("event_id")
+    # Deterministic total order as ARITHMETIC, not string formatting:
+    # epoch_micros * 10^12 + event_id in decimal(38,0)/HUGEINT.  The
+    # old zero-padded %020d%012d key silently broke lexicographic
+    # ordering for negative epochs or event_id >= 10^12 (%d just widens
+    # the field); the arithmetic key stays numerically ordered for any
+    # long inputs and equals (ts, event_id) lex order whenever
+    # 0 <= event_id < 10^12 (the generator domain; asserted in
+    # tests/test_streaming.py).
+    key = (
+        F.unix_micros("ts").cast("decimal(38,0)") * F.lit(10**12)
+        + F.col("event_id")
     )
     return (
         events.groupBy(

@@ -213,3 +213,42 @@ def test_word_shingles_arrow_matches_hof(spark):
         got_a = {r["doc_id"]: r["s"] for r in a}
         got_b = {r["doc_id"]: r["s"] for r in b}
         assert got_a == got_b, f"k={k}: {got_a} != {got_b}"
+
+
+def test_shingle_oracle_sql_matches_arrow_on_edge_corpus(spark, tmp_path):
+    """_SHINGLES_SQL (the DuckDB tokenization every dedup oracle uses)
+    must agree with word_shingles_arrow on the edge cases the bench
+    corpus happens not to contain: <3-token docs (whole-text fallback
+    shingle), tabs/newlines/double spaces (Java whitespace-class
+    split), and empty text (ADVICE r8 latent-divergence fix)."""
+    import duckdb
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.functions import text as TX
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_dedup import _SHINGLES_SQL
+
+    rows = [
+        (1, "one"),
+        (2, "two tokens"),
+        (3, "three tokens here"),
+        (4, "tab\tseparated tokens here"),
+        (5, "double  space tokens"),
+        (6, "line\nbreak tokens here now"),
+        (7, ""),
+        (8, "  padded   with   spaces  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / "edge_docs.parquet")
+    docs.write.mode("overwrite").parquet(pq)
+
+    got = sorted(
+        (r["doc_id"], r["s"])
+        for r in docs.select(
+            "doc_id", F.explode(TX.word_shingles_arrow(F.col("text"))).alias("s")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(_SHINGLES_SQL).fetchall()))
+    assert got == want

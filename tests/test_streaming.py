@@ -330,3 +330,19 @@ def test_streaming_mongo_wire_sink_exactly_once_across_restart(spark, tmp_path):
                 for d in c.find_all("sdb", coll)
             )
         assert total == list(range(100))  # exactly once, no dup, no loss
+
+
+def test_event_order_key_domain(spark):
+    """The arithmetic (epoch_micros * 10^12 + event_id) ordering key
+    used by hr2 / the CDC + OHLC streaming twins equals (ts, event_id)
+    lexicographic order exactly when 0 <= event_id < 10^12 and the key
+    fits decimal(38,0); pin that the events table satisfies both."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    bad = ev.filter(
+        (F.col("event_id") < 0)
+        | (F.col("event_id") >= 10**12)
+        | (F.unix_micros(F.col("ts").cast("timestamp")) < 0)
+    ).count()
+    assert bad == 0
