@@ -150,20 +150,30 @@ def _trimmed_mean(ts: list[float]) -> float:
     return round(sum(ts) / len(ts), 3)
 
 
+_CODE_PATHS = [
+    "data_wrangling_osm_xml_with_python_into_mongodb_spark",
+    "bench.py",
+    "__spark_entry__.py",
+    "tools",
+]
+
+
 def _code_rev() -> str:
-    """Short git rev + dirty marker: keys median-of-runs aggregation to
-    'same code', so a mid-round commit starts a fresh cohort."""
+    """Short rev of the last commit touching CODE paths (+dirty if any
+    code path has uncommitted changes): keys median-of-runs aggregation
+    to 'same code', so a mid-round code commit starts a fresh cohort
+    while docs/evidence commits do NOT split one."""
     import subprocess
 
     try:
         rev = subprocess.check_output(
-            ["git", "rev-parse", "--short", "HEAD"],
+            ["git", "log", "-1", "--format=%h", "--", *_CODE_PATHS],
             cwd=REPO, text=True, stderr=subprocess.DEVNULL,
         ).strip()
         dirty = subprocess.run(
-            ["git", "diff", "--quiet"], cwd=REPO
+            ["git", "diff", "--quiet", "--", *_CODE_PATHS], cwd=REPO
         ).returncode != 0
-        return rev + ("+dirty" if dirty else "")
+        return (rev or "unknown") + ("+dirty" if dirty else "")
     except Exception:
         return "unknown"
 
