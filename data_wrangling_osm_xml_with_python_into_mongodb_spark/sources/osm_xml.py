@@ -362,6 +362,217 @@ def _expat_batches(chunks, batch_rows: int):
         yield flush()
 
 
+# Entity replacement order matters only for &amp;: it must run LAST so
+# '&amp;lt;' decodes to '&lt;' (one level), never to '<'.
+_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&")]
+_HDR_ATTRS = ["id", "lat", "lon", *_CREATED_ATTRS]
+
+
+def _vector_batches(data: bytes, batch_rows: int):
+    """Vectorized fast-path parse of one slice: every pass is a C
+    kernel (pyarrow line split / prefix classification / RE2 attribute
+    extraction, numpy cumsum assembly) -- measured several times the
+    per-core throughput of the expat path, which pays a Python
+    callback per tag.
+
+    Returns ``None`` whenever the slice is not PROVABLY parseable by
+    line-oriented rules, and the caller falls back to expat -- the
+    output is bit-equal where the fast path engages (differential
+    pytest + the 37-byte split tests run both).  Bail-out conditions,
+    checked vectorized:
+
+    * comments / CDATA / processing text anywhere (could hide tags);
+    * numeric character references (``&#``) or single-quoted
+      attributes (``='``) -- the extraction grammar covers neither;
+    * any non-blank line that is not exactly one complete ``<...>``
+      tag (multi-line tags, two tags on a line, stray text);
+    * any line whose leading tag is not one of the known node/way/
+      relation/tag/nd/member/skip forms;
+    * a child line before the first element header;
+    * lat/lon strings Arrow cannot cast to float64.
+
+    XML semantics preserved: attribute-value normalization (tab/CR ->
+    space) and the five predefined entities are applied to every
+    extracted string, gated on the bytes actually occurring in the
+    slice.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if b"<!--" in data or b"<![CDATA[" in data or b"&#" in data or b"='" in data:
+        return None
+    try:
+        text = data.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+    lines = pc.list_flatten(
+        pc.split_pattern(pa.array([text], pa.string()), pattern="\n")
+    )
+    lt = pc.utf8_trim_whitespace(lines)
+    n = len(lt)
+    if n == 0:
+        return []
+
+    def m(prefix: str):
+        return pc.fill_null(
+            pc.starts_with(lt, pattern=prefix), False
+        ).to_numpy(zero_copy_only=False)
+
+    blank = pc.fill_null(
+        pc.equal(pc.utf8_length(lt), 0), True
+    ).to_numpy(zero_copy_only=False)
+    complete = pc.fill_null(
+        pc.and_(
+            pc.starts_with(lt, pattern="<"), pc.ends_with(lt, pattern=">")
+        ),
+        False,
+    ).to_numpy(zero_copy_only=False)
+    one_tag = pc.fill_null(
+        pc.less_equal(pc.count_substring(lt, pattern="<"), 1), False
+    ).to_numpy(zero_copy_only=False)
+
+    m_node, m_way, m_rel = m("<node "), m("<way "), m("<relation ")
+    m_tag, m_nd, m_mem = m("<tag "), m("<nd "), m("<member ")
+    m_skip = (
+        m("<?xml") | m("<osm") | m("</osm") | m("<bounds")
+        | m("</node") | m("</way") | m("</relation")
+    )
+    classified = m_node | m_way | m_rel | m_tag | m_nd | m_mem | m_skip
+    if not bool(np.all(blank | (classified & complete & one_tag))):
+        return None
+
+    header = m_node | m_way | m_rel
+    n_elem = int(header.sum())
+    if n_elem == 0:
+        return []
+    elem_idx = np.cumsum(header) - 1
+    child = m_tag | m_nd | m_mem
+    if bool(np.any(child & (elem_idx < 0))):
+        return None
+
+    need_entities = "&" in text
+    need_ws_norm = ("\t" in text) or ("\r" in text)
+
+    def clean(col):
+        """Attr-value normalization + entity decode, pass-gated."""
+        if need_ws_norm:
+            col = pc.replace_substring(col, pattern="\t", replacement=" ")
+            col = pc.replace_substring(col, pattern="\r", replacement=" ")
+        if need_entities:
+            for ent, ch in _XML_ENTITIES:
+                col = pc.replace_substring(col, pattern=ent, replacement=ch)
+        return col
+
+    def extract(subset, attr):
+        # The leading [ \t] separator disambiguates id= from uid=; a
+        # raw quote cannot occur inside a quoted value, so the pattern
+        # cannot match inside one.
+        ex = pc.extract_regex(subset, pattern=f'[ \t]{attr}="(?P<v>[^"]*)"')
+        return clean(pc.struct_field(ex, "v"))
+
+    hdr_lines = pc.filter(lt, pa.array(header))
+    hdr_cols = {a: extract(hdr_lines, a) for a in _HDR_ATTRS}
+    try:
+        lat = pc.cast(hdr_cols["lat"], pa.float64())
+        lon = pc.cast(hdr_cols["lon"], pa.float64())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return None
+
+    hdr_pos = np.flatnonzero(header)
+    kinds = pa.array(
+        np.select(
+            [m_node[hdr_pos], m_way[hdr_pos]], ["node", "way"], "relation"
+        )
+    ).cast(pa.string())
+    is_way = m_way[hdr_pos]
+    is_rel = m_rel[hdr_pos]
+
+    def child_arrays(mask, attrs):
+        pos = np.flatnonzero(mask)
+        parents = elem_idx[pos]
+        # Document order makes parents non-decreasing by construction;
+        # anything else means the classification went wrong.
+        if len(parents) and bool(np.any(np.diff(parents) < 0)):
+            return None
+        sub = pc.filter(lt, pa.array(mask))
+        cols = [extract(sub, a) for a in attrs]
+        counts = np.bincount(parents, minlength=n_elem) if len(parents) else np.zeros(n_elem, dtype=np.int64)
+        offsets = np.zeros(n_elem + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        return cols, offsets, counts
+
+    got = child_arrays(m_nd, ["ref"])
+    if got is None:
+        return None
+    (nd_ref,), nd_off, _ = got
+    got = child_arrays(m_mem, ["type", "ref", "role"])
+    if got is None:
+        return None
+    (mm_type, mm_ref, mm_role), m_off, _ = got
+    got = child_arrays(m_tag, ["k", "v"])
+    if got is None:
+        return None
+    (t_k, t_v), t_off, t_counts = got
+
+    def list_arr(off, children, valid):
+        arr = pa.ListArray.from_arrays(pa.array(off, pa.int32()), children)
+        mask = pa.array(valid, pa.bool_())
+        return pc.if_else(mask, arr, pa.nulls(len(valid), arr.type))
+
+    rb = pa.record_batch(
+        [
+            kinds,
+            hdr_cols["id"],
+            lat,
+            lon,
+            pa.StructArray.from_arrays(
+                [hdr_cols[a] for a in _CREATED_ATTRS], names=_CREATED_ATTRS
+            ),
+            list_arr(nd_off, nd_ref, is_way),
+            list_arr(
+                m_off,
+                pa.StructArray.from_arrays(
+                    [mm_type, mm_ref, mm_role], names=["type", "ref", "role"]
+                ),
+                is_rel,
+            ),
+            list_arr(t_off, pa.StructArray.from_arrays(
+                [t_k, t_v], names=["k", "v"]
+            ), t_counts > 0),
+        ],
+        names=[f.name for f in RAW_ELEMENT_SCHEMA.fields],
+    )
+    return [rb.slice(i, batch_rows) for i in range(0, n_elem, batch_rows)]
+
+
+def _parse_slice(data: bytes, batch_rows: int, chunk_bytes: int, wrap: bool):
+    """One element-aligned slice -> RecordBatches: the vectorized fast
+    path when it proves itself applicable, the streaming expat parse
+    otherwise (identical output either way -- differential-tested).
+    ``wrap`` adds the synthetic ``<osm>`` root the expat fallback needs
+    for mid-file slices; whole files carry their own root (and possibly
+    an XML declaration, which must stay first) so they pass False.
+    The vector path needs no root either way -- it classifies and
+    skips declaration/root lines."""
+    batches = _vector_batches(data, batch_rows)
+    if batches is not None:
+        yield from batches
+        return
+
+    def feed():
+        if wrap:
+            yield b"<osm>"
+        for pos in range(0, len(data), chunk_bytes):
+            yield data[pos : pos + chunk_bytes]
+        if wrap:
+            yield b"</osm>"
+
+    yield from _expat_batches(feed(), batch_rows)
+
+
 def plan_osm_splits(
     spark: SparkSession, path: str, split_bytes: int
 ) -> list[tuple[str, int, int, int]]:
@@ -542,13 +753,7 @@ def read_osm_elements_split(
                     if root_close != -1:
                         data = data[:root_close]
 
-                def feed():
-                    yield b"<osm>"
-                    for pos in range(0, len(data), chunk_bytes):
-                        yield data[pos : pos + chunk_bytes]
-                    yield b"</osm>"
-
-                yield from _expat_batches(feed(), batch_rows)
+                yield from _parse_slice(data, batch_rows, chunk_bytes, wrap=True)
 
     return sdf.mapInArrow(parse, RAW_ELEMENT_SCHEMA)
 
@@ -578,12 +783,9 @@ def read_osm_elements_iterparse(
         for rb in batches:
             for content_scalar in rb.column(0):
                 content = content_scalar.as_py()
-
-                def feed():
-                    for pos in range(0, len(content), chunk_bytes):
-                        yield content[pos : pos + chunk_bytes]
-
-                yield from _expat_batches(feed(), batch_rows)
+                yield from _parse_slice(
+                    content, batch_rows, chunk_bytes, wrap=False
+                )
 
     return files.mapInArrow(parse, RAW_ELEMENT_SCHEMA)
 

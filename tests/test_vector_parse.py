@@ -1,0 +1,131 @@
+"""The vectorized XML fast path (_vector_batches) vs the expat parser.
+
+Contract: where the fast path ENGAGES its rows are exactly expat's;
+where the input is outside its proven grammar it returns None and the
+caller falls back -- so every bail-out case here asserts `None`, never
+a wrong answer.  (The Spark-level split/iterparse differential tests
+in test_osm_pipeline.py exercise the same path through mapInArrow.)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+    _expat_batches,
+    _vector_batches,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "sample.osm")
+
+
+def _expat_rows(data: bytes, wrap: bool):
+    def feed():
+        if wrap:
+            yield b"<osm>"
+        yield data
+        if wrap:
+            yield b"</osm>"
+
+    out = []
+    for rb in _expat_batches(feed(), 100_000):
+        out.extend(rb.to_pylist())
+    return out
+
+
+def _vec_rows(data: bytes):
+    bs = _vector_batches(data, 100_000)
+    if bs is None:
+        return None
+    out = []
+    for rb in bs:
+        out.extend(rb.to_pylist())
+    return out
+
+
+def test_fixture_engages_and_matches():
+    data = open(FIXTURE, "rb").read()
+    v = _vec_rows(data)
+    assert v is not None, "fast path must engage on the canonical fixture"
+    assert v == _expat_rows(data, wrap=False)
+
+
+@pytest.mark.parametrize(
+    "name,data",
+    [
+        (
+            "entities",
+            b'<osm>\n<node id="1" lat="1.0" lon="2.0" user="a&amp;b &lt;x&gt;">\n'
+            b'<tag k="name" v="A &amp; B &quot;q&quot; &apos;s&apos;"/>\n</node>\n'
+            b'<node id="2" lat="3" lon="4" user="&amp;amp;lt;"/>\n</osm>',
+        ),
+        (
+            "missing attrs + way",
+            b'<osm>\n<node id="5"/>\n<way id="6">\n<nd ref="5"/>\n</way>\n</osm>',
+        ),
+        (
+            "tab normalized to space in value",
+            b'<osm>\n<node id="1" lat="1" lon="2" user="a\tb"/>\n</osm>',
+        ),
+        (
+            "relation with empty role",
+            b'<osm>\n<relation id="9" version="2">\n'
+            b'<member type="node" ref="5" role="r"/>\n'
+            b'<member type="way" ref="6" role=""/>\n'
+            b'<tag k="type" v="route"/>\n</relation>\n</osm>',
+        ),
+        (
+            "raw slice, no root, no trailing newline",
+            b'<node id="1" lat="3.5" lon="-2.25" user="u"/>\n'
+            b'<node id="2" lat="4" lon="5"/>',
+        ),
+        (
+            "value containing raw > and attr-order shuffle",
+            b'<osm>\n<node lat="1" id="1" lon="2">\n'
+            b'<tag k="note" v="a > b"/>\n</node>\n</osm>',
+        ),
+    ],
+)
+def test_engaged_cases_match_expat(name, data):
+    v = _vec_rows(data)
+    assert v is not None, name
+    wrap = not data.lstrip().startswith(b"<osm")
+    assert v == _expat_rows(data, wrap=wrap), name
+
+
+@pytest.mark.parametrize(
+    "name,data",
+    [
+        ("numeric entity", b'<osm>\n<node id="1" lat="1" lon="2" user="&#65;"/>\n</osm>'),
+        (
+            "two tags one line",
+            b'<osm>\n<node id="1" lat="1" lon="2"><tag k="a" v="b"/></node>\n</osm>',
+        ),
+        ("single-quoted attrs", b"<osm>\n<node id='1' lat='1' lon='2'/>\n</osm>"),
+        ("comment", b'<osm>\n<!-- hi -->\n<node id="1" lat="1" lon="2"/>\n</osm>'),
+        ("cdata", b'<osm>\n<![CDATA[x]]>\n<node id="1" lat="1" lon="2"/>\n</osm>'),
+        (
+            "multi-line tag",
+            b'<osm>\n<node id="1"\n lat="1" lon="2"/>\n</osm>',
+        ),
+        ("garbage lat", b'<osm>\n<node id="1" lat="abc" lon="2"/>\n</osm>'),
+        ("unknown element", b'<osm>\n<weird a="1"/>\n</osm>'),
+    ],
+)
+def test_unprovable_cases_fall_back(name, data):
+    assert _vector_batches(data, 100_000) is None, name
+
+
+def test_bench_shards_engage_and_match_when_present():
+    """When the ETL bench shards exist locally, the fast path must both
+    engage and agree with expat at real-data scale."""
+    shards = sorted(glob.glob("/tmp/prof_xml_shards/*"))
+    if not shards:
+        pytest.skip("bench shards not generated in this environment")
+    data = open(shards[0], "rb").read()
+    v = _vec_rows(data)
+    assert v is not None
+    assert v == _expat_rows(data, wrap=False)
