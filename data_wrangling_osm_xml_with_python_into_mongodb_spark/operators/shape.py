@@ -139,10 +139,6 @@ def _dispatch_frame(raw: DataFrame) -> DataFrame:
                 )
             ),
         ).alias("phone_v"),
-        # IS_IN_MAP constant replacement (clean_and_write.py:216-217):
-        # the reference overwrites is_in / is_in:* values with dataset
-        # constants; the raw string stays in the lossless tags map.
-        F.when(k == "is_in", C.isin_map_value(k)).alias("isin_v"),
         C.to_int_value(k, v).alias("int_v"),
         C.to_float_value(k, v).alias("float_v"),
         F.when(
