@@ -150,11 +150,15 @@ def _trimmed_mean(ts: list[float]) -> float:
     return round(sum(ts) / len(ts), 3)
 
 
+# Only what the bench's numbers actually execute: the package, the
+# harness itself, the registry, and the two data generators.  Evidence
+# tooling (explain_plans, check_oracle, ...) must not split cohorts.
 _CODE_PATHS = [
     "data_wrangling_osm_xml_with_python_into_mongodb_spark",
     "bench.py",
     "__spark_entry__.py",
-    "tools",
+    "tools/gen_osm_xml.py",
+    "tools/gen_sf_scale.py",
 ]
 
 
