@@ -369,6 +369,33 @@ _XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
 _HDR_ATTRS = ["id", "lat", "lon", *_CREATED_ATTRS]
 
 
+class _Bail(Exception):
+    """Internal fast-path bail signal -> caller falls back to expat."""
+
+
+# Strict whole-line grammar for the fast path: one complete tag whose
+# attribute VALUES contain no '='.  That exclusion is what makes the
+# later independent per-attribute first-match extraction provably
+# correct: the extraction pattern `[ \t]attr="` contains an '=', so it
+# can never match starting inside a value.  (Without it,
+# <node user="x id=" id="2"/> would extract _id=' id=' -- silent
+# corruption on valid XML.)  Valid-XML lines with '=' inside a value
+# simply fail the grammar and take the expat path, preserving the
+# bit-equal-or-bail contract.  No capture group: match_substring_regex
+# is ~5x cheaper than extract_regex here (measured).
+_FASTPATH_TAG_RE = (
+    r'^<[/?]?[A-Za-z_][\w.:-]*'
+    r'(?:[ \t]+[A-Za-z_][\w.:-]*="[^"=]*")*'
+    r'[ \t]*[/?]?>$'
+)
+# Tag NAME for exact-match classification (so '<osmium .../>' is a
+# bail, not an '<osm' prefix-match skip).
+_FASTPATH_NAME_RE = r'^<(?P<n>[/?]?[A-Za-z_][\w.:-]*)'
+_FASTPATH_SKIP_NAMES = (
+    "?xml", "osm", "/osm", "bounds", "/bounds", "/node", "/way", "/relation"
+)
+
+
 def _vector_batches(data: bytes, batch_rows: int):
     """Vectorized fast-path parse of one slice: every pass is a C
     kernel (pyarrow line split / prefix classification / RE2 attribute
@@ -385,10 +412,21 @@ def _vector_batches(data: bytes, batch_rows: int):
     * comments / CDATA / processing text anywhere (could hide tags);
     * numeric character references (``&#``) or single-quoted
       attributes (``='``) -- the extraction grammar covers neither;
+    * any ``&`` not beginning one of the five predefined entities
+      (expat fails loudly on undefined entities; so must we);
     * any non-blank line that is not exactly one complete ``<...>``
-      tag (multi-line tags, two tags on a line, stray text);
-    * any line whose leading tag is not one of the known node/way/
-      relation/tag/nd/member/skip forms;
+      tag matching ``_FASTPATH_TAG_RE`` (multi-line tags, two tags on
+      a line, stray text, '=' inside an attribute value -- see the
+      grammar's docstring for why that exclusion is load-bearing);
+    * any line whose tag NAME (exact match, not prefix) is not one of
+      the known node/way/relation/tag/nd/member/skip names;
+    * any element line whose attributes are not EXACTLY a dup-free
+      subset of the known names (proved by comparing the line's
+      ``="`` count against the extraction presence sum) -- catches
+      both unknown attrs (expat ignores them; conservative bail) and
+      duplicates (expat raises ``duplicate attribute``; silent
+      keep-first would diverge).  Skip lines' attrs stay unchecked,
+      matching expat's indifference to them;
     * a child line before the first element header;
     * lat/lon strings Arrow cannot cast to float64.
 
@@ -407,6 +445,14 @@ def _vector_batches(data: bytes, batch_rows: int):
         text = data.decode("utf-8")
     except UnicodeDecodeError:
         return None
+    if "&" in text:
+        # Every '&' must begin a predefined entity -- expat errors on
+        # anything else, and silence here would mask invalid input.
+        probe = text
+        for ent, _ch in _XML_ENTITIES:
+            probe = probe.replace(ent, "")
+        if "&" in probe:
+            return None
 
     lines = pc.list_flatten(
         pc.split_pattern(pa.array([text], pa.string()), pattern="\n")
@@ -416,32 +462,31 @@ def _vector_batches(data: bytes, batch_rows: int):
     if n == 0:
         return []
 
-    def m(prefix: str):
-        return pc.fill_null(
-            pc.starts_with(lt, pattern=prefix), False
-        ).to_numpy(zero_copy_only=False)
-
     blank = pc.fill_null(
         pc.equal(pc.utf8_length(lt), 0), True
-    ).to_numpy(zero_copy_only=False)
-    complete = pc.fill_null(
-        pc.and_(
-            pc.starts_with(lt, pattern="<"), pc.ends_with(lt, pattern=">")
-        ),
-        False,
     ).to_numpy(zero_copy_only=False)
     one_tag = pc.fill_null(
         pc.less_equal(pc.count_substring(lt, pattern="<"), 1), False
     ).to_numpy(zero_copy_only=False)
-
-    m_node, m_way, m_rel = m("<node "), m("<way "), m("<relation ")
-    m_tag, m_nd, m_mem = m("<tag "), m("<nd "), m("<member ")
-    m_skip = (
-        m("<?xml") | m("<osm") | m("</osm") | m("<bounds")
-        | m("</node") | m("</way") | m("</relation")
+    grammar_ok = pc.fill_null(
+        pc.match_substring_regex(lt, pattern=_FASTPATH_TAG_RE), False
+    ).to_numpy(zero_copy_only=False)
+    tag_names = pc.struct_field(
+        pc.extract_regex(lt, pattern=_FASTPATH_NAME_RE), "n"
     )
+
+    def name_is(nm: str):
+        return pc.fill_null(pc.equal(tag_names, nm), False).to_numpy(
+            zero_copy_only=False
+        )
+
+    m_node, m_way, m_rel = name_is("node"), name_is("way"), name_is("relation")
+    m_tag, m_nd, m_mem = name_is("tag"), name_is("nd"), name_is("member")
+    m_skip = np.zeros(n, dtype=bool)
+    for nm in _FASTPATH_SKIP_NAMES:
+        m_skip |= name_is(nm)
     classified = m_node | m_way | m_rel | m_tag | m_nd | m_mem | m_skip
-    if not bool(np.all(blank | (classified & complete & one_tag))):
+    if not bool(np.all(blank | (classified & grammar_ok & one_tag))):
         return None
 
     header = m_node | m_way | m_rel
@@ -466,19 +511,43 @@ def _vector_batches(data: bytes, batch_rows: int):
                 col = pc.replace_substring(col, pattern=ent, replacement=ch)
         return col
 
-    def extract(subset, attr):
-        # The leading [ \t] separator disambiguates id= from uid=; a
-        # raw quote cannot occur inside a quoted value, so the pattern
-        # cannot match inside one.
-        ex = pc.extract_regex(subset, pattern=f'[ \t]{attr}="(?P<v>[^"]*)"')
-        return clean(pc.struct_field(ex, "v"))
+    def extract_all(subset, attrs):
+        """Extract ``attrs`` from one line class, proving along the way
+        that each line's attributes are EXACTLY a subset of the known
+        names with no duplicates: the grammar bans '=' inside values,
+        so every ``="`` in a line is one real attribute -- the per-line
+        total must equal the number of distinct known attrs present
+        (first-match extraction non-null).  An unknown attr name OR a
+        duplicate makes the total exceed the presence sum -> bail to
+        expat (which ignores unknown attrs but RAISES on duplicates;
+        bailing keeps both behaviors exact at the cost of one plain
+        substring count per subset).  The leading [ \\t] separator
+        disambiguates id= from uid=.
+        """
+        if len(subset) == 0:
+            return {a: pa.nulls(0, pa.string()) for a in attrs}
+        total = pc.count_substring(subset, pattern='="').to_numpy(
+            zero_copy_only=False
+        )
+        present = np.zeros(len(subset), dtype=np.int64)
+        cols = {}
+        for a in attrs:
+            ex = pc.struct_field(
+                pc.extract_regex(subset, pattern=f'[ \t]{a}="(?P<v>[^"]*)"'),
+                "v",
+            )
+            present += pc.is_valid(ex).to_numpy(zero_copy_only=False)
+            cols[a] = clean(ex)
+        if bool(np.any(total != present)):
+            raise _Bail
+        return cols
 
     hdr_lines = pc.filter(lt, pa.array(header))
-    hdr_cols = {a: extract(hdr_lines, a) for a in _HDR_ATTRS}
     try:
+        hdr_cols = extract_all(hdr_lines, _HDR_ATTRS)
         lat = pc.cast(hdr_cols["lat"], pa.float64())
         lon = pc.cast(hdr_cols["lon"], pa.float64())
-    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+    except (_Bail, pa.ArrowInvalid, pa.ArrowNotImplementedError):
         return None
 
     hdr_pos = np.flatnonzero(header)
@@ -498,24 +567,28 @@ def _vector_batches(data: bytes, batch_rows: int):
         if len(parents) and bool(np.any(np.diff(parents) < 0)):
             return None
         sub = pc.filter(lt, pa.array(mask))
-        cols = [extract(sub, a) for a in attrs]
+        col_map = extract_all(sub, attrs)
+        cols = [col_map[a] for a in attrs]
         counts = np.bincount(parents, minlength=n_elem) if len(parents) else np.zeros(n_elem, dtype=np.int64)
         offsets = np.zeros(n_elem + 1, dtype=np.int32)
         np.cumsum(counts, out=offsets[1:])
         return cols, offsets, counts
 
-    got = child_arrays(m_nd, ["ref"])
-    if got is None:
+    try:
+        got = child_arrays(m_nd, ["ref"])
+        if got is None:
+            return None
+        (nd_ref,), nd_off, _ = got
+        got = child_arrays(m_mem, ["type", "ref", "role"])
+        if got is None:
+            return None
+        (mm_type, mm_ref, mm_role), m_off, _ = got
+        got = child_arrays(m_tag, ["k", "v"])
+        if got is None:
+            return None
+        (t_k, t_v), t_off, t_counts = got
+    except _Bail:
         return None
-    (nd_ref,), nd_off, _ = got
-    got = child_arrays(m_mem, ["type", "ref", "role"])
-    if got is None:
-        return None
-    (mm_type, mm_ref, mm_role), m_off, _ = got
-    got = child_arrays(m_tag, ["k", "v"])
-    if got is None:
-        return None
-    (t_k, t_v), t_off, t_counts = got
 
     def list_arr(off, children, valid):
         arr = pa.ListArray.from_arrays(pa.array(off, pa.int32()), children)
@@ -548,7 +621,9 @@ def _vector_batches(data: bytes, batch_rows: int):
     return [rb.slice(i, batch_rows) for i in range(0, n_elem, batch_rows)]
 
 
-def _parse_slice(data: bytes, batch_rows: int, chunk_bytes: int, wrap: bool):
+def _parse_slice(
+    data: bytes, batch_rows: int, chunk_bytes: int, wrap: bool, counters=None
+):
     """One element-aligned slice -> RecordBatches: the vectorized fast
     path when it proves itself applicable, the streaming expat parse
     otherwise (identical output either way -- differential-tested).
@@ -556,11 +631,21 @@ def _parse_slice(data: bytes, batch_rows: int, chunk_bytes: int, wrap: bool):
     for mid-file slices; whole files carry their own root (and possibly
     an XML declaration, which must stay first) so they pass False.
     The vector path needs no root either way -- it classifies and
-    skips declaration/root lines."""
+    skips declaration/root lines.
+
+    ``counters``: optional ``{"vector_bytes": Accumulator,
+    "expat_bytes": Accumulator}`` -- each slice adds its byte count to
+    whichever path actually parsed it, so the bench can report the
+    fast path's real engagement fraction instead of an offline claim.
+    """
     batches = _vector_batches(data, batch_rows)
     if batches is not None:
+        if counters is not None:
+            counters["vector_bytes"] += len(data)
         yield from batches
         return
+    if counters is not None:
+        counters["expat_bytes"] += len(data)
 
     def feed():
         if wrap:
@@ -638,6 +723,7 @@ def read_osm_elements_split(
     batch_rows: int = 50_000,
     chunk_bytes: int = 4 << 20,
     tail_bytes: int = 1 << 20,
+    counters=None,
 ) -> DataFrame:
     """Single-pass, byte-range-SPLITTABLE scan: the driver plans
     (file, offset, length) ranges; each task seeks to its offset,
@@ -753,7 +839,9 @@ def read_osm_elements_split(
                     if root_close != -1:
                         data = data[:root_close]
 
-                yield from _parse_slice(data, batch_rows, chunk_bytes, wrap=True)
+                yield from _parse_slice(
+                    data, batch_rows, chunk_bytes, wrap=True, counters=counters
+                )
 
     return sdf.mapInArrow(parse, RAW_ELEMENT_SCHEMA)
 
@@ -799,6 +887,7 @@ def materialize_raw(
     single_pass: bool = True,
     split_bytes: int = 128 << 20,
     parser: str | None = None,
+    counters=None,
 ) -> DataFrame:
     """One-time raw-ingest materialization: OSM XML -> bronze parquet
     bucketed by ``_id``.  Returns the bronze table's DataFrame.
@@ -833,7 +922,9 @@ def materialize_raw(
     if parser is None:
         parser = "split" if single_pass else "xml"
     if parser == "split":
-        raw = read_osm_elements_split(spark, xml_path, split_bytes=split_bytes)
+        raw = read_osm_elements_split(
+            spark, xml_path, split_bytes=split_bytes, counters=counters
+        )
     elif parser == "iterparse":
         raw = read_osm_elements_iterparse(spark, xml_path)
     elif parser == "xml":

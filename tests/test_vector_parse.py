@@ -113,10 +113,47 @@ def test_engaged_cases_match_expat(name, data):
         ),
         ("garbage lat", b'<osm>\n<node id="1" lat="abc" lon="2"/>\n</osm>'),
         ("unknown element", b'<osm>\n<weird a="1"/>\n</osm>'),
+        (
+            # The round-9 ADVICE repro: an earlier value ending in
+            # ' id=' made independent first-match extraction return
+            # _id=' id=' instead of '2'.  '=' inside a value now fails
+            # _FASTPATH_TAG_RE -> expat owns the slice.
+            "equals inside a value",
+            b'<osm>\n<node user="x id=" id="2" lat="1" lon="2"/>\n</osm>',
+        ),
+        (
+            "undefined entity",
+            b'<osm>\n<node id="1" lat="1" lon="2" user="&foo;"/>\n</osm>',
+        ),
+        ("raw ampersand", b'<osm>\n<node id="1" lat="1" lon="2" user="a&b"/>\n</osm>'),
+        (
+            "duplicate attribute",
+            b'<osm>\n<node id="1" id="2" lat="1" lon="2"/>\n</osm>',
+        ),
+        (
+            # '<osmium' must not ride the '<osm' skip prefix.
+            "osm-prefixed element name",
+            b'<osm>\n<osmium a="1"/>\n<node id="1" lat="1" lon="2"/>\n</osm>',
+        ),
     ],
 )
 def test_unprovable_cases_fall_back(name, data):
     assert _vector_batches(data, 100_000) is None, name
+
+
+def test_equals_in_value_matches_expat_via_fallback():
+    """End-to-end through _parse_slice: the corrupting input must now
+    produce expat's exact answer (id='2'), not ' id='."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import (
+        _parse_slice,
+    )
+
+    data = b'<node user="x id=" id="2" lat="1" lon="2"/>'
+    rows = []
+    for rb in _parse_slice(data, 100_000, 1 << 20, wrap=True):
+        rows.extend(rb.to_pylist())
+    assert [r["_id"] for r in rows] == ["2"]
+    assert rows[0]["created"]["user"] == "x id="
 
 
 def test_bench_shards_engage_and_match_when_present():
