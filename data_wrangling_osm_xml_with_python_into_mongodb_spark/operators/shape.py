@@ -511,8 +511,14 @@ def apply_ref_docs_delta(
     outgoing refs come off its own document (available in any CDC
     feed at delete time), and the only index rows touched are the
     refs the batch actually mentions -- everything else passes through
-    an anti-join untouched.  At scale the delta sides are broadcast,
-    so the index is never shuffled.
+    an anti-join untouched.  At scale the index is never shuffled:
+    both passes over it are broadcast-build-right joins (a left-semi
+    to carve out the touched subset, a left-anti for the pass-through)
+    -- a direct right-outer with a broadcast delta would NOT plan that
+    way (Spark rejects broadcasting the preserved side of a right
+    outer join and falls back to a full SortMergeJoin), so the merge
+    instead left-outer-joins the delta against the already-small
+    touched subset, which IS broadcastable.
 
     Duplicate-preserving arithmetic: relation members may reference
     the same id twice and the index keeps both copies, so removal is
@@ -521,24 +527,34 @@ def apply_ref_docs_delta(
     list empties are dropped, exactly as a full rebuild would lack
     them.
     """
-    ins_by_ref = (
-        _ref_pairs(inserted_docs)
-        .groupBy("ref")
-        .agg(F.collect_list("src_id").alias("_ins"))
+    # One shuffle for the whole delta: union insert/delete pairs with a
+    # marker and aggregate both posting deltas in a single groupBy
+    # (collect_list/collect_set skip the marker-mismatched nulls) --
+    # cheaper than two aggregations glued by a full-outer join, which
+    # cannot broadcast either side and planned as a SortMergeJoin.
+    pairs = _ref_pairs(inserted_docs).withColumn(
+        "_is_del", F.lit(False)
+    ).unionByName(
+        _ref_pairs(deleted_docs).withColumn("_is_del", F.lit(True))
     )
-    del_by_ref = (
-        _ref_pairs(deleted_docs)
-        .groupBy("ref")
-        .agg(F.collect_set("src_id").alias("_del"))
+    delta = pairs.groupBy("ref").agg(
+        F.collect_list(
+            F.when(~F.col("_is_del"), F.col("src_id"))
+        ).alias("_ins"),
+        F.collect_set(
+            F.when(F.col("_is_del"), F.col("src_id"))
+        ).alias("_del"),
     )
-    delta = ins_by_ref.join(del_by_ref, "ref", "full")
     empty = F.array().cast("array<string>")
     dels = F.coalesce(F.col("_del"), empty)
+    # Touched subset first (broadcast semi: index never shuffles),
+    # then delta LEFT OUTER touched keeps batch-introduced refs absent
+    # from the index, with the small touched side broadcast.
+    touched = index.withColumnRenamed("_id", "ref").join(
+        F.broadcast(delta.select("ref")), "ref", "semi"
+    )
     updated = (
-        index.withColumnRenamed("_id", "ref")
-        # right outer keeps batch-introduced refs absent from the
-        # index; the small delta side is the broadcast build side.
-        .join(F.broadcast(delta), "ref", "right")
+        delta.join(F.broadcast(touched), "ref", "left")
         .select(
             F.col("ref").alias("_id"),
             F.array_sort(

@@ -84,6 +84,21 @@ def test_batch_order_invariance_and_rebuild_equality(spark, corpus):
     assert _canon(d_then_i) == want
 
 
+def test_index_never_shuffled(spark, corpus):
+    """The scale claim of the maintenance path: every join over the
+    persisted index is a broadcast build-right (LeftSemi carve-out +
+    LeftAnti pass-through + LeftOuter merge against the broadcast
+    touched subset) -- no SortMergeJoin anywhere in the physical plan.
+    Round-9 ADVICE verified Spark REJECTS broadcasting the preserved
+    side of a right-outer join, which silently shuffled the index."""
+    base, ins_a, del_b_ids = corpus
+    deleted = base.filter(F.col("_id").isin(del_b_ids))
+    out = apply_ref_docs_delta(build_ref_docs(base), ins_a, deleted)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_duplicate_member_refs_preserved(spark, corpus):
     base, ins_a, del_b_ids = corpus
     deleted = base.filter(F.col("_id").isin(del_b_ids))
