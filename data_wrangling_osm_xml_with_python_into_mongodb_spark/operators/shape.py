@@ -22,8 +22,8 @@ Spark-native re-expression of the reference's ETL core ``shape_element``
    dependent on ``_id``, carried through the outer explode so the
    source is scanned exactly once.  Each typed map is a direct
    ``map_from_entries`` over its own (usually empty) collected list;
-   promoted scalar columns derive post-agg from the maps, with a lazy
-   max-over-all-rows fallback for duplicate-key elements.  Partial
+   promoted scalar columns derive post-agg from the keep-last-deduped
+   maps, so they agree with the maps on duplicate-key elements.  Partial
    aggregation runs map-side, so the shuffle carries ~one compact row
    per element and no separate join is needed.
 
@@ -276,7 +276,9 @@ def shape_documents(raw: DataFrame) -> DataFrame:
     # name + name_1) resolve last-TAG-wins, like the reference's dict
     # update (clean_and_write.py:355-356): dedup each collected list
     # keep-last before its map build, so map_from_entries never sees a
-    # duplicate key.  Per-kind keep-last equals global keep-last: a tag
+    # duplicate key.  Exception: LIST-kind entries merge by CONCAT (see
+    # _merged_lists -- the reference extends list keys rather than
+    # overwriting).  Per-kind keep-last equals global keep-last: a tag
     # key always dispatches to the same kinds, and every kind's map key
     # is an injective function of the tag key (k itself, subpath, or
     # (root, path)).
@@ -311,9 +313,41 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         c = F.col(col)
         return F.when(dups, _keep_last(c, key_fn)).otherwise(c)
 
+    def _merged_lists(arr: Column) -> Column:
+        """Duplicate LIST keys follow the reference's extend, not its
+        dict update: list_keys_dict[k].extend(v) accumulates values
+        across repeated keys in document order (clean_and_write.py:
+        300-305; name_1 strips to name first, :294-295), so
+        (name="Z", name_1="B") yields name=["Z","B"].  is_in-keyed
+        entries are the exception: their value is the constant
+        IS_IN_MAP[k] feeding a SET in the reference (:264,350-351), so
+        repeats keep one copy instead of concatenating."""
+        keys = F.array_distinct(F.transform(arr, lambda e: e["k"]))
+        return F.map_from_entries(
+            F.transform(
+                keys,
+                lambda kk: F.struct(
+                    kk,
+                    F.when(
+                        kk.isin(*_ISIN_KEYS),
+                        F.filter(arr, lambda e: e["k"] == kk)[0]["v"],
+                    ).otherwise(
+                        F.flatten(
+                            F.transform(
+                                F.filter(arr, lambda e: e["k"] == kk),
+                                lambda e: e["v"],
+                            )
+                        )
+                    ),
+                ),
+            )
+        )
+
     grp = grp.select(
         "*",
-        F.map_from_entries(_dedup("_l_list")).alias("lists"),
+        F.when(dups, _merged_lists(F.col("_l_list")))
+        .otherwise(F.map_from_entries(F.col("_l_list")))
+        .alias("lists"),
         F.map_from_entries(_dedup("_l_int")).alias("ints"),
         F.map_from_entries(_dedup("_l_float")).alias("floats"),
         F.map_from_entries(_dedup("_l_bool")).alias("bools"),
@@ -332,20 +366,30 @@ def shape_documents(raw: DataFrame) -> DataFrame:
         F.map_from_entries(_dedup("_l_tag")).alias("tags"),
     )
 
-    def _pmax(col: str, val_fn) -> Column:
-        return F.array_max(F.transform(F.col(col), val_fn))
-
-    def _promoted(map_col: str, list_col: str, key: str) -> Column:
-        slow = _pmax(list_col, lambda e: F.when(e["k"] == key, e["v"]))
-        return F.when(dups, slow).otherwise(F.element_at(F.col(map_col), key))
+    # Promoted scalars read straight off the maps (keep-last for
+    # scalar kinds, extend-merged for list kinds) -- so the promoted
+    # columns can never disagree with the maps on a duplicate-key
+    # element (the round-9 latent inconsistency: the old dup fallback
+    # took array_max over ALL values, diverging from both the maps and
+    # the reference's semantics).
+    def _promoted(map_col: str, key: str) -> Column:
+        return F.element_at(F.col(map_col), key)
 
     def _promoted_addr(f: str) -> Column:
-        slow = _pmax("_l_addr", lambda e: F.when(e["k"] == f, e["v"]))
-        return F.when(dups, slow).otherwise(F.element_at(F.col("_addr_map"), f))
+        return F.element_at(F.col("_addr_map"), f)
 
-    # max-over-all semantics needs no dup fallback for these two: both
-    # range over the full (undeduped) addr list either way.
-    addr_unit_street = _pmax("_l_addr", lambda e: e["us"])
+    # Street-derived unit: the reference only writes unit when the
+    # street value actually carries a '#unit' token (audit_addr,
+    # clean_and_write.py:323-326 -- `if unit: update(...)`), so a later
+    # street WITHOUT a token does not clear an earlier token: LAST
+    # NON-NULL over the full undeduped list in document order.
+    addr_unit_street = F.try_element_at(
+        F.filter(
+            F.transform(F.col("_l_addr"), lambda e: e["us"]),
+            lambda us: us.isNotNull(),
+        ),
+        F.lit(-1),
+    )
     has_addr = F.size("_l_addr") > 0
 
     # Post-agg: per-document array ops on small arrays (one pass each).
@@ -405,10 +449,10 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             F.lit(None).cast("array<struct<type:string,ref:string,role:string>>")
         )
         .alias("members"),
-        _promoted("lists", "_l_list", "name").alias("name"),
-        _promoted("lists", "_l_list", "phone").alias("phone"),
-        _promoted("lists", "_l_list", "amenity").alias("amenity"),
-        _promoted("lists", "_l_list", "shop").alias("shop"),
+        _promoted("lists", "name").alias("name"),
+        _promoted("lists", "phone").alias("phone"),
+        _promoted("lists", "amenity").alias("amenity"),
+        _promoted("lists", "shop").alias("shop"),
         # is_in's promoted value is a dataset CONSTANT per key
         # (isin_map_value), so keep-last == max and no dup fallback is
         # needed.
@@ -420,13 +464,13 @@ def shape_documents(raw: DataFrame) -> DataFrame:
             )
         )
         .alias("addr"),
-        _promoted("ints", "_l_int", "ele").alias("ele"),
-        _promoted("ints", "_l_int", "population").alias("population"),
-        _promoted("ints", "_l_int", "lanes").alias("lanes"),
-        _promoted("floats", "_l_float", "building:levels").alias(
+        _promoted("ints", "ele").alias("ele"),
+        _promoted("ints", "population").alias("population"),
+        _promoted("ints", "lanes").alias("lanes"),
+        _promoted("floats", "building:levels").alias(
             "building_levels"
         ),
-        _promoted("floats", "_l_float", "maxheight").alias("maxheight"),
+        _promoted("floats", "maxheight").alias("maxheight"),
         # Defensive: the agg yields empty (not null) maps, but keep the
         # canonical-schema guarantee explicit.
         F.coalesce("lists", F.expr("map()").cast("map<string,array<string>>")).alias("lists"),

@@ -41,11 +41,17 @@ _ETL_ORACLE = rf"""
 WITH raw AS (
   SELECT * FROM read_parquet('{FIXTURE_PARQUET}')
 ), ext AS (
+  -- [-1]: duplicate SCALAR tag keys resolve keep-LAST, the
+  -- reference's dict update; the fixture plants dup 'lanes' rows
+  -- whose last value < max, so this index is load-bearing for
+  -- sum_lanes.  (List keys -- phone/amenity -- EXTEND under dups;
+  -- the fixture keeps those dup-free so either index reads the one
+  -- tag.)  street is scalar within the addr subdoc: keep-last.
   SELECT doc_type, lat, lon, nds, members, created,
-         list_filter(tags, x -> x.k = 'lanes')[1].v       AS lanes_raw,
-         list_filter(tags, x -> x.k = 'phone')[1].v       AS phone_raw,
-         list_filter(tags, x -> x.k = 'addr:street')[1].v AS street_raw,
-         list_filter(tags, x -> x.k = 'amenity')[1].v     AS amenity_raw
+         list_filter(tags, x -> x.k = 'lanes')[-1].v       AS lanes_raw,
+         list_filter(tags, x -> x.k = 'phone')[-1].v       AS phone_raw,
+         list_filter(tags, x -> x.k = 'addr:street')[-1].v AS street_raw,
+         list_filter(tags, x -> x.k = 'amenity')[-1].v     AS amenity_raw
   FROM raw
 ), ph1 AS (  -- format_phone (clean_and_write.py:97-111), re-derived
   SELECT *, regexp_replace(phone_raw, '\D', '', 'g') AS d0 FROM ext

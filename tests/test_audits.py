@@ -53,8 +53,10 @@ def test_count_docs_by(docs):
     rows = {r["doc_type"]: r["count"] for r in count_docs_by(docs, "doc_type").collect()}
     assert rows == {"node": 5, "way": 2, "relation": 1}
     named = check_doc_counts_by(docs, "name").collect()
+    # name_1 merges into name and list keys EXTEND (clean_and_write.py:
+    # 300-305), so node 1001 carries both names in document order
     assert {(r["doc_type"], tuple(r["name"])) for r in named} == {
-        ("node", ("Good Coffee",)),
+        ("node", ("Good Coffee", "Alt Coffee")),
         ("way", ("Meadowbrook Count",)),
     }
 

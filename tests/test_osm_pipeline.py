@@ -53,8 +53,10 @@ def test_structural_routing(docs):
 
 def test_cleaning_triggers(docs):
     n1 = docs["1001"]
-    # phone list + format (main.ipynb cell 17 golden)
-    assert n1["phone"] == ["+1-360-555-9999 x1234"]
+    # phone list + format (main.ipynb cell 17 golden); contact:phone
+    # strips to phone and the reference EXTENDS list keys, so both
+    # numbers accumulate in document order (clean_and_write.py:300-305)
+    assert n1["phone"] == ["+1-360-555-9999 x1234", "+1-360-398-8300"]
     # addr struct: street type + unit pop, postcode typo fix, housename
     assert n1["addr"]["street"] == "Ellis Street"
     # popped '#unit' token lands in addr.unit (clean_and_write.py:323-326)
@@ -307,8 +309,23 @@ def test_shape_documents_adversarial_inputs(spark):
             "node",
             lat=1.0,
             lon=2.0,
-            # name_1 rewrites to name -> duplicate key, LAST_WIN
-            tags=[t("name", "A"), t("name_1", "B")],
+            # name_1 rewrites to name -> duplicate LIST key: the
+            # reference EXTENDS list keys (clean_and_write.py:300-305),
+            # so the promoted list concatenates in document order while
+            # the raw-tag map keeps last.  "Z" > "B" so a max fallback
+            # (the round-9 latent bug) would also diverge.
+            tags=[t("name", "Z"), t("name_1", "B")],
+        ),
+        el(
+            "n9",
+            "node",
+            lat=1.0,
+            lon=2.0,
+            # duplicate addr:street, BOTH with '#unit' tokens: the
+            # reference's conditional dict update keeps the LAST unit
+            # ("12"); lexicographic max over the strings would keep
+            # "9".  street itself is keep-last then type-mapped.
+            tags=[t("addr:street", "Main St #9"), t("addr:street_1", "Pine Ave #12")],
         ),
         el(
             "n8",
@@ -322,13 +339,21 @@ def test_shape_documents_adversarial_inputs(spark):
     ]
     raw = spark.createDataFrame(rows, RAW_ELEMENT_SCHEMA)
     docs = {r["_id"]: r.asDict(recursive=True) for r in shape_documents(raw).collect()}
-    assert len(docs) == 10
+    assert len(docs) == 11
     for _id in ("n1", "n2", "n3", "n4", "n5"):
         assert docs[_id]["doc_type"] == "node" and docs[_id]["pos"] == [1.0, 2.0]
     assert docs["n3"]["tags"] == {"name": None}
     assert docs["n4"]["tags"] == {} and docs["n5"]["tags"] == {}
     assert docs["n6"]["pos"] is None  # quarantined by validity, not crashed
     assert docs["n7"]["tags"]["name"] == "B"  # dict-update last-wins
+    # the PROMOTED list concatenates across the duplicate key
+    # (reference extend semantics), agreeing with the lists map
+    assert docs["n7"]["name"] == ["Z", "B"]
+    assert docs["n9"]["addr"]["street"] == "Pine Avenue"
+    # reference keeps the whole '#'-token (clean_street_type,
+    # clean_and_write.py:66-72); LAST wins ('#9' > '#12' lexically,
+    # so a max fallback would keep '#9')
+    assert docs["n9"]["addr"]["unit"] == "#12"
     assert docs["n8"]["subdocs"]["service"]["bicycle.pump.deep.deeper"] == "yes"
     assert docs["w1"]["node_refs"] == [] and docs["r1"]["members"] == []
 

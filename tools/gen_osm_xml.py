@@ -57,7 +57,13 @@ def write_xml(path: str, target_bytes: int, id_offset: int = 0) -> int:
                 f'    <tag k="addr:postcode" v="9{8 + i % 2}2{i % 10}8"/>\n'
                 f'    <tag k="payment:visa" v="{"yes" if i % 2 else "no"}"/>\n'
                 f'    <tag k="lanes" v="{i % 6 + 1}"/>\n'
-                "  </node>\n"
+                # Every 17th node repeats the lanes key with a SMALLER
+                # value: duplicate tag keys resolve keep-LAST (the
+                # reference's dict update), and last < max here, so any
+                # max-over-values shortcut breaks the ETL oracle's
+                # sum_lanes.
+                + (f'    <tag k="lanes" v="1"/>\n' if i % 17 == 0 else "")
+                + "  </node>\n"
             )
             if i % 10 == 0:
                 nds = "".join(
