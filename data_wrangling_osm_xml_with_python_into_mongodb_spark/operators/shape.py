@@ -619,6 +619,129 @@ def apply_ref_docs_delta(
     return untouched.unionByName(updated)
 
 
+def apply_ref_docs_delta_capped(
+    index: DataFrame,
+    inserted_docs: DataFrame,
+    deleted_docs: DataFrame,
+    corpus_after: DataFrame,
+    cap: int,
+) -> DataFrame:
+    """Incrementally maintain the CAPPED ref_docs index (columns
+    ``(_id, refers, refer_count)`` as built by :func:`build_ref_docs`
+    with ``cap``) -- the production m6 shape, closing round-9 residual
+    #2 (the reference itself only drop-and-recreates,
+    mongo_audit.py:271-329).
+
+    Exact-by-construction arithmetic per touched ref:
+
+    * ``refer_count`` merges by pure addition: old + |ins pairs| -
+      |del pairs| (both duplicate-preserving).
+    * ``refers`` (the ``cap`` rank-smallest src ids) merges as
+      top-cap of (prefix survivors ++ inserted srcs).  That equals the
+      true top-cap WHENEVER the stored prefix was complete
+      (old count <= cap) OR no deletion removed a prefix entry --
+      entries beyond the prefix are all rank-larger, so they can only
+      enter the top-cap through a hole a deletion opened in it.
+    * Rows violating both conditions (an over-cap posting lost a
+      prefix entry) are REFILLED exactly: their postings are recomputed
+      from ``corpus_after`` restricted FIRST by a broadcast semi-join
+      on the flagged refs, so only those refs' pairs shuffle -- a
+      keyed pruned read, never a historical rescan.  Refs the batch
+      does not mention pass through a broadcast anti-join verbatim,
+      and the index itself is never shuffled (same join shape as
+      :func:`apply_ref_docs_delta`).
+
+    Emptied postings (count reaching 0) drop, exactly as a rebuild
+    would lack them.
+    """
+    pairs = _ref_pairs(inserted_docs).withColumn(
+        "_is_del", F.lit(False)
+    ).unionByName(
+        _ref_pairs(deleted_docs).withColumn("_is_del", F.lit(True))
+    )
+    delta = pairs.groupBy("ref").agg(
+        F.collect_list(
+            F.when(~F.col("_is_del"), F.col("src_id"))
+        ).alias("_ins"),
+        F.collect_set(
+            F.when(F.col("_is_del"), F.col("src_id"))
+        ).alias("_del"),
+        F.sum(F.col("_is_del").cast("long")).alias("_n_del"),
+    )
+    touched = index.withColumnRenamed("_id", "ref").join(
+        F.broadcast(delta.select("ref")), "ref", "semi"
+    )
+    empty = F.array().cast("array<string>")
+    old_refers = F.coalesce(F.col("refers"), empty)
+    merged = (
+        delta.join(F.broadcast(touched), "ref", "left")
+        .select(
+            "ref",
+            "_ins",
+            F.filter(
+                old_refers, lambda x: ~F.array_contains(F.col("_del"), x)
+            ).alias("_kept"),
+            F.size(old_refers).alias("_old_prefix_n"),
+            F.coalesce(F.col("refer_count"), F.lit(0)).alias("_old_count"),
+            "_n_del",
+        )
+        .select(
+            "ref",
+            F.slice(
+                F.array_sort(F.concat(F.col("_kept"), F.col("_ins"))), 1, cap
+            ).alias("refers"),
+            (
+                F.col("_old_count") + F.size("_ins") - F.col("_n_del")
+            ).alias("refer_count"),
+            (
+                (F.col("_old_count") > cap)
+                & (F.size("_kept") < F.col("_old_prefix_n"))
+            ).alias("_needs_refill"),
+        )
+    )
+    flagged = merged.filter(F.col("_needs_refill")).select("ref")
+    ok = (
+        merged.filter(~F.col("_needs_refill") & (F.col("refer_count") > 0))
+        .select(F.col("ref").alias("_id"), "refers", "refer_count")
+    )
+    # Exact refill, pruned BEFORE the aggregation: only flagged refs'
+    # pairs survive the broadcast semi, so the window shuffles a
+    # flagged-sized slice of the corpus, not the corpus.
+    from pyspark.sql import Window
+
+    ref_pairs = _ref_pairs(corpus_after).join(
+        F.broadcast(flagged), "ref", "semi"
+    )
+    by_ref = Window.partitionBy("ref")
+    refill = (
+        ref_pairs.select(
+            "ref",
+            "src_id",
+            F.count(F.lit(1)).over(by_ref).alias("_total"),
+            F.row_number().over(by_ref.orderBy("src_id")).alias("_rn"),
+        )
+        .filter(F.col("_rn") <= cap)
+        .groupBy("ref")
+        .agg(
+            F.array_sort(F.collect_list("src_id")).alias("refers"),
+            F.first("_total").alias("_total"),
+        )
+        .select(
+            F.col("ref").alias("_id"),
+            "refers",
+            F.col("_total").cast("long").alias("refer_count"),
+        )
+    )
+    untouched = index.join(
+        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
+    )
+    return (
+        untouched.select("_id", "refers", F.col("refer_count").cast("long").alias("refer_count"))
+        .unionByName(ok.select("_id", "refers", F.col("refer_count").cast("long").alias("refer_count")))
+        .unionByName(refill)
+    )
+
+
 def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:
     """The inverted reference index (mongo_audit.py:271-329): for every
     referenced id, the sorted list of referencing document ids, plus

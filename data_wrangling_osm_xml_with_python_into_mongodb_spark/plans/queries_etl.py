@@ -561,6 +561,78 @@ def q_ref_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_M10_ORACLE = rf"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{FIXTURE_PARQUET}')
+),
+final AS (  -- (base - deletes) + inserts == the post-batch corpus
+  SELECT * FROM raw
+  WHERE CAST(_id AS BIGINT) % 7 = 0
+     OR (CAST(_id AS BIGINT) % 7 <> 0
+         AND CAST(_id AS BIGINT) % 11 <> 0)
+),
+way_refs AS (
+  SELECT _id AS src, unnest(list_distinct(nds)) AS ref
+  FROM final WHERE doc_type = 'way'
+),
+rel_refs AS (
+  SELECT _id AS src, m.ref AS ref
+  FROM (SELECT _id, unnest(members) AS m FROM final WHERE doc_type = 'relation')
+),
+refs AS (
+  SELECT src, ref FROM way_refs WHERE ref IS NOT NULL
+  UNION ALL
+  SELECT src, ref FROM rel_refs WHERE ref IS NOT NULL
+)
+SELECT ref AS _id,
+       array_to_string(list_sort(list(src))[1:1], '|') AS refers,
+       count(*) AS refer_count
+FROM refs
+GROUP BY ref
+"""
+
+
+@register(
+    "m10_ref_docs_incremental_capped",
+    "Incremental maintenance of the CAPPED (production-shape) ref_docs "
+    "view -- round-9 residual #2.  Same insert/delete batch as m9 "
+    "applied to the cap=1 index: refer_count merges by pure addition, "
+    "the rank prefix merges as top-cap of (survivors ++ inserts), and "
+    "the few postings whose over-cap prefix lost an entry are refilled "
+    "from a broadcast-semi-PRUNED keyed read of the post-batch corpus "
+    "(only flagged refs' pairs shuffle; the index itself never "
+    "shuffles).  cap=1 makes prefix truncation and the refill path "
+    "bind on the fixture (max refer_count 2-3).  Oracle: capped full "
+    "rebuild over (base - deletes) + inserts.",
+    _M10_ORACLE,
+    tags=("mview", "incremental", "osm"),
+)
+def q_ref_docs_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/shape.apply_ref_docs_delta_capped does the
+    maintenance; base/batch staging mirrors m9 (in production the old
+    index is a table read)."""
+    from ..operators.shape import apply_ref_docs_delta_capped, build_ref_docs
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    docs = shape_documents(raw)
+    id_l = F.col("_id").cast("long")
+    base = docs.filter(id_l % 7 != 0)
+    inserted = docs.filter(id_l % 7 == 0)
+    deleted = base.filter(id_l % 11 == 0)
+    corpus_after = docs.filter(
+        (id_l % 7 == 0) | ((id_l % 7 != 0) & (id_l % 11 != 0))
+    )
+    old_index = build_ref_docs(base, cap=1)
+    new_index = apply_ref_docs_delta_capped(
+        old_index, inserted, deleted, corpus_after, cap=1
+    )
+    return new_index.select(
+        "_id",
+        F.concat_ws("|", F.col("refers")).alias("refers"),
+        F.col("refer_count").cast("long").alias("refer_count"),
+    )
+
+
 _F8_ORACLE = rf"""
 WITH raw AS (
   SELECT CAST(_id AS BIGINT) AS id, tags

@@ -120,6 +120,84 @@ def test_emptied_posting_is_dropped(spark, corpus):
     )
 
 
+def _canon_capped(df):
+    return sorted(
+        (r["_id"], tuple(r["refers"]), r["refer_count"]) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def capped_corpus(spark):
+    """Hot ref n1 (4 referrers, cap=2 prefix [w1,w2]) whose prefix
+    loses an entry -> refill path; n2 loses only an out-of-prefix
+    entry -> pure arithmetic; n3 is batch-introduced."""
+    base = _docs(
+        spark,
+        [
+            ("w1", "way", ["n1"], None),
+            ("w2", "way", ["n1"], None),
+            ("w3", "way", ["n1"], None),
+            ("w4", "way", ["n1"], None),
+            ("w5", "way", ["n2"], None),
+            ("w6", "way", ["n2"], None),
+            ("w9", "way", ["n2"], None),
+        ],
+    )
+    ins = _docs(spark, [("w0", "way", ["n1", "n3"], None)])
+    del_ids = ["w1", "w9"]
+    return base, ins, del_ids
+
+
+def test_capped_delta_equals_capped_rebuild(spark, capped_corpus):
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+        apply_ref_docs_delta_capped,
+    )
+
+    base, ins, del_ids = capped_corpus
+    deleted = base.filter(F.col("_id").isin(del_ids))
+    after = base.filter(~F.col("_id").isin(del_ids)).unionByName(ins)
+    out = apply_ref_docs_delta_capped(
+        build_ref_docs(base, cap=2), ins, deleted, after, cap=2
+    )
+    assert _canon_capped(out) == _canon_capped(build_ref_docs(after, cap=2))
+    # n1's refill must pull the batch-inserted w0 into the prefix
+    n1 = {r["_id"]: r for r in out.collect()}["n1"]
+    assert list(n1["refers"]) == ["w0", "w2"] and n1["refer_count"] == 4
+    # index never shuffled: broadcast semi/anti/outer only (the one
+    # window exchange runs on the refill-pruned pair slice)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_capped_delta_batch_order_invariance(spark, capped_corpus):
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+        apply_ref_docs_delta_capped,
+    )
+
+    base, ins, del_ids = capped_corpus
+    deleted = base.filter(F.col("_id").isin(del_ids))
+    survivors = base.filter(~F.col("_id").isin(del_ids))
+    after = survivors.unionByName(ins)
+    empty = base.filter(F.lit(False))
+    idx0 = build_ref_docs(base, cap=2)
+
+    combined = apply_ref_docs_delta_capped(idx0, ins, deleted, after, cap=2)
+    mid_i = base.unionByName(ins)  # corpus after inserts-only batch
+    i_then_d = apply_ref_docs_delta_capped(
+        apply_ref_docs_delta_capped(idx0, ins, empty, mid_i, cap=2),
+        empty, deleted, after, cap=2,
+    )
+    mid_d = survivors  # corpus after deletes-only batch
+    d_then_i = apply_ref_docs_delta_capped(
+        apply_ref_docs_delta_capped(idx0, empty, deleted, mid_d, cap=2),
+        ins, empty, after, cap=2,
+    )
+    want = _canon_capped(build_ref_docs(after, cap=2))
+    assert _canon_capped(combined) == want
+    assert _canon_capped(i_then_d) == want
+    assert _canon_capped(d_then_i) == want
+
+
 def test_i3_stats_additivity(spark):
     """new_stats = old_stats + batch_stats must equal full-corpus stats
     exactly (they are integer counts in doubles)."""
