@@ -11,9 +11,17 @@ Output: {"metric": "headline_queries_wall", "value": <total sec>,
          "value_tmean": <total sec>,
          "ext": {name: sec, ...},   # round-extension block, 1 pass each
          "sf": 0.1,
-         "sf1": {...same shape at 10x scale...},
-         "skew": {...cap-guarded queries on hot-key-planted data...},
-         "etl_mb_per_s": ..., "ts": ...}
+         "sf1": {...same shape at 10x scale, plus "incr": the
+                 incremental-vs-full-rebuild twin timings...},
+         "skew": {...cap-guarded queries on hot-key-planted data, plus
+                  dd9_edges (per-round edge series) and dd9_large
+                  (above-coalesce-threshold contraction evidence)...},
+         "etl_mb_per_s": ...,
+         "etl_cpu_s"/"etl_ingest_cpu_s"/"etl_shape_cpu_s": java+python
+             /proc CPU per pass (the noise-robust instrument),
+         "etl_vector_fraction": bytes parsed by the vectorized fast
+             path vs expat fallback, from executor accumulators,
+         "ts": ...}
 
 "queries" holds per-query min over N passes (the steady state a
 long-lived cluster runs at); "spread" holds max-min over the same
@@ -299,6 +307,7 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
     bounded.  Correctness on skewed data is pytest-gated
     (tests/test_skew_stress.py)."""
     dst = "/tmp/sf0.1_skew"
+    _t_block0 = time.time()
     try:
         marker = os.path.join(dst, "_SKEW_DONE")
         fp = _src_fingerprint(src_dir, "skew:hot_docs=10000:hot_fanout=10000")
@@ -336,6 +345,24 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
         except Exception as e:
             print(f"# dd9 stats failed: {e}", file=sys.stderr)
             cc_stats = {}
+        # Above-threshold contraction evidence (round-9 VERDICT #7): a
+        # ~1.5M-edge planted graph starts past the 1M-edge coalesce
+        # guard, so the recorded edge series shows the guard's off
+        # regime (the skew graph covers the on regime).  ~55s on a
+        # quiet run -- only attempted while the block has slack, so a
+        # degraded day cannot cost the skew numbers to the subprocess
+        # timeout.
+        if time.time() - _t_block0 < 240:
+            try:
+                from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_dedup import dd9_cc_large_stats
+
+                t0 = time.time()
+                large = dd9_cc_large_stats(spark)
+                cc_stats["dd9_large"] = {
+                    "wall_s": round(time.time() - t0, 1), **large
+                }
+            except Exception as e:
+                print(f"# dd9 large stats failed: {e}", file=sys.stderr)
         # cpus/attempt ride along so a retry at reduced threads is
         # compared like-for-like against the 32-thread headline instead
         # of misreading as a ~2x skew regression.
@@ -379,6 +406,28 @@ def _run_block(block: str, sf_dir: str) -> int:
         # recorded min is still warm-up, and round-over-round sf1
         # deltas read as phantom regressions.
         t1, s1, tm1 = _time_queries(spark, qs, sf1_dir, n_passes=3)
+        # Incremental operators vs their full-rebuild twins (round-9
+        # VERDICT #6): the "no historical rescan" claim with a measured
+        # speedup number beside the oracle gate.  i2/i3 and dd1/dd12
+        # run at sf1; the ref_docs pair (m6/m9/m10) is fixture-scale by
+        # design (the ETL fixture is sf-independent).  NOTE the m9/m10
+        # callables REBUILD the base index inline as test staging
+        # (documented in their docstrings), so their walls bound the
+        # maintenance cost from above; i3/dd12 read persisted-state
+        # shapes directly and carry the clean comparison.
+        incr_names = [
+            "m6_osm_ref_docs", "m9_ref_docs_incremental",
+            "m10_ref_docs_incremental_capped",
+            "i2_tfidf_topk", "i3_tfidf_incremental",
+            "dd1_exact_dedup", "dd12_incremental_dedup",
+        ]
+        try:
+            incr, _, _ = _time_queries(
+                spark, qs, sf1_dir, n_passes=2, names=incr_names
+            )
+        except Exception as e:
+            print(f"# incr block failed: {e}", file=sys.stderr)
+            incr = {}
         # v8 pruning evidence rides with its sf1 time: rows the probe
         # actually scored vs the brute-force corpus (v7's shape).
         try:
@@ -401,6 +450,7 @@ def _run_block(block: str, sf_dir: str) -> int:
                     "attempt": int(
                         os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "0")
                     ),
+                    "incr": incr,
                     **v8_stats,
                 }
             )
@@ -627,13 +677,41 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
 
     Pass 0 absorbs Catalyst planning + codegen/JIT warm-up (a fixed
     ~1s driver cost independent of data size); min-of-3 measures the
-    steady state a long-lived cluster runs at."""
+    steady state a long-lived cluster runs at.
+
+    CPU accounting (round-9 VERDICT #3): each pass also records the
+    java+python utime+stime delta summed over /proc -- the instrument
+    that actually adjudicated round 9 (PERF.md: wall swings 2-10x on
+    identical code; CPU is stable to ~8%), now emitted by the bench
+    itself as ``etl_ingest_cpu_s`` / ``etl_shape_cpu_s`` /
+    ``etl_cpu_s`` (min-pass values).  Machine-wide by process comm is
+    the right scope here: the ETL block runs in its own otherwise-idle
+    JVM+workers (single-tenant sandbox), and per-pid trees miss
+    short-lived forked workers.  ``etl_vector_fraction`` (VERDICT #4)
+    rides along: bytes the vectorized fast path actually parsed vs the
+    expat fallback, from executor-side accumulators -- no more
+    offline-only engagement claims."""
+    import glob as _glob
     import shutil
     import tempfile
 
     from tools.gen_osm_xml import write_xml_sharded
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators import shape_documents
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.osm_xml import materialize_raw
+
+    def _jvm_py_cpu() -> float:
+        hz = os.sysconf("SC_CLK_TCK")
+        total = 0.0
+        for st in _glob.glob("/proc/[0-9]*/stat"):
+            try:
+                raw = open(st).read()
+                comm = raw.split("(", 1)[1].rsplit(")", 1)[0]
+                if comm == "java" or comm.startswith("python"):
+                    parts = raw.rsplit(") ", 1)[1].split()
+                    total += (int(parts[11]) + int(parts[12])) / hz
+            except OSError:
+                continue
+        return total
 
     workdir = tempfile.mkdtemp(prefix="etl_bench_")
     try:
@@ -643,6 +721,10 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
 
         bronze_path = f"{workdir}/bronze"
         table = "etl_bench_bronze"
+        counters = {
+            "vector_bytes": spark.sparkContext.accumulator(0),
+            "expat_bytes": spark.sparkContext.accumulator(0),
+        }
 
         # Pass 0: planning + codegen warm-up for both stages.  Bucket
         # count: 96 buckets shave the shape stage (2.87s -> 2.57s,
@@ -650,7 +732,9 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
         # bucket files per write task) -- 32 wins end-to-end; on a
         # cluster you'd size bucket count by target bucket bytes.
         t0 = time.time()
-        bronze = materialize_raw(spark, xml_path, bronze_path, table=table)
+        bronze = materialize_raw(
+            spark, xml_path, bronze_path, table=table, counters=counters
+        )
         docs = shape_documents(bronze)
         docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")
         print(
@@ -663,28 +747,43 @@ def _bench_etl(spark, target_mb: float = 77.0) -> dict:
         # overwriting the table a live plan reads invalidates its file
         # listing, which is exactly the one-time-ingest contract.
         ingest_s = shape_s = e2e_s = 1e9
+        ingest_cpu = shape_cpu = e2e_cpu = 1e9
         for _pass in range(1, 4):
+            c0 = _jvm_py_cpu()
             t0 = time.time()
             materialize_raw(
-                spark, xml_path, f"{workdir}/bronze_scratch", table=f"{table}_scratch"
+                spark, xml_path, f"{workdir}/bronze_scratch",
+                table=f"{table}_scratch", counters=counters,
             )
             t1 = time.time()
+            c1 = _jvm_py_cpu()
             docs.write.mode("overwrite").parquet(f"{workdir}/out.parquet")
             t2 = time.time()
+            c2 = _jvm_py_cpu()
             ingest_s = min(ingest_s, t1 - t0)
             shape_s = min(shape_s, t2 - t1)
+            ingest_cpu = min(ingest_cpu, c1 - c0)
+            shape_cpu = min(shape_cpu, c2 - c1)
             # e2e = best ACTUAL pass, not min(ingest)+min(shape) across
             # passes (that composite can beat every real run).
             e2e_s = min(e2e_s, t2 - t0)
+            e2e_cpu = min(e2e_cpu, c2 - c0)
             print(
-                f"# etl pass{_pass}: ingest {t1 - t0:.2f}s + shape "
-                f"{t2 - t1:.2f}s = {mb / (t2 - t0):.2f} MB/s e2e",
+                f"# etl pass{_pass}: ingest {t1 - t0:.2f}s "
+                f"(cpu {c1 - c0:.1f}s) + shape {t2 - t1:.2f}s "
+                f"(cpu {c2 - c1:.1f}s) = {mb / (t2 - t0):.2f} MB/s e2e",
                 file=sys.stderr,
             )
+        vb = counters["vector_bytes"].value
+        eb = counters["expat_bytes"].value
         return {
             "etl_mb_per_s": round(mb / e2e_s, 2),
             "etl_ingest_mb_per_s": round(mb / ingest_s, 2),
             "etl_steady_mb_per_s": round(mb / shape_s, 2),
+            "etl_cpu_s": round(e2e_cpu, 1),
+            "etl_ingest_cpu_s": round(ingest_cpu, 1),
+            "etl_shape_cpu_s": round(shape_cpu, 1),
+            "etl_vector_fraction": round(vb / max(vb + eb, 1), 4),
         }
     finally:
         # Drop in finally: a throwing timed pass must not leave tables

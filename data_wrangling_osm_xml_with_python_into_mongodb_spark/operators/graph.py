@@ -180,6 +180,12 @@ def connected_components(
     cur = canonical_edges(edges, src, dst).localCheckpoint(eager=True)
     sig = _signature(cur)
     for _round in range(max_rounds):
+        if stats is not None:
+            # Edge count ENTERING each round (sig[0] is free -- the
+            # signature job already counted): the series behind the
+            # geometric-shrink claim, and the evidence base for the
+            # 1M-edge coalesce threshold below.
+            stats.setdefault("edges", []).append(int(sig[0]))
         nxt = _small_star(_large_star(cur))
         if sig[0] < 1_000_000:
             # Contraction shrinks the edge set geometrically; once it is

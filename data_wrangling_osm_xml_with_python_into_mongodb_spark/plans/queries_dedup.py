@@ -597,6 +597,35 @@ def dd9_cc_stats(spark: SparkSession, sf_dir: str) -> dict:
     return stats
 
 
+def dd9_cc_large_stats(spark: SparkSession, n_nodes: int = 1_500_000) -> dict:
+    """Contraction evidence ABOVE the coalesce threshold: a synthetic
+    graph whose initial edge set (~2x n_nodes) starts past the
+    1M-edge ``sig[0] < 1_000_000`` coalesce guard in
+    operators/graph.connected_components, so the bench records rounds
+    where the guard is off AND the edge series crossing it -- the
+    threshold's first measured evidence at both regimes.  Shape: a
+    union of 1000-node chains (deep components -> propagation-hard)
+    plus a random sparse layer stitching ~1% of nodes to hot hubs
+    (skew).  Deterministic (hash-derived), no RNG state."""
+    from pyspark.sql import functions as F
+
+    n = spark.range(n_nodes)
+    chains = n.filter((F.col("id") % 1000) != 999).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    hubs = n.filter((F.col("id") % 100) == 0).select(
+        F.col("id").alias("id_a"),
+        F.pmod(F.xxhash64("id"), F.lit(64)).cast("long").alias("id_b"),
+    )
+    edges = chains.unionAll(hubs).select(
+        F.col("id_a").cast("string"), F.col("id_b").cast("string")
+    )
+    stats: dict = {}
+    labels = connected_components(edges, src="id_a", dst="id_b", stats=stats)
+    stats["n_labels"] = labels.count()
+    return stats
+
+
 _N_PERM = 16
 _N_BANDS = 4  # 4 rows per band
 _PERMS = perm_params(_N_PERM)

@@ -776,7 +776,8 @@ def read_osm_elements_split(
     # exists for.
     if all(start == 0 and nbytes == size for _, start, nbytes, size in splits):
         return read_osm_elements_iterparse(
-            spark, path, batch_rows=batch_rows, chunk_bytes=chunk_bytes
+            spark, path, batch_rows=batch_rows, chunk_bytes=chunk_bytes,
+            counters=counters,
         )
     # One task per split up to 4x the cluster's core count; past that,
     # tasks consume several split rows sequentially (per-task memory
@@ -851,6 +852,7 @@ def read_osm_elements_iterparse(
     path: str,
     batch_rows: int = 50_000,
     chunk_bytes: int = 4 << 20,
+    counters=None,
 ) -> DataFrame:
     """Single-pass scan, file-granular: streaming expat parse of each
     whole file via ``mapInArrow`` over ``binaryFile`` rows.
@@ -872,7 +874,8 @@ def read_osm_elements_iterparse(
             for content_scalar in rb.column(0):
                 content = content_scalar.as_py()
                 yield from _parse_slice(
-                    content, batch_rows, chunk_bytes, wrap=False
+                    content, batch_rows, chunk_bytes, wrap=False,
+                    counters=counters,
                 )
 
     return files.mapInArrow(parse, RAW_ELEMENT_SCHEMA)
