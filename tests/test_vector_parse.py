@@ -156,6 +156,72 @@ def test_equals_in_value_matches_expat_via_fallback():
     assert rows[0]["created"]["user"] == "x id="
 
 
+def test_property_fastpath_matches_or_bails():
+    """Hypothesis differential: for ARBITRARY generated OSM-ish XML --
+    including '=' inside values (the round-9 silent-corruption input),
+    entities, tabs, unknown attrs, duplicate attrs, odd spacing, and
+    multi-line layouts -- the fast path either bails (None) or
+    produces exactly expat's rows.  Inputs that make expat itself
+    raise (e.g. duplicate attributes) additionally require the fast
+    path NOT to silently succeed."""
+    import xml.parsers.expat
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name_st = st.sampled_from(["name", "amenity", "note", "x-odd", "id"])
+    # Values probe every extraction hazard: '=' tails, attr-lookalike
+    # tails, entities, tabs, '>'/quotes-adjacent text.
+    value_st = st.sampled_from(
+        ["v", "", "a b", "x id=", " id=", 'q id="9', "a&amp;b", "&lt;x&gt;",
+         "a\tb", "a > b", "it&apos;s", "5", "ref=", "lat="]
+    )
+    attr_st = st.tuples(name_st, value_st)
+
+    @st.composite
+    def element_st(draw):
+        kind = draw(st.sampled_from(["node", "way", "relation"]))
+        i = draw(st.integers(0, 99))
+        attrs = [("id", str(i))]
+        if kind == "node":
+            attrs += [("lat", "1.5"), ("lon", "-2.25")]
+        if draw(st.booleans()):
+            attrs.append(("user", draw(value_st)))
+        if draw(st.booleans()):  # duplicate attribute (invalid XML)
+            attrs.append(("id", str(i + 1)))
+        sep = draw(st.sampled_from([" ", "  ", "\t"]))
+        hdr = f"<{kind}" + "".join(f'{sep}{k}="{v}"' for k, v in attrs)
+        children = []
+        for _ in range(draw(st.integers(0, 2))):
+            tk, tv = draw(attr_st), draw(value_st)
+            children.append(f'<tag k="{tk[0]}" v="{tv}"/>')
+        if kind == "way":
+            children.append(f'<nd ref="{i}"/>')
+        if children:
+            body = draw(st.sampled_from(["\n", "\n  "])).join(children)
+            return f"{hdr}>\n{body}\n</{kind}>"
+        return hdr + "/>"
+
+    @given(st.lists(element_st(), min_size=1, max_size=4))
+    @settings(max_examples=120, deadline=None)
+    def check(elems):
+        data = ("<osm>\n" + "\n".join(elems) + "\n</osm>").encode()
+        try:
+            expat_rows = _expat_rows(data, wrap=False)
+            expat_err = None
+        except xml.parsers.expat.ExpatError as e:
+            expat_rows, expat_err = None, e
+        v = _vec_rows(data)
+        if expat_err is not None:
+            # expat fails the job loudly; the fast path must not
+            # silently produce rows for the same bytes.
+            assert v is None
+        elif v is not None:
+            assert v == expat_rows
+
+    check()
+
+
 def test_bench_shards_engage_and_match_when_present():
     """When the ETL bench shards exist locally, the fast path must both
     engage and agree with expat at real-data scale."""
