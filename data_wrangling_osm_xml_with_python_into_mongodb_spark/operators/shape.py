@@ -571,6 +571,21 @@ def apply_ref_docs_delta(
     list empties are dropped, exactly as a full rebuild would lack
     them.
     """
+    delta, updated = _ref_docs_delta_core(index, inserted_docs, deleted_docs)
+    untouched = index.join(
+        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
+    )
+    return untouched.unionByName(updated.filter(F.size("refers") > 0))
+
+
+def _ref_docs_delta_core(
+    index: DataFrame, inserted_docs: DataFrame, deleted_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the uncapped maintainers: the batch's aggregated
+    (ref, _ins, _del) delta and the full recomputed postings of every
+    TOUCHED ref -- including ones that emptied out (size 0), so the
+    caller chooses between dropping them (full-index output) and
+    emitting them as deletes (changes-only output)."""
     # One shuffle for the whole delta: union insert/delete pairs with a
     # marker and aggregate both posting deltas in a single groupBy
     # (collect_list/collect_set skip the marker-mismatched nulls) --
@@ -616,12 +631,28 @@ def apply_ref_docs_delta(
                 )
             ).alias("refers"),
         )
-        .filter(F.size("refers") > 0)
     )
-    untouched = index.join(
-        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
+    return delta, updated
+
+
+def ref_docs_delta_changes(
+    index: DataFrame, inserted_docs: DataFrame, deleted_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Changes-only form of :func:`apply_ref_docs_delta` for MUTABLE
+    storage: ``(upserts, delete_keys)`` -- the recomputed postings of
+    the touched refs that remain non-empty, and the ``_id``s whose
+    postings emptied out.  Feeding these to a copy-on-write MERGE
+    (:meth:`sources.cow_table.CowTable.merge` with ``deletes=``, or a
+    real Delta/Iceberg ``MERGE``) maintains the persisted index while
+    rewriting only the FILES containing touched refs -- closing the
+    one O(index) cost the full-output maintainers keep (their result
+    is the whole new index, so a plain overwrite re-writes every
+    byte even though nothing else changed)."""
+    _delta, updated = _ref_docs_delta_core(index, inserted_docs, deleted_docs)
+    return (
+        updated.filter(F.size("refers") > 0),
+        updated.filter(F.size("refers") == 0).select("_id"),
     )
-    return untouched.unionByName(updated)
 
 
 def apply_ref_docs_delta_capped(

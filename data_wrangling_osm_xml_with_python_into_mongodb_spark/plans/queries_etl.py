@@ -561,6 +561,50 @@ def q_ref_docs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "m11_ref_docs_cow_maintenance",
+    "The incremental ref_docs maintenance applied to MUTABLE storage: "
+    "ref_docs_delta_changes emits (upserts, emptied-posting delete "
+    "keys) for the m9 batch, and a CowTable MERGE (copy-on-write "
+    "commit log, Delta-mechanism without the jar) applies them -- "
+    "only files containing touched refs are rewritten, untouched "
+    "files carry into the new snapshot by reference, and emptied "
+    "postings are removed via whenMatchedDelete semantics.  Closes "
+    "the O(index) output cost the full-output maintainers keep.  "
+    "Oracle: reading the post-merge table must equal a full rebuild "
+    "over (base - deletes) + inserts.",
+    _M9_ORACLE,
+    tags=("mview", "incremental", "osm", "sink"),
+)
+def q_ref_docs_cow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-state staging (CowTable.create of the base index)
+    is test scaffolding like m9's inline rebuild; the maintenance path
+    is ref_docs_delta_changes + CowTable.merge(deletes=...)."""
+    import tempfile
+
+    from ..operators.shape import build_ref_docs, ref_docs_delta_changes
+    from ..sources.cow_table import CowTable
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    docs = shape_documents(raw)
+    id_l = F.col("_id").cast("long")
+    base = docs.filter(id_l % 7 != 0)
+    inserted = docs.filter(id_l % 7 == 0)
+    deleted = base.filter(id_l % 11 == 0)
+    old_index = build_ref_docs(base)
+    work = tempfile.mkdtemp(prefix="m11_cow_")
+    table = CowTable.create(
+        spark, f"{work}/ref_docs", old_index.repartition(8, "_id")
+    )
+    ups, dels = ref_docs_delta_changes(table.read(), inserted, deleted)
+    table.merge(ups, "_id", deletes=dels)
+    return table.read().select(
+        "_id",
+        F.concat_ws("|", F.col("refers")).alias("refers"),
+        F.size("refers").cast("long").alias("refer_count"),
+    )
+
+
 _M10_ORACLE = rf"""
 WITH raw AS (
   SELECT * FROM read_parquet('{FIXTURE_PARQUET}')

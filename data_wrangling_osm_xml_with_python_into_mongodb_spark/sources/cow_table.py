@@ -140,16 +140,35 @@ class CowTable:
     def read(self, version: int | None = None) -> DataFrame:
         return self.spark.read.parquet(*self.files(version))
 
-    def merge(self, source: DataFrame, key: str) -> dict:
+    def merge(
+        self, source: DataFrame, key: str, deletes: DataFrame | None = None
+    ) -> dict:
         """``MERGE INTO`` this table: matched keys take the source row
         wholesale, unmatched source rows insert (operators/audits.
         merge_upsert semantics, the same contract merge_statement
-        carries to a real catalog).  Copy-on-write with file pruning:
-        only files containing a matched key are rewritten; the rest
-        carry over by reference.  Returns the commit doc, which
-        records files_kept/files_rewritten -- the pruning evidence."""
+        carries to a real catalog), and -- when ``deletes`` is given
+        (any frame carrying a ``key`` column) -- rows whose key
+        appears there are REMOVED (Delta's ``whenMatchedDelete``
+        analogue; incremental view maintenance needs it for postings
+        that empty out).  Deletes apply to the TARGET before the
+        upsert, so a key in both frames ends up with the source row.
+        Copy-on-write with file pruning: only files containing a
+        matched-or-deleted key are rewritten; the rest carry over by
+        reference.  Returns the commit doc, which records
+        files_kept/files_rewritten -- the pruning evidence."""
         base_version = self.version()
         snapshot_files = self.files(base_version)
+
+        del_keys = (
+            deletes.select(F.col(key).alias("_dk")).distinct()
+            if deletes is not None
+            else None
+        )
+        touch_keys = source.select(F.col(key).alias("_mk")).distinct()
+        if del_keys is not None:
+            touch_keys = touch_keys.unionByName(
+                del_keys.select(F.col("_dk").alias("_mk"))
+            ).distinct()
 
         tagged = self.spark.read.parquet(*snapshot_files).withColumn(
             "_file", F.input_file_name()
@@ -158,7 +177,7 @@ class CowTable:
         # keys (bounded by the file count, never row count).  Matching
         # on basename sidesteps input_file_name's URI form.
         affected_rows = tagged.join(
-            source.select(F.col(key).alias("_mk")).distinct(),
+            touch_keys,
             tagged[key] == F.col("_mk"),
             "left_semi",
         )
@@ -175,12 +194,20 @@ class CowTable:
 
         # Re-merge ONLY the affected slice; unmatched source rows (the
         # inserts) can't live in any unaffected file, so emitting them
-        # here is exact and emits each exactly once.
+        # here is exact and emits each exactly once.  Deleted keys can
+        # only live in rewritten files (they are touch keys), so the
+        # anti-join below removes every copy.
         if rewritten:
             affected_df = self.spark.read.parquet(*rewritten)
         else:
             affected_df = self.spark.createDataFrame(
                 [], self.spark.read.parquet(*snapshot_files).schema
+            )
+        if del_keys is not None:
+            affected_df = affected_df.join(
+                F.broadcast(del_keys),
+                affected_df[key] == F.col("_dk"),
+                "left_anti",
             )
         merged = merge_upsert(affected_df, source.select(affected_df.columns), key)
 
@@ -196,6 +223,9 @@ class CowTable:
                     "files_kept": len(kept),
                     "files_rewritten": len(rewritten),
                     "files_written": len(new_files),
+                    "delete_keys": (
+                        del_keys.count() if del_keys is not None else 0
+                    ),
                 },
             )
         except ConcurrentWriteError:

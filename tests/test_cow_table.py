@@ -116,6 +116,26 @@ def test_concurrent_commit_conflict(spark, table):
     assert table.read().count() == 40
 
 
+def test_merge_with_deletes(spark, table):
+    """whenMatchedDelete semantics: delete keys vanish, a key in BOTH
+    source and deletes ends with the source row (delete-then-upsert
+    precedence), deletes of absent keys are no-ops, and files without
+    any touched key still carry over by reference."""
+    source = spark.createDataFrame([(5, -5), (7, -7)], "k long, v long")
+    deletes = spark.createDataFrame([(6,), (7,), (999,)], "k long")
+    before = {os.path.basename(f) for f in table.files()}
+    stats = table.merge(source, "k", deletes=deletes)
+    got = dict(_rows(table.read()))
+    assert 6 not in got            # deleted
+    assert got[5] == -5            # upserted
+    assert got[7] == -7            # delete-then-upsert: source wins
+    assert len(got) == 39          # 40 - key 6; keys 5/7 stay present
+    assert stats["delete_keys"] == 3
+    # pruning still holds: only files containing 5/6/7/999 rewritten
+    kept_now = {os.path.basename(f) for f in table.files()} & before
+    assert stats["files_kept"] == len(kept_now) > 0
+
+
 def test_create_refuses_overwrite(spark, table):
     with pytest.raises(FileExistsError):
         CowTable.create(table.spark, table.path, table.read())

@@ -198,6 +198,42 @@ def test_capped_delta_batch_order_invariance(spark, capped_corpus):
     assert _canon_capped(d_then_i) == want
 
 
+def test_cow_maintenance_equals_rebuild(spark, corpus, tmp_path):
+    """End-to-end mutable-storage maintenance: changes-only delta
+    (upserts + emptied-posting delete keys) through CowTable.merge
+    must leave the table equal to a full rebuild, with untouched
+    files carried by reference (files_kept > 0)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+        ref_docs_delta_changes,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        CowTable,
+    )
+
+    base, ins_a, del_b_ids = corpus
+    # Pad with ways whose refs the batch never touches, spread over 8
+    # files: the batch touches ≤4 refs (n2, n3, n5, n9), so at most 4
+    # files can be rewritten and files_kept ≥ 4 DETERMINISTICALLY.
+    pad = _docs(
+        spark, [(f"wp{i}", "way", [f"np{i}"], None) for i in range(32)]
+    )
+    base = base.unionByName(pad)
+    deleted = base.filter(F.col("_id").isin(del_b_ids))
+    survivors = base.filter(~F.col("_id").isin(del_b_ids))
+    table = CowTable.create(
+        spark, str(tmp_path / "ref_docs"),
+        build_ref_docs(base).repartition(8, "_id"),
+    )
+    ups, dels = ref_docs_delta_changes(table.read(), ins_a, deleted)
+    stats = table.merge(ups, "_id", deletes=dels)
+    want = _canon(build_ref_docs(survivors.unionByName(ins_a)))
+    assert _canon(table.read()) == want
+    # n9 empties out (sole referrer w9 deleted) -> a real delete key
+    assert stats["delete_keys"] >= 1
+    assert stats["files_kept"] >= 4
+    assert stats["files_rewritten"] <= 4
+
+
 def test_i3_stats_additivity(spark):
     """new_stats = old_stats + batch_stats must equal full-corpus stats
     exactly (they are integer counts in doubles)."""
