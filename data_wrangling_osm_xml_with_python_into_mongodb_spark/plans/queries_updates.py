@@ -262,3 +262,92 @@ def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("value").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "m12_cow_compaction",
+    "OPTIMIZE-style small-file compaction on the copy-on-write table "
+    "(sources/cow_table.CowTable.compact): a fragmented table (24-file "
+    "create + a merge commit) is bin-packed into ceil(rows/target) "
+    "files with untouched-content guarantee -- the oracle reads the "
+    "post-compaction snapshot row-by-row (md5 of every text) against "
+    "the merged input, proving the rewrite is pure.  At scale this is "
+    "the maintenance op that keeps incremental MERGE commits (m9/m11) "
+    "from drowning a table in small files; time travel to the "
+    "fragmented version stays intact (pinned in pytest).",
+    """
+    WITH merged AS (
+      SELECT doc_id, text || ' [v2]' AS text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 <> 0
+    )
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM merged
+    """,
+    tags=("update", "merge", "sink"),
+)
+def q_cow_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The create/merge staging is test scaffolding; the operator under
+    test is CowTable.compact (pure-rewrite bin-packing commit)."""
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="m12_cow_")
+    table = CowTable.create(spark, f"{work}/docs", docs.repartition(24))
+    src = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" [v2]"))
+    )
+    table.merge(src, "doc_id")
+    table.compact(target_rows=10_000_000)
+    return table.read().select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("text_md5")
+    )
+
+
+@register(
+    "m13_cow_data_skipping",
+    "Data skipping from the table-format commit log: the table is laid "
+    "out range-partitioned on order date, every commit records per-file "
+    "min/max from the parquet footers (metadata-only), and "
+    "CowTable.read_range opens ONLY the files whose range intersects "
+    "the one-year predicate -- Delta/Iceberg-style file pruning above "
+    "parquet's own row-group pruning.  Skipping is an optimization, "
+    "never semantics: survivors are exactly re-filtered, and files "
+    "without usable stats are always scanned (pinned in pytest, along "
+    "with files_skipped > 0 evidence).",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+    GROUP BY month
+    """,
+    tags=("update", "scan", "sink"),
+)
+def q_cow_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_odate", F.to_date("o_orderdate")
+    )
+    work = tempfile.mkdtemp(prefix="m13_cow_")
+    table = CowTable.create(
+        spark, f"{work}/orders", orders.repartitionByRange(12, "o_odate")
+    )
+    pruned = table.read_range(
+        "o_odate", datetime.date(1997, 1, 1), datetime.date(1997, 12, 31)
+    )
+    return pruned.groupBy(
+        F.date_format("o_odate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

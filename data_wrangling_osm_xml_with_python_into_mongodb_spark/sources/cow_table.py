@@ -24,7 +24,16 @@ so the engine's upsert path runs end-to-end in any environment:
   the new commit by reference.  At 100 TB that is the difference
   between rewriting gigabytes and rewriting everything -- the same
   copy-on-write contract as Delta, minus the jar;
-* :meth:`read` accepts ``version=`` -- time travel over the log.
+* :meth:`read` accepts ``version=`` -- time travel over the log;
+* every commit records per-file column min/max/null-count harvested
+  from the parquet FOOTERS at write time (metadata-only, no data
+  scan), so :meth:`read_range` opens only the files whose stats
+  intersect the predicate -- Delta/Iceberg-style data skipping.
+  Footer bounds may be widened by spec-compliant writers
+  (truncation), which only costs skips, never correctness;
+* :meth:`compact` bin-packs small files into ~``target_rows`` files
+  (the ``OPTIMIZE`` analogue): a pure rewrite commit that fixes the
+  small-files problem incremental MERGE commits accumulate.
 
 This is the at-scale form of the reference's in-place
 ``update_many``/``find_one_and_update`` writes
@@ -49,6 +58,67 @@ from ..operators.audits import merge_upsert
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first; retry from the new
     snapshot (optimistic concurrency, as in Delta's protocol)."""
+
+
+def _enc_stat(v):
+    """JSON-encodable, ORDER-PRESERVING encoding of a footer stat (or
+    a user-supplied bound).  Timestamps/dates become ISO strings,
+    whose lexicographic order is chronological.  None = unsupported
+    type -> the column gets no stats (conservative: never skipped)."""
+    import datetime
+
+    if isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _stat_cmp_ok(a, b) -> bool:
+    """True when two encoded stats are safely comparable: both numeric
+    or both strings.  Mixed types -> caller must scan the file."""
+    num = (int, float)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _file_footer_stats(path: str) -> dict:
+    """Per-file stats from the parquet FOOTER only (no data read):
+    ``{"rows": N, "cols": {name: {"min":..,"max":..,"nulls":..}}}``.
+    A column appears only when every row group carries usable
+    min/max of an encodable type; absent columns simply never allow
+    a skip.  Nested leaves (``a.b``) are skipped -- range predicates
+    target top-level scalars."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {"rows": md.num_rows, "cols": {}}
+    for j in range(md.num_columns):
+        name = md.schema.column(j).path
+        if "." in name:
+            continue
+        mins, maxs, nulls = [], [], 0
+        usable = True
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                usable = False
+                break
+            lo, hi = _enc_stat(st.min), _enc_stat(st.max)
+            if lo is None or hi is None or not _stat_cmp_ok(lo, hi):
+                usable = False
+                break
+            mins.append(lo)
+            maxs.append(hi)
+            nulls += st.null_count or 0
+        if usable and mins:
+            out["cols"][name] = {
+                "min": min(mins), "max": max(maxs), "nulls": nulls
+            }
+    return out
 
 
 def _log_dir(path: str) -> str:
@@ -117,14 +187,34 @@ class CowTable:
             os.unlink(tmp)
         return doc
 
-    def _write_data_files(self, df: DataFrame, version: int) -> list[str]:
+    def _write_data_files(
+        self, df: DataFrame, version: int
+    ) -> tuple[list[str], dict]:
+        """Write the files of version N and harvest their footer stats
+        (returned keyed by basename, for the commit doc)."""
         out = os.path.join(self.path, "data", f"v{version}")
         df.write.mode("error").parquet(out)
-        return [
+        files = [
             os.path.join(out, n)
             for n in os.listdir(out)
             if n.endswith(".parquet")
         ]
+        return files, {
+            os.path.basename(f): _file_footer_stats(f) for f in files
+        }
+
+    def _carried_stats(self, parent_version: int, kept: list[str]) -> dict:
+        """file_stats entries for files carried by reference: copied
+        from the parent commit (the files are immutable, so the stats
+        are too); recomputed from the footer if the parent predates
+        stats tracking."""
+        parent = self._commit_doc(parent_version).get("file_stats", {})
+        return {
+            os.path.basename(f): parent.get(
+                os.path.basename(f), _file_footer_stats(f)
+            )
+            for f in kept
+        }
 
     # -- operations --------------------------------------------------
 
@@ -133,12 +223,125 @@ class CowTable:
         t = cls(spark, path)
         if t.version() >= 0:
             raise FileExistsError(f"CowTable already exists at {path}")
-        files = t._write_data_files(df, 0)
-        t._commit(0, files, "create", {"files_written": len(files)})
+        files, fstats = t._write_data_files(df, 0)
+        t._commit(
+            0, files, "create",
+            {"files_written": len(files), "file_stats": fstats},
+        )
         return t
 
     def read(self, version: int | None = None) -> DataFrame:
         return self.spark.read.parquet(*self.files(version))
+
+    def read_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read with FILE SKIPPING: open only the files whose commit-log
+        ``[min, max]`` for ``col`` intersects ``[lo, hi]`` (inclusive;
+        either bound may be None), then apply the exact filter to the
+        survivors.  Files without usable stats are scanned -- skipping
+        is an optimization, never a semantics change; range predicates
+        never match NULL, so null rows in skipped files cannot be
+        answers.  Evidence lands in ``self.last_scan``
+        (files_total/files_scanned/files_skipped).  This is the
+        table-format half of predicate pushdown: at 100 TB the commit
+        log prunes whole files before Spark ever lists them, on top of
+        parquet's own row-group pruning inside the survivors."""
+        v = self.version() if version is None else version
+        files = self.files(v)
+        stats = self._commit_doc(v).get("file_stats", {})
+        lo_e = _enc_stat(lo) if lo is not None else None
+        hi_e = _enc_stat(hi) if hi is not None else None
+        scan: list[str] = []
+        for f in files:
+            s = stats.get(os.path.basename(f), {}).get("cols", {}).get(col)
+            skip = False
+            if s is not None:
+                if lo_e is not None and _stat_cmp_ok(s["max"], lo_e):
+                    skip = skip or s["max"] < lo_e
+                if hi_e is not None and _stat_cmp_ok(s["min"], hi_e):
+                    skip = skip or s["min"] > hi_e
+            if not skip:
+                scan.append(f)
+        self.last_scan = {
+            "files_total": len(files),
+            "files_scanned": len(scan),
+            "files_skipped": len(files) - len(scan),
+        }
+        if scan:
+            df = self.spark.read.parquet(*scan)
+        else:
+            df = self.spark.createDataFrame(
+                [], self.spark.read.parquet(files[0]).schema
+            )
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
+
+    def compact(self, target_rows: int) -> dict:
+        """``OPTIMIZE``-style bin-packing: rewrite every file holding
+        fewer than ``target_rows`` rows into ``ceil(total/target)``
+        files; files already at-or-above target carry over by
+        reference.  A pure rewrite -- the snapshot's CONTENT is
+        bit-identical, only the file layout changes -- committed to
+        the log like any other version (time travel still sees the
+        fragmented history).  This is the maintenance op that keeps
+        incremental MERGE commits (m9/m11) from drowning a table in
+        small files at scale.  Returns the commit doc; a no-op (fewer
+        than two small files) commits nothing and returns a summary
+        with ``"noop": True``."""
+        base_version = self.version()
+        files = self.files(base_version)
+        fstats = self._commit_doc(base_version).get("file_stats", {})
+
+        def _rows(f: str) -> int:
+            s = fstats.get(os.path.basename(f))
+            return s["rows"] if s else _file_footer_stats(f)["rows"]
+
+        small = [f for f in files if _rows(f) < target_rows]
+        if len(small) < 2:
+            return {
+                "op": "compact", "noop": True, "version": base_version,
+                "files_compacted": 0,
+            }
+        kept = [f for f in files if f not in small]
+        total = sum(_rows(f) for f in small)
+        nout = max(1, -(-total // target_rows))
+        # coalesce, not repartition: bin-packing needs no shuffle.
+        merged = self.spark.read.parquet(*small).coalesce(nout)
+        new_version = base_version + 1
+        new_files, new_stats = self._write_data_files(merged, new_version)
+        try:
+            return self._commit(
+                new_version,
+                kept + new_files,
+                "compact",
+                {
+                    "parent": base_version,
+                    "files_compacted": len(small),
+                    "files_kept": len(kept),
+                    "files_written": len(new_files),
+                    "rows_compacted": total,
+                    "file_stats": {
+                        **self._carried_stats(base_version, kept),
+                        **new_stats,
+                    },
+                },
+            )
+        except ConcurrentWriteError:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.path, "data", f"v{new_version}"),
+                ignore_errors=True,
+            )
+            raise
 
     def merge(
         self, source: DataFrame, key: str, deletes: DataFrame | None = None
@@ -212,7 +415,7 @@ class CowTable:
         merged = merge_upsert(affected_df, source.select(affected_df.columns), key)
 
         new_version = base_version + 1
-        new_files = self._write_data_files(merged, new_version)
+        new_files, new_stats = self._write_data_files(merged, new_version)
         try:
             return self._commit(
                 new_version,
@@ -226,6 +429,10 @@ class CowTable:
                     "delete_keys": (
                         del_keys.count() if del_keys is not None else 0
                     ),
+                    "file_stats": {
+                        **self._carried_stats(base_version, kept),
+                        **new_stats,
+                    },
                 },
             )
         except ConcurrentWriteError:

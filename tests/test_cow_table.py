@@ -143,3 +143,102 @@ def test_create_refuses_overwrite(spark, table):
 
 def test_commit_path_shape(table):
     assert _commit_path(table.path, 7).endswith("_log/00000007.json")
+
+
+def test_commit_log_carries_footer_stats(spark, table):
+    """Every commit records per-file rows + column min/max harvested
+    from the parquet footers; carried-over files keep their parent's
+    entry verbatim (the files are immutable)."""
+    doc0 = table._commit_doc(0)
+    fstats = doc0["file_stats"]
+    assert set(fstats) == {os.path.basename(f) for f in table.files()}
+    assert sum(s["rows"] for s in fstats.values()) == 40
+    mins = [s["cols"]["k"]["min"] for s in fstats.values()]
+    maxs = [s["cols"]["k"]["max"] for s in fstats.values()]
+    assert min(mins) == 0 and max(maxs) == 39
+    # merge: kept files' stats carry, new file gets fresh stats
+    table.merge(spark.createDataFrame([(0, 99)], "k long, v long"), "k")
+    doc1 = table._commit_doc(1)
+    for f in table.files():
+        b = os.path.basename(f)
+        assert b in doc1["file_stats"]
+        if b in fstats:
+            assert doc1["file_stats"][b] == fstats[b]
+
+
+def test_read_range_skips_files(spark, tmp_path):
+    """Range-partitioned layout -> disjoint per-file key ranges -> a
+    narrow predicate opens ~1 file; results equal the full filter."""
+    df = (
+        spark.range(1000)
+        .selectExpr("id AS k", "id * 3 AS v")
+        .repartitionByRange(10, "k")
+    )
+    table = CowTable.create(spark, str(tmp_path / "rr"), df)
+    got = table.read_range("k", 250, 260)
+    assert _rows(got) == [(i, 3 * i) for i in range(250, 261)]
+    assert table.last_scan["files_total"] == 10
+    assert table.last_scan["files_skipped"] >= 8
+    # one-sided bounds and the never-skip fallback for unknown columns
+    assert table.read_range("k", lo=990).count() == 10
+    assert table.read_range("k", hi=9).count() == 10
+    got_all = table.read_range("nope_no_stats", lo=None, hi=None)
+    assert got_all.count() == 1000
+    # empty intersection: zero files opened, schema preserved
+    empty = table.read_range("k", 5000, 6000)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+    assert table.last_scan["files_scanned"] == 0
+
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    """OPTIMIZE analogue: small files collapse into ceil(total/target)
+    files, big files carry by reference, content is unchanged, and
+    history still time-travels to the fragmented version."""
+    small = spark.range(64).selectExpr("id AS k", "id AS v").repartition(16)
+    table = CowTable.create(spark, str(tmp_path / "c"), small)
+    big = spark.createDataFrame(
+        [(i, i) for i in range(1000, 1500)], "k long, v long"
+    ).coalesce(1)
+    table.merge(big, "k")
+    before = _rows(table.read())
+    n_before = len(table.files())
+    stats = table.compact(target_rows=100)
+    assert stats["op"] == "compact" and "noop" not in stats
+    assert stats["files_kept"] == 1          # the 500-row file survives
+    assert stats["files_written"] == 1       # 64+16 rows pack into one
+    assert len(table.files()) < n_before
+    assert _rows(table.read()) == before     # pure rewrite
+    assert _rows(table.read(version=1)) == before  # time travel intact
+    # idempotent: a second pass finds nothing to pack
+    again = table.compact(target_rows=100)
+    assert again.get("noop") is True
+    # stats survived compaction: skipping still works on the new layout
+    table.read_range("k", 1200, 1210)
+    assert table.last_scan["files_skipped"] >= 1
+
+
+def test_read_range_date_typed_stats(spark, tmp_path):
+    """DATE stats encode as ISO strings (lexicographic == chronological)
+    and date-typed bounds skip files -- the m13 query's mechanism."""
+    import datetime
+
+    df = (
+        spark.range(365)
+        .selectExpr(
+            "date_add(DATE '2020-01-01', CAST(id AS INT)) AS d",
+            "id AS v",
+        )
+        .repartitionByRange(6, "d")
+    )
+    table = CowTable.create(spark, str(tmp_path / "d"), df)
+    got = table.read_range(
+        "d", datetime.date(2020, 3, 1), datetime.date(2020, 3, 31)
+    )
+    assert got.count() == 31
+    assert table.last_scan["files_skipped"] >= 4
+    full = table.read().filter(
+        (F.col("d") >= F.lit(datetime.date(2020, 3, 1)))
+        & (F.col("d") <= F.lit(datetime.date(2020, 3, 31)))
+    )
+    assert _rows(got) == _rows(full)
