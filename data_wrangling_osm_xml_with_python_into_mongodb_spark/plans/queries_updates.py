@@ -351,3 +351,53 @@ def q_cow_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "m14_cow_vacuum",
+    "Retention cleanup on the copy-on-write table "
+    "(sources/cow_table.CowTable.vacuum, the VACUUM analogue): a "
+    "delete+update MERGE makes the create-version's rewritten files "
+    "exclusive to the expired snapshot, vacuum physically deletes "
+    "them (retain_last=1; the callable asserts files_deleted > 0), "
+    "and the oracle re-reads the surviving snapshot row-by-row -- "
+    "proving cleanup never touches live data.  Delete-before-upsert "
+    "precedence (a key in both frames keeps the source row) is part "
+    "of the oracle.  At scale this is what bounds a mutable table's "
+    "physical footprint: expired versions keep auditable commit "
+    "metadata but release their storage.",
+    """
+    WITH merged AS (
+      SELECT doc_id, text || ' [upd]' AS text, lang, n_chars
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id, text, lang, n_chars
+      FROM documents WHERE doc_id % 10 <> 1 AND doc_id % 7 <> 3
+    )
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5 FROM merged
+    """,
+    tags=("update", "merge", "sink"),
+)
+def q_cow_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The create/merge staging is test scaffolding; the operator
+    under test is CowTable.vacuum (physical cleanup of files only
+    expired snapshots reference)."""
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="m14_cow_")
+    table = CowTable.create(spark, f"{work}/docs", docs.repartition(8))
+    upd = docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" [upd]"))
+    )
+    dels = docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    table.merge(upd, "doc_id", deletes=dels)
+    summary = table.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert summary["files_deleted"] > 0, "vacuum found nothing to delete"
+    return table.read().select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("text_md5")
+    )

@@ -33,7 +33,11 @@ so the engine's upsert path runs end-to-end in any environment:
   (truncation), which only costs skips, never correctness;
 * :meth:`compact` bin-packs small files into ~``target_rows`` files
   (the ``OPTIMIZE`` analogue): a pure rewrite commit that fixes the
-  small-files problem incremental MERGE commits accumulate.
+  small-files problem incremental MERGE commits accumulate;
+* :meth:`vacuum` deletes files no retained snapshot references (the
+  ``VACUUM`` analogue), with a grace window shielding in-flight
+  writers' not-yet-committed files; commit metadata is never
+  rewritten, so history stays auditable past the horizon.
 
 This is the at-scale form of the reference's in-place
 ``update_many``/``find_one_and_update`` writes
@@ -342,6 +346,83 @@ class CowTable:
                 ignore_errors=True,
             )
             raise
+
+    def vacuum(
+        self, retain_last: int = 1, orphan_grace_s: float = 86400.0
+    ) -> dict:
+        """``VACUUM`` analogue: physically delete data files no retained
+        snapshot references.  The last ``retain_last`` versions stay
+        fully readable; older versions keep their commit METADATA (the
+        log is never rewritten -- history/audit survives) but their
+        exclusive files are removed, so time travel beyond the horizon
+        raises on read, exactly Delta's contract.
+
+        Two file classes are deleted:
+
+        * files referenced only by expired commits -- deleted
+          immediately (new commits can only carry files forward from
+          the latest snapshot, so nothing can re-reference them);
+        * files referenced by NO commit (the orphaned output of a
+          writer that lost the optimistic-concurrency race, or of one
+          still mid-write) -- deleted only when older than
+          ``orphan_grace_s``, Delta's retention-window defence against
+          vacuuming an in-flight writer's files out from under it.
+
+        Only ``*.parquet`` files are touched; a version dir whose
+        parquets are all gone is removed wholesale (taking Spark's
+        ``_SUCCESS``/``.crc`` sidecars with it).  Nothing is committed
+        to the log; returns a summary dict."""
+        import shutil
+
+        latest = self.version()
+        if latest < 0:
+            raise FileNotFoundError(f"no CowTable at {self.path}")
+        lo = max(0, latest - retain_last + 1)
+        retained: set[str] = set()
+        for v in range(lo, latest + 1):
+            retained.update(os.path.abspath(f) for f in self.files(v))
+        ever: set[str] = set()
+        for v in range(latest + 1):
+            ever.update(
+                os.path.abspath(f) for f in self._commit_doc(v)["files"]
+            )
+        data_root = os.path.join(self.path, "data")
+        now = time.time()
+        deleted = orphans_kept = 0
+        for d in sorted(os.listdir(data_root)):
+            vdir = os.path.join(data_root, d)
+            if not os.path.isdir(vdir):
+                continue
+            live = 0
+            for n in os.listdir(vdir):
+                if not n.endswith(".parquet"):
+                    continue
+                f = os.path.abspath(os.path.join(vdir, n))
+                if f in retained:
+                    live += 1
+                    continue
+                if f not in ever:
+                    try:
+                        age = now - os.path.getmtime(f)
+                    except FileNotFoundError:
+                        continue
+                    if age < orphan_grace_s:
+                        orphans_kept += 1
+                        live += 1
+                        continue
+                try:
+                    os.unlink(f)
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+            if live == 0:
+                shutil.rmtree(vdir, ignore_errors=True)
+        return {
+            "op": "vacuum",
+            "retained_versions": [lo, latest],
+            "files_deleted": deleted,
+            "orphans_in_grace": orphans_kept,
+        }
 
     def merge(
         self, source: DataFrame, key: str, deletes: DataFrame | None = None

@@ -242,3 +242,58 @@ def test_read_range_date_typed_stats(spark, tmp_path):
         & (F.col("d") <= F.lit(datetime.date(2020, 3, 31)))
     )
     assert _rows(got) == _rows(full)
+
+
+def test_vacuum_expires_old_versions(spark, table):
+    """VACUUM deletes files only expired commits reference; retained
+    snapshots stay readable, expired ones keep metadata but lose data
+    (Delta's contract)."""
+    table.merge(
+        spark.createDataFrame([(i, -i) for i in range(40)], "k long, v long"),
+        "k",
+    )  # rewrites every file -> v0's files become exclusive to v0
+    before = _rows(table.read())
+    summary = table.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert summary["files_deleted"] >= 4
+    assert summary["retained_versions"] == [1, 1]
+    assert _rows(table.read()) == before          # latest intact
+    assert table._commit_doc(0)["op"] == "create" # history metadata survives
+    with pytest.raises(Exception):
+        table.read(version=0).collect()           # data gone past horizon
+
+
+def test_vacuum_keeps_shared_files(spark, table):
+    """A file carried by reference into a retained snapshot must
+    survive vacuum even though an expired commit also lists it."""
+    table.merge(spark.createDataFrame([(0, 99)], "k long, v long"), "k")
+    shared = set(table.files(0)) & set(table.files(1))
+    assert shared  # 3 of the 4 v0 files carry into v1
+    table.vacuum(retain_last=1, orphan_grace_s=0.0)
+    for f in shared:
+        assert os.path.exists(f)
+    assert table.read().count() == 40
+    # retain_last=2 keeps both snapshots fully readable
+    table2 = CowTable.create(
+        spark, table.path + "_2",
+        spark.range(10).repartition(2).selectExpr("id AS k", "id AS v"),
+    )
+    table2.merge(spark.createDataFrame([(0, 1)], "k long, v long"), "k")
+    table2.vacuum(retain_last=2, orphan_grace_s=0.0)
+    assert table2.read(version=0).count() == 10
+    assert table2.read(version=1).count() == 10
+
+
+def test_vacuum_orphan_grace(spark, table, tmp_path):
+    """Files referenced by NO commit (lost-race leftovers) are deleted
+    only past the grace window -- a fresh orphan survives."""
+    orphan_dir = os.path.join(table.path, "data", "v99")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-leftover.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    s1 = table.vacuum(retain_last=1, orphan_grace_s=3600.0)
+    assert s1["orphans_in_grace"] == 1 and os.path.exists(orphan)
+    s2 = table.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert s2["files_deleted"] == 1
+    assert not os.path.exists(orphan_dir)  # emptied dir removed wholesale
+    assert table.read().count() == 40
