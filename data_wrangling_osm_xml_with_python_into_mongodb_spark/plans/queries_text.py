@@ -1380,3 +1380,96 @@ def q_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# Per-language token BUDGETS for mixture construction (t14) -- absolute
+# targets, unlike t7's keep-RATES.  All divisible by MIX_SHARDS so the
+# per-shard budget is exact integer arithmetic on both engines.
+MIX_BUDGETS = {"en": 4000, "de": 2000, "fr": 2000, "es": 2000, "zh": 3000}
+MIX_DEFAULT_BUDGET = 1600
+MIX_SHARDS = 8
+
+
+def _mix_budget_case() -> str:
+    branches = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in MIX_BUDGETS.items()
+    )
+    return f"CASE lang {branches} ELSE {MIX_DEFAULT_BUDGET} END"
+
+
+@register(
+    "t14_token_budget_mixture",
+    "Data-mixture construction against absolute per-language TOKEN "
+    "budgets (the Pile/Dolma-style mixing step; t7 samples by rate, "
+    "this fills a quota): documents are ranked by a portable md5 "
+    "priority, the budget is split evenly over deterministic shards, "
+    "and a doc is kept while its shard's PRECEDING token total is "
+    "under the shard budget (the same boundary-absorption relaxation "
+    "as t8 -- quota filling is not data-parallel without it).  Output "
+    "audits achieved tokens vs budget per language.  At scale the "
+    "prefix sum runs per (lang, shard) -- low-cardinality languages "
+    "spread over shards instead of one hot window partition.",
+    f"""
+    SELECT lang,
+           CAST(budget AS BIGINT) AS budget,
+           count(*) AS n_total,
+           CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE kept), 0) AS BIGINT)
+             AS tokens_kept
+    FROM (
+      SELECT lang, budget, n_tokens,
+             (cum - n_tokens) < (budget / {MIX_SHARDS}) AS kept
+      FROM (
+        SELECT lang, budget, n_tokens,
+               sum(n_tokens) OVER (
+                 PARTITION BY lang, shard ORDER BY pri, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (
+          SELECT lang, doc_id, doc_id % {MIX_SHARDS} AS shard,
+                 len(string_split(trim(text), ' ')) AS n_tokens,
+                 ({md5_int64_sql("CAST(doc_id AS VARCHAR)")}) AS pri,
+                 {_mix_budget_case()} AS budget
+          FROM documents)
+      )
+    )
+    GROUP BY lang, budget
+    """,
+    tags=("text", "sampling", "window"),
+)
+def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard budgets are exact int64 (budgets divisible by MIX_SHARDS),
+    the priority is the same md5 gate t7 uses, and the keep rule is
+    t8's preceding-cum convention -- so the kept set is identical on
+    any engine and stable under re-partitioning."""
+    from ..functions.hashing import md5_int64
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    budget = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in MIX_BUDGETS.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(MIX_DEFAULT_BUDGET),
+    ).cast("long")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") % MIX_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+        md5_int64(F.col("doc_id").cast("string")).alias("pri"),
+        budget.alias("budget"),
+    )
+    w = Window.partitionBy("lang", "shard").orderBy("pri", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept = toks.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "kept",
+        (F.col("cum") - F.col("n_tokens"))
+        < (F.col("budget") / F.lit(MIX_SHARDS)).cast("long"),
+    )
+    return kept.groupBy("lang", "budget").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
+        ).alias("tokens_kept"),
+    )
