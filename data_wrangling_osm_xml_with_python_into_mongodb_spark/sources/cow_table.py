@@ -288,7 +288,7 @@ class CowTable:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
-    def compact(self, target_rows: int) -> dict:
+    def compact(self, target_rows: int, cluster_by: str | None = None) -> dict:
         """``OPTIMIZE``-style bin-packing: rewrite every file holding
         fewer than ``target_rows`` rows into ``ceil(total/target)``
         files; files already at-or-above target carry over by
@@ -297,9 +297,19 @@ class CowTable:
         the log like any other version (time travel still sees the
         fragmented history).  This is the maintenance op that keeps
         incremental MERGE commits (m9/m11) from drowning a table in
-        small files at scale.  Returns the commit doc; a no-op (fewer
-        than two small files) commits nothing and returns a summary
-        with ``"noop": True``."""
+        small files at scale.
+
+        ``cluster_by`` additionally range-clusters the rewritten rows
+        on a column (``OPTIMIZE ... ZORDER BY`` for the single-column
+        case): each output file covers a disjoint range, so the
+        footer stats in the commit log make :meth:`read_range` on
+        that column maximally selective afterwards.  Costs one
+        shuffle of the small files only (carried files are untouched,
+        so clustering converges over repeated maintenance cycles
+        without ever rewriting the whole table).
+
+        Returns the commit doc; a no-op (fewer than two small files)
+        commits nothing and returns a summary with ``"noop": True``."""
         base_version = self.version()
         files = self.files(base_version)
         fstats = self._commit_doc(base_version).get("file_stats", {})
@@ -317,8 +327,14 @@ class CowTable:
         kept = [f for f in files if f not in small]
         total = sum(_rows(f) for f in small)
         nout = max(1, -(-total // target_rows))
-        # coalesce, not repartition: bin-packing needs no shuffle.
-        merged = self.spark.read.parquet(*small).coalesce(nout)
+        merged = self.spark.read.parquet(*small)
+        if cluster_by is not None:
+            # one range shuffle of the small files -> disjoint per-file
+            # ranges on the cluster column (skipping-effective layout).
+            merged = merged.repartitionByRange(nout, cluster_by)
+        else:
+            # coalesce, not repartition: bin-packing needs no shuffle.
+            merged = merged.coalesce(nout)
         new_version = base_version + 1
         new_files, new_stats = self._write_data_files(merged, new_version)
         try:
@@ -328,6 +344,7 @@ class CowTable:
                 "compact",
                 {
                     "parent": base_version,
+                    "cluster_by": cluster_by,
                     "files_compacted": len(small),
                     "files_kept": len(kept),
                     "files_written": len(new_files),

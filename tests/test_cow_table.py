@@ -297,3 +297,21 @@ def test_vacuum_orphan_grace(spark, table, tmp_path):
     assert s2["files_deleted"] == 1
     assert not os.path.exists(orphan_dir)  # emptied dir removed wholesale
     assert table.read().count() == 40
+
+
+def test_compact_cluster_by_enables_skipping(spark, tmp_path):
+    """OPTIMIZE-with-clustering: a hash-fragmented layout (every file
+    spans the whole key range -> skipping useless) compacts into
+    range-disjoint files, after which read_range prunes most of the
+    table.  Content stays a pure rewrite."""
+    df = spark.range(1000).selectExpr("id AS k", "id * 7 AS v").repartition(16)
+    table = CowTable.create(spark, str(tmp_path / "z"), df)
+    table.read_range("k", 100, 120)
+    assert table.last_scan["files_skipped"] == 0  # hash layout: no pruning
+    before = _rows(table.read())
+    stats = table.compact(target_rows=150, cluster_by="k")
+    assert stats["cluster_by"] == "k" and stats["files_written"] >= 6
+    assert _rows(table.read()) == before          # pure rewrite
+    got = table.read_range("k", 100, 120)
+    assert _rows(got) == [(i, 7 * i) for i in range(100, 121)]
+    assert table.last_scan["files_skipped"] >= stats["files_written"] - 2
