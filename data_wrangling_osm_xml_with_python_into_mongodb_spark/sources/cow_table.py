@@ -10,8 +10,12 @@ file-level pruning on merge -- with nothing but Spark and the stdlib,
 so the engine's upsert path runs end-to-end in any environment:
 
 * layout: ``<path>/_log/%08d.json`` (one commit per version, each
-  listing the data files of that snapshot) + ``<path>/data/v<N>/``
-  (files written by version N; never mutated, never renamed);
+  listing the data files of that snapshot) + ``<path>/data/
+  v<N>-<token>/`` (files written by one writer's attempt at version
+  N; the random token keeps RACING writers from colliding on a
+  directory before the commit race is decided -- readers only open
+  the explicit paths a commit lists; files are never mutated or
+  renamed);
 * commits are atomic via ``os.link`` (fail-if-exists): two concurrent
   writers racing to version N+1 -- one wins, the loser gets
   :class:`ConcurrentWriteError` and leaves no partial state (its
@@ -64,29 +68,73 @@ class ConcurrentWriteError(RuntimeError):
     snapshot (optimistic concurrency, as in Delta's protocol)."""
 
 
+class ConcurrentMergeConflictError(ConcurrentWriteError):
+    """A concurrent commit rewrote or removed files this operation
+    read: rebasing blindly could resurrect overwritten rows, so the
+    conflict is surfaced instead (Delta's ConcurrentDeleteReadException
+    analogue).  Raised by the ``retries=`` rebase loop; disjoint
+    concurrent commits rebase transparently and never see this."""
+
+
+# Commits at or below this many files harvest footer stats in-process;
+# larger commits run one executor-side Spark job over the file list.
+_DRIVER_STATS_MAX = 16
+
+
 def _enc_stat(v):
     """JSON-encodable, ORDER-PRESERVING encoding of a footer stat (or
     a user-supplied bound).  Timestamps/dates become ISO strings,
     whose lexicographic order is chronological.  None = unsupported
-    type -> the column gets no stats (conservative: never skipped)."""
+    type -> the column gets no stats (conservative: never skipped).
+
+    tz handling: Spark-written parquet timestamps decode tz-AWARE
+    (UTC-adjusted) from pyarrow footer stats, while a user's naive
+    datetime bound is session-local wall time -- lexicographically
+    comparing the two is off by the UTC offset and could falsely SKIP
+    a matching file.  So aware datetimes are normalized to UTC (their
+    ISO form ends in '+00:00' -- all mutually comparable), naive ones
+    encode without an offset, and :func:`_stat_cmp_ok` refuses to
+    compare a tz-aware datetime string against a naive one (the file
+    is scanned instead -- skipping is never a semantics change)."""
     import datetime
 
     if isinstance(v, (bool, int, float, str)):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
         return v.isoformat()
     return None
 
 
+# ISO datetime string: '2024-01-02T03:04...' (expensive-looking but
+# compiled once; date-only strings deliberately do NOT match).
+import re as _re
+
+_ISO_DT_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+_ISO_TZ_RE = _re.compile(r"(?:Z|[+-]\d{2}:?\d{2})$")
+
+
 def _stat_cmp_ok(a, b) -> bool:
     """True when two encoded stats are safely comparable: both numeric
-    or both strings.  Mixed types -> caller must scan the file."""
+    or both strings.  Mixed types -> caller must scan the file.
+    Two ISO datetime strings additionally need the SAME tz-awareness:
+    aware ones are all UTC-normalized by :func:`_enc_stat` so they
+    compare chronologically, but aware-vs-naive is two different
+    clocks -> not comparable (scan, never skip)."""
     num = (int, float)
     if isinstance(a, bool) or isinstance(b, bool):
         return isinstance(a, bool) and isinstance(b, bool)
     if isinstance(a, num) and isinstance(b, num):
         return True
-    return isinstance(a, str) and isinstance(b, str)
+    if isinstance(a, str) and isinstance(b, str):
+        a_dt, b_dt = _ISO_DT_RE.match(a), _ISO_DT_RE.match(b)
+        if a_dt and b_dt:
+            return bool(_ISO_TZ_RE.search(a)) == bool(_ISO_TZ_RE.search(b))
+        return True
+    return False
 
 
 def _file_footer_stats(path: str) -> dict:
@@ -193,30 +241,61 @@ class CowTable:
 
     def _write_data_files(
         self, df: DataFrame, version: int
-    ) -> tuple[list[str], dict]:
-        """Write the files of version N and harvest their footer stats
-        (returned keyed by basename, for the commit doc)."""
-        out = os.path.join(self.path, "data", f"v{version}")
+    ) -> tuple[list[str], dict, str]:
+        """Write the files of a prospective version N and harvest their
+        footer stats (keyed by basename, for the commit doc).  The data
+        dir carries a per-attempt random token: two writers racing to
+        the same version number must not collide on the DIRECTORY
+        before the commit race is even decided (Delta writes uniquely
+        named files for the same reason); readers only ever open the
+        explicit paths a commit lists, never a directory.  Returns
+        (files, stats, out_dir) -- out_dir so a losing writer can
+        remove exactly what it wrote."""
+        out = os.path.join(
+            self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
         df.write.mode("error").parquet(out)
         files = [
             os.path.join(out, n)
             for n in os.listdir(out)
             if n.endswith(".parquet")
         ]
-        return files, {
-            os.path.basename(f): _file_footer_stats(f) for f in files
-        }
+        return files, self._harvest_file_stats(files), out
+
+    def _harvest_file_stats(self, files: list[str]) -> dict:
+        """Per-file footer stats keyed by basename.  Harvested
+        EXECUTOR-SIDE (one Spark job over the file list) so commit
+        cost does not scale with driver round-trips -- at 100 TB a
+        bulk load or full compaction commits 1e5-1e6 files, and a
+        driver loop of footer opens would dominate the commit (this
+        is how Delta-class formats harvest stats: in the write job).
+        The collected payload is metadata-sized (one small dict per
+        file).  Tiny commits (< _DRIVER_STATS_MAX files) skip the job
+        scheduling overhead and read the footers in-process; both
+        paths run the same :func:`_file_footer_stats` (pinned equal
+        by pytest)."""
+        if len(files) <= _DRIVER_STATS_MAX:
+            return {os.path.basename(f): _file_footer_stats(f) for f in files}
+        sc = self.spark.sparkContext
+        slices = min(len(files), sc.defaultParallelism)
+        pairs = (
+            sc.parallelize(sorted(files), slices)
+            .map(lambda f: (os.path.basename(f), _file_footer_stats(f)))
+            .collect()
+        )
+        return dict(pairs)
 
     def _carried_stats(self, parent_version: int, kept: list[str]) -> dict:
         """file_stats entries for files carried by reference: copied
         from the parent commit (the files are immutable, so the stats
-        are too); recomputed from the footer if the parent predates
-        stats tracking."""
+        are too); recomputed (executor-side when many) if the parent
+        predates stats tracking."""
         parent = self._commit_doc(parent_version).get("file_stats", {})
+        missing = [f for f in kept if os.path.basename(f) not in parent]
+        fresh = self._harvest_file_stats(missing) if missing else {}
         return {
-            os.path.basename(f): parent.get(
-                os.path.basename(f), _file_footer_stats(f)
-            )
+            os.path.basename(f): parent.get(os.path.basename(f))
+            or fresh[os.path.basename(f)]
             for f in kept
         }
 
@@ -227,15 +306,43 @@ class CowTable:
         t = cls(spark, path)
         if t.version() >= 0:
             raise FileExistsError(f"CowTable already exists at {path}")
-        files, fstats = t._write_data_files(df, 0)
+        files, fstats, _ = t._write_data_files(df, 0)
         t._commit(
             0, files, "create",
-            {"files_written": len(files), "file_stats": fstats},
+            {
+                "files_written": len(files),
+                "file_stats": fstats,
+                "schema": df.schema.jsonValue(),
+            },
         )
         return t
 
+    def _snapshot_schema(self, version: int):
+        """StructType of a snapshot: from the commit doc's recorded
+        schema (any commit carries it -- the table schema is stable),
+        falling back to a data-file footer for pre-schema-tracking
+        logs.  Lets an all-files-skipped or zero-file snapshot return
+        a correctly-typed empty frame instead of raising."""
+        from pyspark.sql.types import StructType
+
+        for v in range(version, -1, -1):
+            doc = self._commit_doc(v)
+            if "schema" in doc:
+                return StructType.fromJson(doc["schema"])
+        files = self.files(version)
+        if not files:
+            raise FileNotFoundError(
+                f"snapshot v{version} of {self.path} has no data files and "
+                "no recorded schema (pre-schema-tracking empty commit)"
+            )
+        return self.spark.read.parquet(files[0]).schema
+
     def read(self, version: int | None = None) -> DataFrame:
-        return self.spark.read.parquet(*self.files(version))
+        v = self.version() if version is None else version
+        files = self.files(v)
+        if not files:
+            return self.spark.createDataFrame([], self._snapshot_schema(v))
+        return self.spark.read.parquet(*files)
 
     def read_range(
         self,
@@ -279,16 +386,19 @@ class CowTable:
         if scan:
             df = self.spark.read.parquet(*scan)
         else:
-            df = self.spark.createDataFrame(
-                [], self.spark.read.parquet(files[0]).schema
-            )
+            df = self.spark.createDataFrame([], self._snapshot_schema(v))
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
         return df
 
-    def compact(self, target_rows: int, cluster_by: str | None = None) -> dict:
+    def compact(
+        self,
+        target_rows: int,
+        cluster_by: str | None = None,
+        retries: int = 0,
+    ) -> dict:
         """``OPTIMIZE``-style bin-packing: rewrite every file holding
         fewer than ``target_rows`` rows into ``ceil(total/target)``
         files; files already at-or-above target carry over by
@@ -309,14 +419,31 @@ class CowTable:
         without ever rewriting the whole table).
 
         Returns the commit doc; a no-op (fewer than two small files)
-        commits nothing and returns a summary with ``"noop": True``."""
+        commits nothing and returns a summary with ``"noop": True``.
+
+        ``retries``: on losing a commit race, re-plan against the new
+        head and retry (compaction is a pure layout rewrite -- the
+        recompute picks up whatever the winner committed, so rebase is
+        always semantics-safe, unlike :meth:`merge`)."""
+        for _ in range(max(0, retries)):
+            try:
+                return self._compact_attempt(target_rows, cluster_by)
+            except ConcurrentWriteError:
+                continue
+        return self._compact_attempt(target_rows, cluster_by)
+
+    def _compact_attempt(
+        self, target_rows: int, cluster_by: str | None = None
+    ) -> dict:
         base_version = self.version()
         files = self.files(base_version)
         fstats = self._commit_doc(base_version).get("file_stats", {})
+        missing = [f for f in files if os.path.basename(f) not in fstats]
+        if missing:  # pre-stats-tracking commit: harvest in bulk
+            fstats = {**fstats, **self._harvest_file_stats(missing)}
 
         def _rows(f: str) -> int:
-            s = fstats.get(os.path.basename(f))
-            return s["rows"] if s else _file_footer_stats(f)["rows"]
+            return fstats[os.path.basename(f)]["rows"]
 
         small = [f for f in files if _rows(f) < target_rows]
         if len(small) < 2:
@@ -336,7 +463,9 @@ class CowTable:
             # coalesce, not repartition: bin-packing needs no shuffle.
             merged = merged.coalesce(nout)
         new_version = base_version + 1
-        new_files, new_stats = self._write_data_files(merged, new_version)
+        new_files, new_stats, out_dir = self._write_data_files(
+            merged, new_version
+        )
         try:
             return self._commit(
                 new_version,
@@ -353,15 +482,13 @@ class CowTable:
                         **self._carried_stats(base_version, kept),
                         **new_stats,
                     },
+                    "schema": merged.schema.jsonValue(),
                 },
             )
         except ConcurrentWriteError:
             import shutil
 
-            shutil.rmtree(
-                os.path.join(self.path, "data", f"v{new_version}"),
-                ignore_errors=True,
-            )
+            shutil.rmtree(out_dir, ignore_errors=True)
             raise
 
     def vacuum(
@@ -442,7 +569,11 @@ class CowTable:
         }
 
     def merge(
-        self, source: DataFrame, key: str, deletes: DataFrame | None = None
+        self,
+        source: DataFrame,
+        key: str,
+        deletes: DataFrame | None = None,
+        retries: int = 0,
     ) -> dict:
         """``MERGE INTO`` this table: matched keys take the source row
         wholesale, unmatched source rows insert (operators/audits.
@@ -456,19 +587,64 @@ class CowTable:
         Copy-on-write with file pruning: only files containing a
         matched-or-deleted key are rewritten; the rest carry over by
         reference.  Returns the commit doc, which records
-        files_kept/files_rewritten -- the pruning evidence."""
+        files_kept/files_rewritten -- the pruning evidence.
+
+        ``retries``: optimistic-concurrency rebase loop (Delta's
+        protocol).  On losing a commit race, re-resolve against the
+        new head and retry -- UNLESS the interleaved commit rewrote or
+        removed a file this merge had marked for rewrite (its keys may
+        overlap ours: a write-write conflict, order-dependent result),
+        in which case :class:`ConcurrentMergeConflictError` is raised
+        deterministically.  ``retries=0`` (default) surfaces the raw
+        :class:`ConcurrentWriteError` unchanged."""
+        # Delete keys are broadcast-sized by contract: collect them
+        # ONCE and reuse for the touch set, the anti-join predicate,
+        # and the commit metadata.  (Keeping them as a DataFrame would
+        # re-evaluate the plan up to three times -- an extra job per
+        # evaluation, and a nondeterministic source could disagree
+        # with its own recorded count.)  NULL keys never match a join,
+        # so dropping them changes nothing and keeps the isin()
+        # predicate three-valued-logic-safe.
+        if deletes is not None:
+            dk_vals = [
+                r["_dk"]
+                for r in deletes.select(F.col(key).alias("_dk"))
+                .distinct()
+                .collect()
+                if r["_dk"] is not None
+            ]
+        else:
+            dk_vals = []
+
+        attempt = 0
+        while True:
+            try:
+                return self._merge_attempt(source, key, dk_vals)
+            except ConcurrentMergeConflictError:
+                raise
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+
+    def _merge_attempt(
+        self, source: DataFrame, key: str, dk_vals: list
+    ) -> dict:
+        """One optimistic attempt of :meth:`merge` against the current
+        head.  On a lost commit race, classifies the failure: if the
+        interleaved commit removed any file THIS attempt rewrote
+        (possible same-key write), raises
+        :class:`ConcurrentMergeConflictError`; otherwise re-raises the
+        plain retryable :class:`ConcurrentWriteError`."""
         base_version = self.version()
         snapshot_files = self.files(base_version)
 
-        del_keys = (
-            deletes.select(F.col(key).alias("_dk")).distinct()
-            if deletes is not None
-            else None
-        )
         touch_keys = source.select(F.col(key).alias("_mk")).distinct()
-        if del_keys is not None:
+        if dk_vals:
             touch_keys = touch_keys.unionByName(
-                del_keys.select(F.col("_dk").alias("_mk"))
+                self.spark.createDataFrame(
+                    [(v,) for v in dk_vals], touch_keys.schema
+                )
             ).distinct()
 
         tagged = self.spark.read.parquet(*snapshot_files).withColumn(
@@ -497,23 +673,24 @@ class CowTable:
         # inserts) can't live in any unaffected file, so emitting them
         # here is exact and emits each exactly once.  Deleted keys can
         # only live in rewritten files (they are touch keys), so the
-        # anti-join below removes every copy.
+        # filter below removes every copy (NULL-keyed target rows pass:
+        # NULL never equals a delete key).
         if rewritten:
             affected_df = self.spark.read.parquet(*rewritten)
         else:
             affected_df = self.spark.createDataFrame(
-                [], self.spark.read.parquet(*snapshot_files).schema
+                [], self._snapshot_schema(base_version)
             )
-        if del_keys is not None:
-            affected_df = affected_df.join(
-                F.broadcast(del_keys),
-                affected_df[key] == F.col("_dk"),
-                "left_anti",
+        if dk_vals:
+            affected_df = affected_df.filter(
+                F.col(key).isNull() | ~F.col(key).isin(dk_vals)
             )
         merged = merge_upsert(affected_df, source.select(affected_df.columns), key)
 
         new_version = base_version + 1
-        new_files, new_stats = self._write_data_files(merged, new_version)
+        new_files, new_stats, out_dir = self._write_data_files(
+            merged, new_version
+        )
         try:
             return self._commit(
                 new_version,
@@ -524,13 +701,12 @@ class CowTable:
                     "files_kept": len(kept),
                     "files_rewritten": len(rewritten),
                     "files_written": len(new_files),
-                    "delete_keys": (
-                        del_keys.count() if del_keys is not None else 0
-                    ),
+                    "delete_keys": len(dk_vals),
                     "file_stats": {
                         **self._carried_stats(base_version, kept),
                         **new_stats,
                     },
+                    "schema": merged.schema.jsonValue(),
                 },
             )
         except ConcurrentWriteError:
@@ -538,8 +714,18 @@ class CowTable:
             # commit, so removing it cannot affect readers.
             import shutil
 
-            shutil.rmtree(
-                os.path.join(self.path, "data", f"v{new_version}"),
-                ignore_errors=True,
-            )
+            shutil.rmtree(out_dir, ignore_errors=True)
+            # Classify for the rebase loop: overlap between what we
+            # meant to rewrite and what the winner(s) removed means
+            # possibly the same keys -- not safely rebasable.
+            head = self.version()
+            removed = set(self.files(base_version)) - set(self.files(head))
+            clash = removed & set(rewritten)
+            if clash:
+                raise ConcurrentMergeConflictError(
+                    f"concurrent commit rewrote {len(clash)} file(s) this "
+                    f"merge also targets (e.g. "
+                    f"{os.path.basename(sorted(clash)[0])}); possible "
+                    "write-write key overlap -- not rebasing"
+                ) from None
             raise

@@ -383,10 +383,22 @@ class _Bail(Exception):
 # simply fail the grammar and take the expat path, preserving the
 # bit-equal-or-bail contract.  No capture group: match_substring_regex
 # is ~5x cheaper than extract_regex here (measured).
+# Three explicit alternatives -- declaration '<?name ...?>', open or
+# empty element '<name ...>' / '<name .../>', close tag '</name>' with
+# NO attributes -- so the leading and trailing markers cannot mix:
+# '<node ...?>' and '</node id="1">' are malformed XML that expat
+# rejects loudly, and a grammar with independent optional '[/?]' at
+# both ends would silently accept the first and silently skip the
+# second, breaking loud-failure parity with the expat path.
+_FASTPATH_ATTRS = r'(?:[ \t]+[A-Za-z_][\w.:-]*="[^"=]*")*'
 _FASTPATH_TAG_RE = (
-    r'^<[/?]?[A-Za-z_][\w.:-]*'
-    r'(?:[ \t]+[A-Za-z_][\w.:-]*="[^"=]*")*'
-    r'[ \t]*[/?]?>$'
+    r'^(?:'
+    r'<\?[A-Za-z_][\w.:-]*' + _FASTPATH_ATTRS + r'[ \t]*\?>'
+    r'|'
+    r'<[A-Za-z_][\w.:-]*' + _FASTPATH_ATTRS + r'[ \t]*/?>'
+    r'|'
+    r'</[A-Za-z_][\w.:-]*[ \t]*>'
+    r')$'
 )
 # Tag NAME for exact-match classification (so '<osmium .../>' is a
 # bail, not an '<osm' prefix-match skip).

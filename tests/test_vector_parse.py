@@ -135,6 +135,24 @@ def test_engaged_cases_match_expat(name, data):
             "osm-prefixed element name",
             b'<osm>\n<osmium a="1"/>\n<node id="1" lat="1" lon="2"/>\n</osm>',
         ),
+        (
+            # Round-10 ADVICE: '?' may only close a '<?...' declaration.
+            # A grammar with independent '[/?]?' at both ends accepted
+            # this malformed line that expat rejects loudly.
+            "element closed with '?>'",
+            b'<osm>\n<node id="1" lat="1" lon="2"?>\n</osm>',
+        ),
+        (
+            # Round-10 ADVICE: close tags carry no attributes; the old
+            # grammar matched this and silently SKIPPED it ('/node' is
+            # a skip name) where expat raises.
+            "close tag with attributes",
+            b'<osm>\n<node id="1" lat="1" lon="2"/>\n</node id="1">\n</osm>',
+        ),
+        (
+            "declaration closed without '?'",
+            b'<?xml version="1.0">\n<osm>\n<node id="1" lat="1" lon="2"/>\n</osm>',
+        ),
     ],
 )
 def test_unprovable_cases_fall_back(name, data):
