@@ -697,6 +697,51 @@ def apply_ref_docs_delta_capped(
     refill subplan is attached only when some row is actually flagged;
     the common no-refill batch never touches the corpus at all.
     """
+    delta, changes, _dels = _ref_docs_delta_capped_core(
+        index, inserted_docs, deleted_docs, corpus_after, cap
+    )
+    untouched = index.join(
+        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
+    ).select(
+        "_id", "refers", F.col("refer_count").cast("long").alias("refer_count")
+    )
+    return untouched.unionByName(changes)
+
+
+def ref_docs_delta_capped_changes(
+    index: DataFrame,
+    inserted_docs: DataFrame,
+    deleted_docs: DataFrame,
+    corpus_after: DataFrame,
+    cap: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Changes-only form of :func:`apply_ref_docs_delta_capped` for
+    MUTABLE storage, the capped sibling of
+    :func:`ref_docs_delta_changes`: ``(upserts, delete_keys)`` -- the
+    recomputed capped postings of every touched ref that remains
+    referenced, and the ``_id``s whose refer_count reached zero.
+    Feeding these to a copy-on-write MERGE maintains the persisted
+    production-shape index while rewriting only the files containing
+    touched refs; this is the batch body of the streaming maintainer
+    (streaming/index_maint.py)."""
+    _delta, changes, dels = _ref_docs_delta_capped_core(
+        index, inserted_docs, deleted_docs, corpus_after, cap
+    )
+    return changes, dels
+
+
+def _ref_docs_delta_capped_core(
+    index: DataFrame,
+    inserted_docs: DataFrame,
+    deleted_docs: DataFrame,
+    corpus_after: DataFrame,
+    cap: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of the capped maintainers: ``(delta, changes,
+    delete_keys)`` -- the batch's (ref, _ins, _del, _n_del) aggregate,
+    the recomputed capped rows of every touched still-referenced ref
+    (arithmetic merge plus exact refill of flagged over-cap rows), and
+    the touched refs whose count emptied out."""
     pairs = _ref_pairs(inserted_docs).withColumn(
         "_is_del", F.lit(False)
     ).unionByName(
@@ -756,20 +801,19 @@ def apply_ref_docs_delta_capped(
     flagged = merged.filter(F.col("_needs_refill")).select("ref")
     ok = (
         merged.filter(~F.col("_needs_refill") & (F.col("refer_count") > 0))
-        .select(F.col("ref").alias("_id"), "refers", "refer_count")
-    )
-    untouched = index.join(
-        F.broadcast(delta.select(F.col("ref").alias("_id"))), "_id", "left_anti"
-    )
-    out = untouched.select(
-        "_id", "refers", F.col("refer_count").cast("long").alias("refer_count")
-    ).unionByName(
-        ok.select(
-            "_id", "refers", F.col("refer_count").cast("long").alias("refer_count")
+        .select(
+            F.col("ref").alias("_id"),
+            "refers",
+            F.col("refer_count").cast("long").alias("refer_count"),
         )
     )
+    # Touched refs whose exact count reached zero: dropped from the
+    # full output, emitted as delete keys in the changes-only output.
+    delete_keys = merged.filter(F.col("refer_count") <= 0).select(
+        F.col("ref").alias("_id")
+    )
     if flagged.isEmpty():
-        return out
+        return delta, ok, delete_keys
 
     # Exact refill, pruned BEFORE the aggregation: only flagged refs'
     # pairs survive the broadcast semi, so the window shuffles a
@@ -799,7 +843,7 @@ def apply_ref_docs_delta_capped(
             F.col("_total").cast("long").alias("refer_count"),
         )
     )
-    return out.unionByName(refill)
+    return delta, ok.unionByName(refill), delete_keys
 
 
 def build_ref_docs(docs: DataFrame, cap: int | None = None) -> DataFrame:

@@ -574,6 +574,7 @@ class CowTable:
         key: str,
         deletes: DataFrame | None = None,
         retries: int = 0,
+        meta: dict | None = None,
     ) -> dict:
         """``MERGE INTO`` this table: matched keys take the source row
         wholesale, unmatched source rows insert (operators/audits.
@@ -596,7 +597,14 @@ class CowTable:
         overlap ours: a write-write conflict, order-dependent result),
         in which case :class:`ConcurrentMergeConflictError` is raised
         deterministically.  ``retries=0`` (default) surfaces the raw
-        :class:`ConcurrentWriteError` unchanged."""
+        :class:`ConcurrentWriteError` unchanged.
+
+        ``meta``: an application-metadata dict recorded verbatim in
+        the commit doc under ``app_meta`` -- the hook a transactional
+        foreachBatch sink needs to make replayed micro-batches
+        idempotent (record the batchId, skip commits at-or-below it;
+        see streaming/index_maint.py), Delta's ``txnAppId/txnVersion``
+        analogue."""
         # Delete keys are broadcast-sized by contract: collect them
         # ONCE and reuse for the touch set, the anti-join predicate,
         # and the commit metadata.  (Keeping them as a DataFrame would
@@ -619,7 +627,7 @@ class CowTable:
         attempt = 0
         while True:
             try:
-                return self._merge_attempt(source, key, dk_vals)
+                return self._merge_attempt(source, key, dk_vals, meta)
             except ConcurrentMergeConflictError:
                 raise
             except ConcurrentWriteError:
@@ -628,7 +636,8 @@ class CowTable:
                 attempt += 1
 
     def _merge_attempt(
-        self, source: DataFrame, key: str, dk_vals: list
+        self, source: DataFrame, key: str, dk_vals: list,
+        meta: dict | None = None,
     ) -> dict:
         """One optimistic attempt of :meth:`merge` against the current
         head.  On a lost commit race, classifies the failure: if the
@@ -702,6 +711,7 @@ class CowTable:
                     "files_rewritten": len(rewritten),
                     "files_written": len(new_files),
                     "delete_keys": len(dk_vals),
+                    **({"app_meta": meta} if meta is not None else {}),
                     "file_stats": {
                         **self._carried_stats(base_version, kept),
                         **new_stats,
