@@ -219,10 +219,47 @@ def _median_of_runs(sf: float, code_rev: str, this_tmean: float) -> dict:
     }
 
 
+def _stage_input_sums(spark, min_stage_exclusive: int = -1):
+    """(max_stage_id, input_records, input_bytes) summed over the
+    session's retained stages with stageId > ``min_stage_exclusive``,
+    read from AppStatusStore (the store behind the UI; works with the
+    UI disabled).  Stage ids are monotone, so "sum everything newer
+    than the max id seen before a query" is robust against the store
+    evicting OLD stages mid-run (spark.ui.retainedStages), where a
+    delta-of-cumulative-totals would go negative.  (-1, -1, -1) when
+    the internal API is unavailable -- evidence is best-effort, the
+    bench line must never die for it."""
+    try:
+        store = spark._jsparkSession.sparkContext().statusStore()
+        empty = spark._jvm.java.util.ArrayList()
+        # Scala default args via their synthesized accessors: the py4j
+        # overload with just the status list does not exist.
+        args = [empty] + [
+            getattr(store, f"stageList$default${i}")() for i in range(2, 6)
+        ]
+        stages = store.stageList(*args)
+        max_id, rec, b = -1, 0, 0
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            sid = s.stageId()
+            max_id = max(max_id, sid)
+            if sid > min_stage_exclusive:
+                rec += s.inputRecords()
+                b += s.inputBytes()
+        return max_id, rec, b
+    except Exception as e:  # pragma: no cover - internal-API drift
+        print(f"# input metrics unavailable: {e}", file=sys.stderr)
+        return -1, -1, -1
+
+
 def _time_queries(
     spark, qs, sf_dir: str, n_passes: int = 3, names: list[str] | None = None
-) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
-    """Min + spread (max-min) + trimmed mean per query over ``n_passes``.
+) -> tuple[
+    dict[str, float], dict[str, float], dict[str, float], dict[str, dict]
+]:
+    """Min + spread (max-min) + trimmed mean per query over ``n_passes``,
+    plus per-query INPUT rows/bytes (scan evidence) from the final pass.
 
     The first pass doubles as heap warm-up: this environment faults in
     fresh JVM heap pages at ~20-100 MB/s (warm pages are ~4 GB/s), so
@@ -230,22 +267,38 @@ def _time_queries(
     Min measures the steady state a long-lived cluster actually runs
     at; spread is the noise floor a judge needs to tell a code
     regression from a slow sandbox day.
+
+    The input block (VERDICT r10 #3) makes scan pruning and the
+    incremental twins' O(batch)-not-O(corpus) claims MEASURED per run:
+    an unpruned scan or an accidental corpus rescan shows up as a
+    bytes number, not a plan-reading exercise.  Rows/bytes are what
+    Spark's task input metrics report for every stage the query ran
+    (parquet scans report compressed bytes after column pruning;
+    cache/localCheckpoint reads count too -- it is total read work).
     """
     names = HEADLINE if names is None else names
     all_times: dict[str, list[float]] = {name: [] for name in names}
+    inputs: dict[str, dict] = {}
     for _pass in range(n_passes):
+        last = _pass == n_passes - 1
         for name in names:
             fn = qs[name]
+            if last:
+                before_id, _, _ = _stage_input_sums(spark)
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = round(time.time() - t0, 3)
             all_times[name].append(dt)
+            if last:
+                _, rec, b = _stage_input_sums(spark, before_id)
+                if rec >= 0:
+                    inputs[name] = {"rows": int(rec), "bytes": int(b)}
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
     mins = {name: min(ts) for name, ts in all_times.items()}
     spreads = {name: round(max(ts) - min(ts), 3) for name, ts in all_times.items()}
     tmeans = {name: _trimmed_mean(ts) for name, ts in all_times.items()}
-    return mins, spreads, tmeans
+    return mins, spreads, tmeans, inputs
 
 
 def _src_fingerprint(src_dir: str, scheme: str) -> str:
@@ -482,7 +535,7 @@ def _run_block(block: str, sf_dir: str) -> int:
         # 10.4 -> 5.0 -> 4.4 s in one fresh JVM); with 2 passes the
         # recorded min is still warm-up, and round-over-round sf1
         # deltas read as phantom regressions.
-        t1, s1, tm1 = _time_queries(spark, qs, sf1_dir, n_passes=3)
+        t1, s1, tm1, in1 = _time_queries(spark, qs, sf1_dir, n_passes=3)
         # Incremental operators vs their full-rebuild twins (round-9
         # VERDICT #6): the "no historical rescan" claim with a measured
         # speedup number beside the oracle gate.  i2/i3 and dd1/dd12
@@ -499,12 +552,12 @@ def _run_block(block: str, sf_dir: str) -> int:
             "dd1_exact_dedup", "dd12_incremental_dedup",
         ]
         try:
-            incr, _, _ = _time_queries(
+            incr, _, _, incr_input = _time_queries(
                 spark, qs, sf1_dir, n_passes=2, names=incr_names
             )
         except Exception as e:
             print(f"# incr block failed: {e}", file=sys.stderr)
-            incr = {}
+            incr, incr_input = {}, {}
         # Maintenance-ONLY twin timing: the registered m9/m10 callables
         # rebuild their base state inline as test staging, so their
         # walls bound maintenance from above.  Here the persisted state
@@ -546,7 +599,9 @@ def _run_block(block: str, sf_dir: str) -> int:
                     "attempt": int(
                         os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "0")
                     ),
+                    "input": in1,
                     "incr": incr,
+                    "incr_input": incr_input,
                     "incr_maint": incr_maint,
                     **v8_stats,
                 }
@@ -678,8 +733,10 @@ def main() -> int:
     # min-of-5 for the headline (was 3): this sandbox's identical-code
     # wall swings ±15%+ at 3 passes (VERDICT r7 #6); 5 passes plus the
     # trimmed mean make round-over-round headline deltas readable.
-    timings, spreads, tmeans = _time_queries(spark, qs, sf_dir, n_passes=5)
-    ext_timings, _, _ = _time_queries(
+    timings, spreads, tmeans, inputs = _time_queries(
+        spark, qs, sf_dir, n_passes=5
+    )
+    ext_timings, _, _, ext_inputs = _time_queries(
         spark, qs, sf_dir, n_passes=1, names=EXTENDED
     )
 
@@ -692,7 +749,9 @@ def main() -> int:
         "spread": spreads,
         "tmean": tmeans,
         "value_tmean": round(sum(tmeans.values()), 3),
+        "input": inputs,
         "ext": ext_timings,
+        "ext_input": ext_inputs,
         "sf": sf,
         "code_rev": _code_rev(),
         "ts": int(time.time()),

@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import time
 import uuid
 
@@ -109,10 +110,8 @@ def _enc_stat(v):
     return None
 
 
-# ISO datetime string: '2024-01-02T03:04...' (expensive-looking but
-# compiled once; date-only strings deliberately do NOT match).
-import re as _re
-
+# ISO datetime string: '2024-01-02T03:04...' (date-only strings
+# deliberately do NOT match).
 _ISO_DT_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
 _ISO_TZ_RE = _re.compile(r"(?:Z|[+-]\d{2}:?\d{2})$")
 
@@ -500,6 +499,18 @@ class CowTable:
         log is never rewritten -- history/audit survives) but their
         exclusive files are removed, so time travel beyond the horizon
         raises on read, exactly Delta's contract.
+
+        Reader contract (pinned in tests/test_cow_table.py::
+        test_vacuum_under_inflight_reader): a DataFrame opened against
+        a later-expired snapshot fails CLEANLY with missing-input
+        errors on its next action -- it can never silently return
+        stale or partial rows, because the snapshot's file list is
+        fixed at read time and vacuum only ever deletes whole files
+        (Spark's scan errors on a listed-but-absent file).  The grace
+        window shields only never-committed files (in-flight WRITERS);
+        committed-then-expired files delete immediately -- size
+        ``retain_last`` to cover the longest-running reader, exactly
+        Delta's retention guidance.
 
         Two file classes are deleted:
 

@@ -903,6 +903,7 @@ def materialize_raw(
     split_bytes: int = 128 << 20,
     parser: str | None = None,
     counters=None,
+    batch_rows: int = 50_000,
 ) -> DataFrame:
     """One-time raw-ingest materialization: OSM XML -> bronze parquet
     bucketed by ``_id``.  Returns the bronze table's DataFrame.
@@ -938,10 +939,11 @@ def materialize_raw(
         parser = "split" if single_pass else "xml"
     if parser == "split":
         raw = read_osm_elements_split(
-            spark, xml_path, split_bytes=split_bytes, counters=counters
+            spark, xml_path, split_bytes=split_bytes, counters=counters,
+            batch_rows=batch_rows,
         )
     elif parser == "iterparse":
-        raw = read_osm_elements_iterparse(spark, xml_path)
+        raw = read_osm_elements_iterparse(spark, xml_path, batch_rows=batch_rows)
     elif parser == "xml":
         raw = read_osm_elements(spark, xml_path)
     else:
