@@ -598,8 +598,14 @@ class CowTable:
         upsert, so a key in both frames ends up with the source row.
         Copy-on-write with file pruning: only files containing a
         matched-or-deleted key are rewritten; the rest carry over by
-        reference.  Returns the commit doc, which records
-        files_kept/files_rewritten -- the pruning evidence.
+        reference.  The affected-file scan itself is pruned by the
+        commit log first (files whose key range cannot intersect the
+        batch's [min, max] key envelope are never READ -- Delta-style
+        data skipping applied to the MERGE condition, which makes
+        incremental merges on a range-clustered layout O(touched
+        range), not O(table)).  Returns the commit doc, which records
+        files_kept/files_rewritten/files_probed -- the pruning
+        evidence.
 
         ``retries``: optimistic-concurrency rebase loop (Delta's
         protocol).  On losing a commit race, re-resolve against the
@@ -667,21 +673,65 @@ class CowTable:
                 )
             ).distinct()
 
-        tagged = self.spark.read.parquet(*snapshot_files).withColumn(
-            "_file", F.input_file_name()
-        )
-        # Driver-sized collect: distinct FILE NAMES containing matched
-        # keys (bounded by the file count, never row count).  Matching
-        # on basename sidesteps input_file_name's URI form.
-        affected_rows = tagged.join(
-            touch_keys,
-            tagged[key] == F.col("_mk"),
-            "left_semi",
-        )
-        affected_base = {
-            os.path.basename(r["_file"])
-            for r in affected_rows.select("_file").distinct().collect()
-        }
+        # File-level prune BEFORE the affected-file scan (Delta-style
+        # skipping applied to the MERGE condition): every touch key
+        # lies inside [min, max] of the batch's keys (one tiny agg
+        # over the batch-sized key set), so a file whose commit-log
+        # key range does not intersect that envelope provably contains
+        # no touch key -- it is kept by reference WITHOUT being read.
+        # On a range-clustered layout (compact cluster_by) this turns
+        # the per-merge candidate scan from O(table) to O(touched
+        # range); on a hash layout every file intersects and nothing
+        # is lost but the tiny agg.  Files without usable stats are
+        # always candidates -- pruning is never a semantics change.
+        candidates = snapshot_files
+        b = touch_keys.agg(
+            F.min("_mk").alias("lo"), F.max("_mk").alias("hi")
+        ).collect()[0]
+        if b["lo"] is not None:
+            lo_e, hi_e = _enc_stat(b["lo"]), _enc_stat(b["hi"])
+            if lo_e is not None and hi_e is not None:
+                stats = self._commit_doc(base_version).get("file_stats", {})
+                candidates = []
+                for f in snapshot_files:
+                    s = (
+                        stats.get(os.path.basename(f), {})
+                        .get("cols", {})
+                        .get(key)
+                    )
+                    skip = False
+                    if s is not None:
+                        if _stat_cmp_ok(s["max"], lo_e):
+                            skip = skip or s["max"] < lo_e
+                        if _stat_cmp_ok(s["min"], hi_e):
+                            skip = skip or s["min"] > hi_e
+                    if not skip:
+                        candidates.append(f)
+        else:
+            # min is NULL: the batch has no non-null key (empty, or
+            # all-null keys, which never join-match) -- nothing can be
+            # affected; null-keyed source rows still insert below.
+            candidates = []
+
+        if candidates:
+            tagged = self.spark.read.parquet(*candidates).withColumn(
+                "_file", F.input_file_name()
+            )
+            # Driver-sized collect: distinct FILE NAMES containing
+            # matched keys (bounded by the file count, never row
+            # count).  Matching on basename sidesteps
+            # input_file_name's URI form.
+            affected_rows = tagged.join(
+                touch_keys,
+                tagged[key] == F.col("_mk"),
+                "left_semi",
+            )
+            affected_base = {
+                os.path.basename(r["_file"])
+                for r in affected_rows.select("_file").distinct().collect()
+            }
+        else:
+            affected_base = set()
         kept = [
             f
             for f in snapshot_files
@@ -721,6 +771,9 @@ class CowTable:
                     "files_kept": len(kept),
                     "files_rewritten": len(rewritten),
                     "files_written": len(new_files),
+                    # skipping-on-merge evidence: candidate files the
+                    # match scan actually READ (vs len(files) total).
+                    "files_probed": len(candidates),
                     "delete_keys": len(dk_vals),
                     **({"app_meta": meta} if meta is not None else {}),
                     "file_stats": {

@@ -546,3 +546,61 @@ def test_vacuum_under_inflight_reader(spark, table):
         table.read(version=0).collect()
     # the retained snapshot is untouched throughout
     assert dict(_rows(table.read()))[5] == -5
+
+
+def test_merge_match_scan_pruned_by_key_range(spark, tmp_path):
+    """Data skipping applied to MERGE: on a range-clustered layout a
+    narrow-range batch's affected-file scan READS only the files whose
+    key range intersects the batch envelope (files_probed < total);
+    results equal merge_upsert either way, and a hash layout degrades
+    gracefully to probing everything."""
+    clustered = CowTable.create(
+        spark,
+        str(tmp_path / "cl"),
+        spark.range(1000)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(10, "k"),
+    )
+    target = clustered.read()
+    src = spark.createDataFrame([(250, -1), (251, -2)], "k long, v long")
+    doc = clustered.merge(src, "k")
+    assert doc["files_probed"] <= 2 < len(clustered.files(0))
+    assert doc["files_rewritten"] <= 2
+    assert _rows(clustered.read()) == _rows(merge_upsert(target, src, "k"))
+
+    # an insert-only batch beyond the table's key range probes NOTHING
+    # (its envelope intersects no file) and still lands the insert.
+    target = clustered.read()
+    far = spark.createDataFrame([(2000, -3)], "k long, v long")
+    doc_far = clustered.merge(far, "k")
+    assert doc_far["files_probed"] == 0 and doc_far["files_rewritten"] == 0
+    assert _rows(clustered.read()) == _rows(merge_upsert(target, far, "k"))
+
+    # hash layout: every file's range spans the key space -> no skip,
+    # but nothing breaks and everything is probed.
+    hashed = CowTable.create(
+        spark,
+        str(tmp_path / "ha"),
+        spark.range(1000).selectExpr("id AS k", "id * 2 AS v").repartition(8),
+    )
+    doc2 = hashed.merge(src, "k")
+    assert doc2["files_probed"] == 8
+    hashed.merge(far, "k")
+    assert _rows(hashed.read()) == _rows(clustered.read())
+
+    # deletes participate in the envelope: a delete-only batch outside
+    # every file's range probes nothing and rewrites nothing.
+    doc3 = clustered.merge(
+        spark.createDataFrame([], "k long, v long"),
+        "k",
+        deletes=spark.createDataFrame([(10_000,)], "k long"),
+    )
+    assert doc3["files_probed"] == 0 and doc3["files_rewritten"] == 0
+    # and a delete-only batch INSIDE a range still lands correctly
+    doc4 = clustered.merge(
+        spark.createDataFrame([], "k long, v long"),
+        "k",
+        deletes=spark.createDataFrame([(250,)], "k long"),
+    )
+    assert doc4["files_probed"] <= 2
+    assert 250 not in dict(_rows(clustered.read()))
