@@ -677,6 +677,78 @@ def q_ref_docs_incremental_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "m15_ref_docs_stream_maintained",
+    "The capped ref_docs index maintained CONTINUOUSLY by the "
+    "streaming CDC pipeline (streaming/index_maint.py): the m10 "
+    "insert/delete batch is split into two mtime-ordered CDC parquet "
+    "files (full doc payloads tagged _op), a foreachBatch query "
+    "consumes them one micro-batch each, MERGEs the documents "
+    "CowTable then lands the changes-only capped index delta "
+    "(ref_docs_delta_capped_changes) into the index CowTable with "
+    "batchId-keyed idempotence.  Oracle: the post-stream index table "
+    "must equal a capped full rebuild over (base - deletes) + "
+    "inserts -- the exact m10 oracle.",
+    _M10_ORACLE,
+    tags=("mview", "incremental", "osm", "streaming", "sink"),
+)
+def q_ref_docs_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging (CowTable.create of base corpus/index, CDC file layout)
+    is test scaffolding like m10/m11's inline rebuilds; the maintained
+    path is the production composition: CDC stream -> foreachBatch ->
+    corpus MERGE -> capped delta -> index MERGE."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ..operators.shape import build_ref_docs
+    from ..sources.cow_table import CowTable
+    from ..streaming.index_maint import run_ref_docs_maintenance_stream
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    docs = shape_documents(raw).select(
+        "_id", "doc_type", "node_refs", "members"
+    )
+    id_l = F.col("_id").cast("long")
+    base = docs.filter(id_l % 7 != 0)
+    inserted = docs.filter(id_l % 7 == 0)
+    deleted = base.filter(id_l % 11 == 0)
+
+    work = tempfile.mkdtemp(prefix="m15_stream_")
+    corpus = CowTable.create(spark, f"{work}/docs", base)
+    index = CowTable.create(
+        spark, f"{work}/ref_docs", build_ref_docs(base, cap=1)
+    )
+    batches_dir = f"{work}/cdc"
+    os.makedirs(batches_dir)
+    for n in (0, 1):  # batch n: the _id%2==n half of the CDC feed
+        cdc = (
+            inserted.filter(id_l % 2 == n).withColumn("_op", F.lit("insert"))
+            .unionByName(
+                deleted.filter(id_l % 2 == n).withColumn(
+                    "_op", F.lit("delete")
+                )
+            )
+        )
+        stage = f"{batches_dir}/_stage{n}"
+        cdc.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{batches_dir}/batch{n:03d}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_700_000_000 + n, 1_700_000_000 + n))
+
+    run_ref_docs_maintenance_stream(
+        spark, batches_dir, corpus.path, index.path, cap=1,
+        checkpoint_dir=f"{work}/ckpt",
+    )
+    return index.read().select(
+        "_id",
+        F.concat_ws("|", F.col("refers")).alias("refers"),
+        F.col("refer_count").cast("long").alias("refer_count"),
+    )
+
+
 _F8_ORACLE = rf"""
 WITH raw AS (
   SELECT CAST(_id AS BIGINT) AS id, tags
