@@ -337,11 +337,17 @@ class CowTable:
         return self.spark.read.parquet(files[0]).schema
 
     def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read under the RECORDED schema: files written
+        before a schema evolution lack the newer columns, and an
+        explicit read schema makes parquet fill them with NULLs
+        deterministically (footer-sniffed schemas would depend on
+        which file got sampled)."""
         v = self.version() if version is None else version
         files = self.files(v)
+        schema = self._snapshot_schema(v)
         if not files:
-            return self.spark.createDataFrame([], self._snapshot_schema(v))
-        return self.spark.read.parquet(*files)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
 
     def read_range(
         self,
@@ -383,7 +389,7 @@ class CowTable:
             "files_skipped": len(files) - len(scan),
         }
         if scan:
-            df = self.spark.read.parquet(*scan)
+            df = self.spark.read.schema(self._snapshot_schema(v)).parquet(*scan)
         else:
             df = self.spark.createDataFrame([], self._snapshot_schema(v))
         if lo is not None:
@@ -453,7 +459,11 @@ class CowTable:
         kept = [f for f in files if f not in small]
         total = sum(_rows(f) for f in small)
         nout = max(1, -(-total // target_rows))
-        merged = self.spark.read.parquet(*small)
+        # Explicit snapshot schema: small files may straddle a schema
+        # evolution; the rewrite unifies them on the current layout.
+        merged = self.spark.read.schema(
+            self._snapshot_schema(base_version)
+        ).parquet(*small)
         if cluster_by is not None:
             # one range shuffle of the small files -> disjoint per-file
             # ranges on the cluster column (skipping-effective layout).
@@ -586,6 +596,7 @@ class CowTable:
         deletes: DataFrame | None = None,
         retries: int = 0,
         meta: dict | None = None,
+        evolve_schema: bool = False,
     ) -> dict:
         """``MERGE INTO`` this table: matched keys take the source row
         wholesale, unmatched source rows insert (operators/audits.
@@ -621,7 +632,17 @@ class CowTable:
         foreachBatch sink needs to make replayed micro-batches
         idempotent (record the batchId, skip commits at-or-below it;
         see streaming/index_maint.py), Delta's ``txnAppId/txnVersion``
-        analogue."""
+        analogue.
+
+        ``evolve_schema``: Delta's ``mergeSchema`` analogue.  False
+        (default): source columns absent from the table are DROPPED by
+        the projection onto the table schema (and a source missing a
+        table column errors) -- the schema is a contract.  True:
+        source-only top-level columns are ADDED to the table schema;
+        rewritten/new files carry them, carried files do not, and
+        reads fill the gap with NULLs via the recorded snapshot schema
+        (so old snapshots time-travel with their own narrower
+        schema)."""
         # Delete keys are broadcast-sized by contract: collect them
         # ONCE and reuse for the touch set, the anti-join predicate,
         # and the commit metadata.  (Keeping them as a DataFrame would
@@ -644,7 +665,9 @@ class CowTable:
         attempt = 0
         while True:
             try:
-                return self._merge_attempt(source, key, dk_vals, meta)
+                return self._merge_attempt(
+                    source, key, dk_vals, meta, evolve_schema
+                )
             except ConcurrentMergeConflictError:
                 raise
             except ConcurrentWriteError:
@@ -655,6 +678,7 @@ class CowTable:
     def _merge_attempt(
         self, source: DataFrame, key: str, dk_vals: list,
         meta: dict | None = None,
+        evolve_schema: bool = False,
     ) -> dict:
         """One optimistic attempt of :meth:`merge` against the current
         head.  On a lost commit race, classifies the failure: if the
@@ -713,10 +737,11 @@ class CowTable:
             # affected; null-keyed source rows still insert below.
             candidates = []
 
+        snap_schema = self._snapshot_schema(base_version)
         if candidates:
-            tagged = self.spark.read.parquet(*candidates).withColumn(
-                "_file", F.input_file_name()
-            )
+            tagged = self.spark.read.schema(snap_schema).parquet(
+                *candidates
+            ).withColumn("_file", F.input_file_name())
             # Driver-sized collect: distinct FILE NAMES containing
             # matched keys (bounded by the file count, never row
             # count).  Matching on basename sidesteps
@@ -746,11 +771,18 @@ class CowTable:
         # filter below removes every copy (NULL-keyed target rows pass:
         # NULL never equals a delete key).
         if rewritten:
-            affected_df = self.spark.read.parquet(*rewritten)
-        else:
-            affected_df = self.spark.createDataFrame(
-                [], self._snapshot_schema(base_version)
+            affected_df = self.spark.read.schema(snap_schema).parquet(
+                *rewritten
             )
+        else:
+            affected_df = self.spark.createDataFrame([], snap_schema)
+        if evolve_schema:
+            have = set(affected_df.columns)
+            for fld in source.schema.fields:
+                if fld.name not in have:
+                    affected_df = affected_df.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
         if dk_vals:
             affected_df = affected_df.filter(
                 F.col(key).isNull() | ~F.col(key).isin(dk_vals)

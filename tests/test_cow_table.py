@@ -604,3 +604,36 @@ def test_merge_match_scan_pruned_by_key_range(spark, tmp_path):
     )
     assert doc4["files_probed"] <= 2
     assert 250 not in dict(_rows(clustered.read()))
+
+
+def test_merge_schema_evolution(spark, table):
+    """evolve_schema=True (mergeSchema analogue): a source-only column
+    joins the table schema; carried files read as NULL for it, the
+    rewritten/new rows carry values, old snapshots keep their narrower
+    schema, and the default (False) keeps projecting it away."""
+    src = spark.createDataFrame(
+        [(5, -5, "x"), (100, -100, "y")], "k long, v long, tag string"
+    )
+    # default: projection drops the unknown column, schema unchanged
+    table.merge(src, "k")
+    assert table.read().columns == ["k", "v"]
+    # evolution: the column lands
+    doc = table.merge(src, "k", evolve_schema=True)
+    assert doc["files_kept"] > 0  # old-schema files carried by reference
+    got = table.read()
+    assert got.columns == ["k", "v", "tag"]
+    by_k = {r["k"]: r for r in got.collect()}
+    assert by_k[5]["tag"] == "x" and by_k[100]["tag"] == "y"
+    assert by_k[6]["tag"] is None          # carried file: NULL-filled
+    assert got.count() == 41
+    # time travel keeps the old shape; a later plain merge preserves
+    # the evolved schema (source must now carry every table column)
+    assert table.read(version=1).columns == ["k", "v"]
+    table.merge(
+        spark.createDataFrame([(6, 66, "z")], "k long, v long, tag string"),
+        "k",
+    )
+    assert {r["k"]: r["tag"] for r in table.read().collect()}[6] == "z"
+    # read_range on the evolved column: old files lack stats for it ->
+    # always scanned, never wrongly skipped
+    assert table.read_range("tag", "x", "z").count() == 3
