@@ -384,7 +384,7 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
         # dd9 on the planted chain+hot-key graph is the contraction
         # bench: its measured large/small-star round count rides along
         # (the O(log^2 n) claim with a number attached).
-        times, spreads, tmeans = _time_queries(
+        times, spreads, tmeans, skew_input = _time_queries(
             spark, qs, dst, n_passes=3,
             names=["dd1_exact_dedup", "dd2_ngram_jaccard_pairs",
                    "dd3_minhash_lsh_pairs", "m3_ref_index_parts",
@@ -423,6 +423,7 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
             "queries": times,
             "spread": spreads,
             "tmean": tmeans,
+            "input": skew_input,
             "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
             "attempt": int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT", "0")),
             **cc_stats,
