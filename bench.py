@@ -483,29 +483,44 @@ def _incr_maintenance_stats(spark, n_ways: int = 400_000) -> dict:
         idxc = spark.read.parquet(f"{work}/idxc")
 
         def best(fn):
-            b = 1e9
+            """(min wall, input rows/bytes of the best pass): the
+            read-volume evidence beside each timing -- what each leg
+            actually SCANS (corpus for rebuilds; persisted index +
+            batch for deltas).  Note full-output maintenance reads
+            O(index) by construction (every posting passes through);
+            the delta's structural win is zero corpus re-shuffle
+            (plan-asserted) and, in the on-disk m11 shape, rewriting
+            only touched files."""
+            b, inp = 1e9, None
             for _ in range(3):
+                before_id, _, _ = _stage_input_sums(spark)
                 t0 = time.time()
                 fn()
-                b = min(b, time.time() - t0)
-            return round(b, 3)
+                dt = time.time() - t0
+                _, rec, byts = _stage_input_sums(spark, before_id)
+                if dt < b:
+                    b = dt
+                    if rec >= 0:
+                        inp = {"rows": int(rec), "bytes": int(byts)}
+            return round(b, 3), inp
 
-        return {
-            "n_ways": n_ways,
-            "batch_frac": round(n_batch / n_ways, 4),
-            "rebuild_uncapped_s": best(lambda: build_ref_docs(after).count()),
-            "delta_uncapped_s": best(
-                lambda: apply_ref_docs_delta(idx, ins, dele).count()
-            ),
-            "rebuild_capped_s": best(
-                lambda: build_ref_docs(after, cap=100).count()
-            ),
-            "delta_capped_s": best(
-                lambda: apply_ref_docs_delta_capped(
-                    idxc, ins, dele, after, cap=100
-                ).count()
-            ),
-        }
+        out = {"n_ways": n_ways, "batch_frac": round(n_batch / n_ways, 4)}
+        for name, fn in [
+            ("rebuild_uncapped", lambda: build_ref_docs(after).count()),
+            ("delta_uncapped",
+             lambda: apply_ref_docs_delta(idx, ins, dele).count()),
+            ("rebuild_capped",
+             lambda: build_ref_docs(after, cap=100).count()),
+            ("delta_capped",
+             lambda: apply_ref_docs_delta_capped(
+                 idxc, ins, dele, after, cap=100
+             ).count()),
+        ]:
+            w, inp = best(fn)
+            out[f"{name}_s"] = w
+            if inp is not None:
+                out[f"{name}_input"] = inp
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
