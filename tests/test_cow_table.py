@@ -637,3 +637,70 @@ def test_merge_schema_evolution(spark, table):
     # read_range on the evolved column: old files lack stats for it ->
     # always scanned, never wrongly skipped
     assert table.read_range("tag", "x", "z").count() == 3
+
+
+def test_stat_encoding_order_preservation_property():
+    """Property pin for the skipping correctness argument: whenever
+    _stat_cmp_ok says two encoded stats are comparable, their encoded
+    (lexicographic/numeric) order must equal the true order of the
+    underlying values.  A violation here is a silent wrong-skip bug;
+    refusing to compare (False) is always safe."""
+    import datetime
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _enc_stat,
+        _stat_cmp_ok,
+    )
+
+    utc = datetime.timezone.utc
+    zones = st.sampled_from(
+        [utc]
+        + [
+            datetime.timezone(datetime.timedelta(hours=h))
+            for h in (-11, -5, -1, 1, 5, 13)
+        ]
+    )
+    aware_dt = st.datetimes(
+        min_value=datetime.datetime(1900, 1, 1),
+        max_value=datetime.datetime(2200, 1, 1),
+        timezones=zones,
+    )
+    naive_dt = st.datetimes(
+        min_value=datetime.datetime(1900, 1, 1),
+        max_value=datetime.datetime(2200, 1, 1),
+    )
+    values = st.one_of(
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.dates(),
+        naive_dt,
+        aware_dt,
+    )
+
+    def true_order_known(a, b):
+        """True order of the raw values, when Python can compare them."""
+        try:
+            return (a < b) - (b < a)
+        except TypeError:
+            return None
+
+    @settings(max_examples=300, deadline=None)
+    @given(values, values)
+    def prop(a, b):
+        ea, eb = _enc_stat(a), _enc_stat(b)
+        assert ea is not None and eb is not None
+        if not _stat_cmp_ok(ea, eb):
+            return  # refusing to compare is always safe
+        t = true_order_known(a, b)
+        if t is None:
+            return  # cross-type pairs Python itself cannot order
+        enc = (ea < eb) - (eb < ea)
+        # bool-vs-numeric mixes are rejected by _stat_cmp_ok, dates
+        # encode as strings vs numeric stay numeric -> comparable
+        # pairs must agree with the true order exactly.
+        assert enc == t, (a, b, ea, eb)
+
+    prop()
