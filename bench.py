@@ -292,7 +292,10 @@ def _time_queries(
             all_times[name].append(dt)
             if last:
                 _, rec, b = _stage_input_sums(spark, before_id)
-                if rec >= 0:
+                # before_id >= 0 too: a failed BEFORE probe would make
+                # this sum include every prior stage of the session --
+                # inflated scan evidence is worse than none.
+                if rec >= 0 and before_id >= 0:
                     inputs[name] = {"rows": int(rec), "bytes": int(b)}
             print(f"# pass{_pass} {name}: {dt}s ({n} rows)", file=sys.stderr)
     mins = {name: min(ts) for name, ts in all_times.items()}
@@ -500,7 +503,7 @@ def _incr_maintenance_stats(spark, n_ways: int = 400_000) -> dict:
                 _, rec, byts = _stage_input_sums(spark, before_id)
                 if dt < b:
                     b = dt
-                    if rec >= 0:
+                    if rec >= 0 and before_id >= 0:
                         inp = {"rows": int(rec), "bytes": int(byts)}
             return round(b, 3), inp
 

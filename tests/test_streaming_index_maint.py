@@ -226,3 +226,131 @@ def test_half_applied_crash_converges(spark, staged):
     rows = _apply_cdc(_base_rows(), _BATCHES[0])
     want = build_ref_docs(_docs(spark, rows), cap=CAP)
     assert _canon(index.read()) == _canon(want)
+
+
+def test_long_stream_growth_stays_bounded(spark, tmp_path):
+    """VERDICT r11 #3: a LONG-lived maintained stream (105 micro-
+    batches here) must not let the table's physical or metadata plane
+    creep.  The applier's in-loop growth control (maintain_every=10:
+    compact + vacuum(retain_last=2); commit-log checkpoints every 10
+    commits automatically) is pinned to keep (a) live snapshot files
+    and on-disk files bounded -- the naive shape accrues 1-2 files per
+    commit, ~400+ over this run -- (b) the idempotence check at ONE
+    commit-doc read regardless of the ~200-version log, and (c) the
+    final state byte-equal to a capped rebuild of the surviving
+    corpus.  This is the m15 shape a year-old production table lives
+    in."""
+    n_batches = 105
+    corpus_t = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        _docs(spark, _base_rows()).coalesce(1),
+    )
+    index_t = CowTable.create(
+        spark, str(tmp_path / "idx"),
+        build_ref_docs(_docs(spark, _base_rows()), cap=CAP).coalesce(1),
+    )
+    applier = ref_docs_maintenance_batch_applier(
+        spark, corpus_t.path, index_t.path, CAP,
+        maintain_every=10, compact_target_rows=100_000,
+        retain_last=2, vacuum_grace_s=0.0,
+    )
+    rows = _base_rows()
+    for b in range(n_batches):
+        batch = [("insert", (f"x{b}", "way", [f"n{b % 5}", f"m{b % 7}"], None))]
+        if b % 3 == 2:  # a delete every third batch
+            batch.append(
+                ("delete", (f"x{b - 2}", "way",
+                            [f"n{(b - 2) % 5}", f"m{(b - 2) % 7}"], None))
+            )
+        applier(_batch_df(spark, batch), b)
+        rows = _apply_cdc(rows, batch)
+
+    # (c) correctness after 105 batches of maintained deltas
+    want = build_ref_docs(_docs(spark, rows), cap=CAP)
+    assert _canon(index_t.read()) == _canon(want)
+    assert sorted(r["_id"] for r in corpus_t.read().collect()) == [
+        r[0] for r in rows
+    ]
+
+    for t in (corpus_t, index_t):
+        head = t.version()
+        assert head >= n_batches  # one+ commit per batch: a LONG log
+        # (a) physical plane bounded: live snapshot files compacted,
+        # on-disk files vacuumed (≤ ~2 per commit since the last
+        # maintenance pass, nowhere near one-per-commit-forever)
+        assert len(t.files()) <= 8
+        on_disk = [
+            x
+            for r, _, xs in os.walk(os.path.join(t.path, "data"))
+            for x in xs
+            if x.endswith(".parquet")
+        ]
+        assert len(on_disk) <= 40
+        # (b) metadata plane bounded: the checkpoint manifest tracks
+        # the head within one interval, and the idempotence check
+        # reads exactly ONE commit doc (the cumulative txn map)
+        ck = t._read_last_checkpoint()
+        assert ck is not None and head - ck["version"] < 10
+        reads = []
+        orig = CowTable._commit_doc
+        try:
+            CowTable._commit_doc = (
+                lambda self, v: (reads.append(v), orig(self, v))[1]
+            )
+            assert last_applied_batch(t, "ref_docs_maint") == n_batches - 1
+            assert len(reads) == 1
+        finally:
+            CowTable._commit_doc = orig
+
+
+def test_intra_batch_events_collapse_to_last_per_id(spark, staged):
+    """Round-11 ADVICE: one CDC batch may carry several events for the
+    same _id.  The applier must resolve each _id to its LAST event in
+    feed order -- insert-then-delete leaves the doc absent (the old
+    full-outer merge resolved it 'source row wins', resurrecting it),
+    delete-then-reinsert leaves the new payload, and duplicate inserts
+    land exactly one row."""
+    corpus, index, _batches_dir, _ckpt = staged
+    batch = [
+        ("insert", ("wz", "way", ["n1", "nz"], None)),
+        ("delete", ("wz", "way", ["n1", "nz"], None)),   # last wz: gone
+        ("delete", ("w9", "way", ["n2"], None)),
+        ("insert", ("w9", "way", ["n8"], None)),          # last w9: moved
+        ("insert", ("wd", "way", ["n1"], None)),
+        ("insert", ("wd", "way", ["nd"], None)),          # dup insert: last
+    ]
+    applier = ref_docs_maintenance_batch_applier(
+        spark, corpus.path, index.path, CAP
+    )
+    applier(_batch_df(spark, batch), 0)
+    rows = _apply_cdc(_base_rows(), batch)
+    got_ids = sorted(r["_id"] for r in corpus.read().collect())
+    assert got_ids == [r[0] for r in rows]       # wz absent, no dup wd
+    assert "wz" not in got_ids
+    by_id = {r[0]: r for r in rows}
+    assert by_id["w9"][2] == ["n8"] and by_id["wd"][2] == ["nd"]
+    want = build_ref_docs(_docs(spark, rows), cap=CAP)
+    assert _canon(index.read()) == _canon(want)
+
+
+def test_upsert_over_live_doc_moves_index_refs(spark, staged):
+    """An insert event for an _id that ALREADY exists is an update:
+    the index must drop the doc's OLD refs (which only the pre-image
+    corpus knows -- the event carries the new payload) and add the new
+    ones.  Split across two batches to also pin the txn-resolved
+    pre-image advancing between batches."""
+    corpus, index, _batches_dir, _ckpt = staged
+    applier = ref_docs_maintenance_batch_applier(
+        spark, corpus.path, index.path, CAP
+    )
+    b0 = [("insert", ("w2", "way", ["n7"], None))]   # w2: n1 -> n7
+    b1 = [("insert", ("w2", "way", ["n1"], None))]   # w2: n7 -> back to n1
+    rows = _base_rows()
+    for n, b in enumerate((b0, b1)):
+        applier(_batch_df(spark, b), n)
+        rows = _apply_cdc(rows, b)
+        want = build_ref_docs(_docs(spark, rows), cap=CAP)
+        assert _canon(index.read()) == _canon(want)
+    got = {r["_id"]: r for r in index.read().collect()}
+    assert "n7" not in got                    # transient ref fully gone
+    assert got["n1"]["refer_count"] == 4      # w1..w4 again
