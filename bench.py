@@ -528,6 +528,151 @@ def _incr_maintenance_stats(spark, n_ways: int = 400_000) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _m15_stream_stats(spark, n_ways: int, n_batches: int = 3) -> dict:
+    """Bench the m15 STREAMING index maintainer against a large staged
+    corpus+index (VERDICT r11 #2): per-micro-batch wall + read volume,
+    per-MERGE files_probed/files_kept/files_rewritten from the commit
+    docs (the key-range pruning evidence, VERDICT r11 #4), and the
+    commit-log length.  Run at two corpus sizes by the caller so the
+    flat-in-corpus-size claim is a measured curve, not a plan reading.
+
+    Staging is zero-padded ("w%09d"/"n%09d") and range-clustered on
+    _id so the commit log's lexicographic file stats give contiguous
+    key ranges -- the layout a maintained production table holds
+    (compact cluster_by).  Each batch inserts 500 new ways whose refs
+    fall in a narrow band near the corpus start and deletes the
+    PREVIOUS batch's inserts (narrow band near the corpus top), so
+    both merges' touch-key envelopes are narrow: files_probed must
+    come out far below files_total on both tables."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+        build_ref_docs,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        CowTable,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.index_maint import (
+        read_doc_cdc_stream,
+        ref_docs_maintenance_batch_applier,
+    )
+
+    work = tempfile.mkdtemp(prefix="m15_bench_")
+    try:
+        def ways(lo, hi):
+            # refs: (3*(id - n_ways*(id >= n_ways ? 1 : 0)) ... keep it
+            # simple -- base ways spread refs; batch ways (id >= n_ways)
+            # take a contiguous band at 3*(id - n_ways).
+            base_ref = F.when(
+                F.col("id") >= n_ways, (F.col("id") - n_ways) * 3
+            ).otherwise((F.col("id") * 3) % (n_ways - 1000))
+            return spark.range(lo, hi).select(
+                F.format_string("w%09d", "id").alias("_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda j: F.format_string(
+                        "n%09d", base_ref + j * F.lit(131)
+                    ),
+                ).alias("node_refs"),
+                F.lit(None).cast(
+                    "array<struct<type:string,ref:string,role:string>>"
+                ).alias("members"),
+            ).withColumn("doc_type", F.lit("way")).select(
+                "_id", "doc_type", "node_refs", "members"
+            )
+
+        n_files = 32
+        corpus = CowTable.create(
+            spark, f"{work}/docs",
+            ways(0, n_ways).repartitionByRange(n_files, "_id"),
+        )
+        index = CowTable.create(
+            spark, f"{work}/idx",
+            build_ref_docs(ways(0, n_ways), cap=100)
+            .repartitionByRange(n_files, "_id"),
+        )
+        bdir = f"{work}/cdc"
+        os.makedirs(bdir)
+        import glob as _glob
+        import shutil as _sh
+
+        for b in range(n_batches):
+            ins = ways(n_ways + b * 500, n_ways + (b + 1) * 500).withColumn(
+                "_op", F.lit("insert")
+            )
+            cdc = ins
+            if b > 0:  # delete the previous batch's inserts
+                cdc = cdc.unionByName(
+                    ways(
+                        n_ways + (b - 1) * 500, n_ways + b * 500
+                    ).withColumn("_op", F.lit("delete"))
+                )
+            stage = f"{bdir}/_stage{b}"
+            cdc.coalesce(1).write.parquet(stage)
+            part = _glob.glob(f"{stage}/part-*.parquet")[0]
+            dst = f"{bdir}/batch{b:03d}.parquet"
+            _sh.move(part, dst)
+            _sh.rmtree(stage)
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+
+        applier = ref_docs_maintenance_batch_applier(
+            spark, corpus.path, index.path, cap=100
+        )
+        batches: list[dict] = []
+
+        def timed(df, bid):
+            before_id, _, _ = _stage_input_sums(spark)
+            t0 = time.time()
+            applier(df, bid)
+            dt = round(time.time() - t0, 3)
+            _, rec, byts = _stage_input_sums(spark, before_id)
+            row = {"batch": int(bid), "wall_s": dt}
+            if rec >= 0 and before_id >= 0:
+                row["input"] = {"rows": int(rec), "bytes": int(byts)}
+            batches.append(row)
+
+        q = (
+            read_doc_cdc_stream(spark, bdir)
+            .writeStream.foreachBatch(timed)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        def merge_evidence(t: CowTable) -> list[dict]:
+            out = []
+            for v in range(1, t.version() + 1):
+                d = t._commit_doc(v)
+                if d.get("op") != "merge":
+                    continue
+                out.append({
+                    "version": v,
+                    "files_total": len(t.files(v - 1)),
+                    "files_probed": d.get("files_probed"),
+                    "files_kept": d.get("files_kept"),
+                    "files_rewritten": d.get("files_rewritten"),
+                })
+            return out
+
+        return {
+            "n_ways": n_ways,
+            "batches": batches,
+            "corpus_merges": merge_evidence(corpus),
+            "index_merges": merge_evidence(index),
+            "log_len": {
+                "corpus": corpus.version() + 1, "index": index.version() + 1
+            },
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _run_block(block: str, sf_dir: str) -> int:
     """Child-process entry for the best-effort sf1/skew blocks: own
     SparkSession (own JVM), one JSON line on stdout.
@@ -628,6 +773,17 @@ def _run_block(block: str, sf_dir: str) -> int:
         )
     elif block == "skew":
         print(json.dumps(_bench_skew(spark, qs, sf_dir) or {}))
+    elif block == "m15":
+        # Streaming maintainer at two corpus sizes: the per-batch cost
+        # curve (flat = O(batch), creeping = O(corpus)) plus per-merge
+        # pruning evidence.  Sizes match the incr_maint staging family.
+        out = {}
+        for n in (400_000, 1_500_000):
+            try:
+                out[f"ways_{n}"] = _m15_stream_stats(spark, n)
+            except Exception as e:
+                print(f"# m15 block n={n} failed: {e}", file=sys.stderr)
+        print(json.dumps(out))
     elif block == "etl":
         # Parent passes the already-parsed sf; the basename fallback
         # only serves a direct `--block etl` invocation, and defaults
@@ -804,14 +960,15 @@ def main() -> int:
             es.stop()
     result.update(etl)
 
-    # 10x scale-up + planted-skew blocks (default sf0.1 runs only;
-    # SPARK_GRAFT_SF1=0 disables both).  Each runs in its own process:
-    # 3 passes, best-effort -- see _run_block.  The deadline gives the
-    # two retry ladders 25 minutes COMBINED: on a crashy day the run
-    # emits what it has rather than risk the caller's own timeout.
-    deadline = time.time() + 25 * 60
+    # 10x scale-up + planted-skew + streaming-maintainer blocks
+    # (default sf0.1 runs only; SPARK_GRAFT_SF1=0 disables all).  Each
+    # runs in its own process: best-effort -- see _run_block.  The
+    # deadline gives the retry ladders 30 minutes COMBINED: on a
+    # crashy day the run emits what it has rather than risk the
+    # caller's own timeout.
+    deadline = time.time() + 30 * 60
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        for block in ("sf1", "skew"):
+        for block in ("sf1", "skew", "m15"):
             budget = deadline - time.time()
             if budget < 120:
                 print(f"# {block} block skipped: deadline", file=sys.stderr)
