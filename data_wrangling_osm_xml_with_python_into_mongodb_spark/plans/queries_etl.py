@@ -880,3 +880,139 @@ def q_nested_subdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v").alias("v"))
     )
     return nest_subdocs_json(pairs)
+
+
+_M16_ORACLE = rf"""
+WITH raw AS (
+  SELECT * FROM read_parquet('{FIXTURE_PARQUET}')
+),
+final AS (  -- (base - deletes) + inserts, with the update set marked
+  SELECT _id, doc_type, nds, members,
+         (CAST(_id AS BIGINT) % 7 <> 0 AND CAST(_id AS BIGINT) % 11 <> 0
+          AND CAST(_id AS BIGINT) % 13 = 1) AS is_upd
+  FROM raw
+  WHERE CAST(_id AS BIGINT) % 7 = 0
+     OR (CAST(_id AS BIGINT) % 7 <> 0 AND CAST(_id AS BIGINT) % 11 <> 0)
+),
+way_refs AS (  -- updated ways drop their smallest ref (set-safe:
+               -- min of the raw list == min of the distinct set)
+  SELECT src, ref FROM (
+    SELECT _id AS src, unnest(list_distinct(nds)) AS ref,
+           CASE WHEN is_upd THEN list_min(nds) END AS drop_ref
+    FROM final WHERE doc_type = 'way'
+  ) WHERE drop_ref IS NULL OR ref <> drop_ref
+),
+rel_refs AS (
+  SELECT _id AS src, m.ref AS ref
+  FROM (SELECT _id, unnest(members) AS m FROM final WHERE doc_type = 'relation')
+),
+refs AS (
+  SELECT src, ref FROM way_refs WHERE ref IS NOT NULL
+  UNION ALL
+  SELECT src, ref FROM rel_refs WHERE ref IS NOT NULL
+)
+SELECT ref AS _id,
+       array_to_string(list_sort(list(src))[1:1], '|') AS refers,
+       count(*) AS refer_count
+FROM refs
+GROUP BY ref
+"""
+
+
+@register(
+    "m16_ref_docs_stream_upserts",
+    "The m15 streaming maintainer under a REALISTIC CDC feed: besides "
+    "inserts and deletes, the batches carry UPDATES of live documents "
+    "(an insert event for an existing _id, payload = new refs -- each "
+    "updated way drops its smallest node ref) and an intra-batch "
+    "insert-then-delete pair for a transient doc that must leave no "
+    "trace.  Exercises the applier's collapse-to-last-event and "
+    "txn-resolved pre-image diff: the index must drop each updated "
+    "doc's OLD refs (which only the pre-batch corpus snapshot knows) "
+    "and add the new ones.  Oracle: capped full rebuild over the net "
+    "post-stream corpus, updates applied as set arithmetic.",
+    _M16_ORACLE,
+    tags=("mview", "incremental", "osm", "streaming", "sink"),
+)
+def q_ref_docs_stream_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging mirrors m15 (CowTable.create + mtime-ordered CDC files
+    is test scaffolding); the maintained path is the production
+    composition with update events mixed into both batches."""
+    import atexit
+    import glob
+    import shutil
+    import tempfile
+
+    from ..operators.shape import build_ref_docs
+    from ..sources.cow_table import CowTable
+    from ..streaming.index_maint import run_ref_docs_maintenance_stream
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    docs = shape_documents(raw).select(
+        "_id", "doc_type", "node_refs", "members"
+    )
+    id_l = F.col("_id").cast("long")
+    base = docs.filter(id_l % 7 != 0)
+    inserted = docs.filter(id_l % 7 == 0)
+    deleted = base.filter(id_l % 11 == 0)
+    updated = base.filter((id_l % 11 != 0) & (id_l % 13 == 1)).withColumn(
+        "node_refs",
+        F.when(
+            F.size("node_refs") > 0,
+            F.array_remove("node_refs", F.array_min("node_refs")),
+        ).otherwise(F.col("node_refs")),
+    )
+
+    work = tempfile.mkdtemp(prefix="m16_stream_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    corpus = CowTable.create(spark, f"{work}/docs", base)
+    index = CowTable.create(
+        spark, f"{work}/ref_docs", build_ref_docs(base, cap=1)
+    )
+    batches_dir = f"{work}/cdc"
+    os.makedirs(batches_dir)
+    for n in (0, 1):  # batch n: the _id%2==n half of the CDC feed
+        cdc = (
+            inserted.filter(id_l % 2 == n).withColumn("_op", F.lit("insert"))
+            .unionByName(
+                deleted.filter(id_l % 2 == n).withColumn(
+                    "_op", F.lit("delete")
+                )
+            )
+            .unionByName(  # UPDATE events: insert over a live _id
+                updated.filter(id_l % 2 == n).withColumn(
+                    "_op", F.lit("insert")
+                )
+            )
+        )
+        if n == 0:
+            # transient doc: insert then delete WITHIN the batch --
+            # must never reach corpus or index (row order in the
+            # single coalesced file is event order).
+            zz = spark.createDataFrame(
+                [
+                    ("zzz_transient", "way", ["42"], None, "insert"),
+                    ("zzz_transient", "way", ["42"], None, "delete"),
+                ],
+                "_id string, doc_type string, node_refs array<string>, "
+                "members array<struct<type:string,ref:string,role:string>>"
+                ", _op string",
+            ).coalesce(1)
+            cdc = cdc.unionByName(zz)
+        stage = f"{batches_dir}/_stage{n}"
+        cdc.coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{batches_dir}/batch{n:03d}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_700_000_000 + n, 1_700_000_000 + n))
+
+    run_ref_docs_maintenance_stream(
+        spark, batches_dir, corpus.path, index.path, cap=1,
+        checkpoint_dir=f"{work}/ckpt", app_id="ref_docs_upserts",
+    )
+    return index.read().select(
+        "_id",
+        F.concat_ws("|", F.col("refers")).alias("refers"),
+        F.col("refer_count").cast("long").alias("refer_count"),
+    )
