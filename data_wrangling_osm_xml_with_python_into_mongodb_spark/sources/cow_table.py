@@ -804,6 +804,7 @@ class CowTable:
         data_root = os.path.join(self.path, "data")
         now = time.time()
         deleted = orphans_kept = 0
+        deleted_paths: set[str] = set()
         for d in sorted(os.listdir(data_root)):
             vdir = os.path.join(data_root, d)
             if not os.path.isdir(vdir):
@@ -828,10 +829,43 @@ class CowTable:
                 try:
                     os.unlink(f)
                     deleted += 1
+                    deleted_paths.add(f)
                 except FileNotFoundError:
                     pass
             if live == 0:
                 shutil.rmtree(vdir, ignore_errors=True)
+        # Prune just-deleted files out of the head checkpoint's
+        # ``all_files`` -- otherwise the manifest grows O(files ever)
+        # as a maintained table ages, the one remaining unbounded
+        # metadata series.  Safe by monotonicity: a STALE (superset)
+        # all_files is always harmless (entries for absent files are
+        # never reached -- the deletion loop iterates disk files), and
+        # pruning only removes files that no longer exist; later
+        # checkpoints build from the pruned list, so the bound is
+        # O(live + since-last-vacuum) by induction.  Best-effort like
+        # every checkpoint write.
+        try:
+            ck = self.checkpoint(latest)
+            if deleted_paths:
+                pruned = [
+                    f
+                    for f in ck["all_files"]
+                    if os.path.abspath(f) not in deleted_paths
+                ]
+                if len(pruned) < len(ck["all_files"]):
+                    ck2 = {**ck, "all_files": pruned}
+                    tmp = os.path.join(
+                        _log_dir(self.path), f"_tmp_ck_{uuid.uuid4().hex}"
+                    )
+                    with open(tmp, "w") as fh:
+                        json.dump(ck2, fh)
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                    os.replace(
+                        tmp, _checkpoint_path(self.path, ck["version"])
+                    )
+        except Exception:
+            pass
         return {
             "op": "vacuum",
             "retained_versions": [lo, latest],

@@ -1028,3 +1028,33 @@ def test_compact_refresh_stats_restores_skipping(spark, tmp_path):
         assert t.last_scan["files_skipped"] >= 2  # skipping restored
     finally:
         spark.conf.set("spark.sql.parquet.outputTimestampType", ts0)
+
+
+def test_vacuum_prunes_checkpoint_all_files(spark, tmp_path):
+    """The checkpoint's ever-referenced list must not grow O(files
+    ever) as a maintained table ages: vacuum prunes the entries whose
+    files it just deleted (superset-safe -- see vacuum), so the
+    manifest stays O(live + since-last-vacuum) while later
+    checkpoints, merges, and vacuums keep working off the pruned
+    list."""
+    df = spark.range(30).selectExpr("id AS k", "id * 2 AS v").repartition(3)
+    t = CowTable.create(spark, str(tmp_path / "vp"), df)
+    for i in range(4):  # churn: every merge rewrites some files
+        t.merge(
+            spark.createDataFrame([(i, -i), (i + 10, -i)], "k long, v long"),
+            "k",
+        )
+    out = t.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert out["files_deleted"] > 0
+    ck = t._read_last_checkpoint()
+    assert ck is not None and ck["version"] == t.version()
+    assert all(os.path.exists(f) for f in ck["all_files"])
+    live = {os.path.abspath(f) for f in t.files()}
+    assert live <= {os.path.abspath(f) for f in ck["all_files"]}
+    # the pruned manifest still anchors everything correctly
+    t.merge(spark.createDataFrame([(99, 99)], "k long, v long"), "k")
+    assert dict(_rows(t.read()))[99] == 99
+    t.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert dict(_rows(t.read()))[99] == 99
+    ck2 = t._read_last_checkpoint()
+    assert all(os.path.exists(f) for f in ck2["all_files"])
