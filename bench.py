@@ -980,7 +980,35 @@ def main() -> int:
                 result[block] = out
 
     _append_history(result)
-    print(json.dumps(result))
+    # The driver keeps only the last ~2000 chars of stdout and parses
+    # the FINAL line as the round's metrics; the full result outgrew
+    # that window rounds ago (BENCH_r{9..12}.json all carry
+    # parsed=null).  So the full result goes to BENCH_DETAIL.json and
+    # BENCH_HISTORY.jsonl (both committed, where the per-query blocks
+    # live), and stdout gets ONE compact line: the contract fields
+    # (metric/value/unit/queries/sf) plus every top-level scalar
+    # (ETL throughputs, cohort medians, code_rev, ...).
+    try:
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except Exception as e:
+        print(f"# detail write error: {e}", file=sys.stderr)
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "queries": {k: round(v, 3) for k, v in result["queries"].items()},
+        "sf": result["sf"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    for k, v in result.items():
+        if k not in compact and isinstance(v, (int, float, str, bool)):
+            compact[k] = v
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never outgrow the window again
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

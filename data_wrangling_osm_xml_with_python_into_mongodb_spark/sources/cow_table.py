@@ -359,8 +359,14 @@ class CowTable:
             json.dump(ck, f)
             f.flush()
             os.fsync(f.fileno())
-        # Deterministic content per version: racing checkpointers of the
-        # same version write identical bytes, so atomic-replace is safe.
+        # Atomic-replace safety does NOT rest on byte determinism (the
+        # manifest embeds a wall-clock ts, and vacuum later rewrites the
+        # same version's file with a pruned all_files): it rests on every
+        # racing writer of this version producing a semantically valid
+        # manifest for it -- same snapshot files/txn/schema, all_files
+        # differing only by files every variant agrees are deleted -- and
+        # os.replace swapping whole files atomically, so readers see one
+        # valid variant, never a splice.
         os.replace(tmp, _checkpoint_path(self.path, v))
         tmp2 = os.path.join(_log_dir(self.path), f"_tmp_lc_{uuid.uuid4().hex}")
         with open(tmp2, "w") as f:
@@ -397,7 +403,64 @@ class CowTable:
                 ck = self._read_last_checkpoint()
                 if ck is not None and ck["version"] <= v:
                     ckpt_floor, ckpt_txn = ck["version"], ck.get("txn", {})
+                    # The checkpoint may sit exactly at the commit just
+                    # inspected (e.g. a head checkpoint written by vacuum
+                    # on a legacy log): its txn map already covers
+                    # commits 0..v, so answer now -- the loop's top-of-
+                    # iteration floor check can never see v again.
+                    if ckpt_floor == v:
+                        return int(ckpt_txn.get(app_id, -1))
         return -1
+
+    def _checkpoint_at_or_below(self, version: int) -> dict | None:
+        """Newest checkpoint manifest whose version is <= ``version``,
+        or None.  Unlike :meth:`_read_last_checkpoint` this never
+        returns a manifest that already includes later commits, so it
+        can anchor reconstructions pinned AT ``version`` (time-travel
+        txn resolution)."""
+        ck = self._read_last_checkpoint()
+        if ck is not None and ck["version"] <= version:
+            return ck
+        try:
+            vs = [
+                int(n[:8])
+                for n in os.listdir(_log_dir(self.path))
+                if n.endswith(".checkpoint.json") and int(n[:8]) <= version
+            ]
+        except FileNotFoundError:
+            return None
+        if not vs:
+            return None
+        try:
+            with open(_checkpoint_path(self.path, max(vs))) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def txn_version_at(self, version: int, app_id: str) -> int:
+        """Cumulative txn high-water for ``app_id`` as of ``version``
+        (largest batch id any commit <= version applied; -1 if none).
+        One commit-doc read when the commit carries the cumulative
+        ``txn`` map; legacy commits (no ``txn`` -- e.g. a pre-upgrade
+        compact) reconstruct it from the newest checkpoint at-or-below
+        ``version`` plus the app_meta of the commits above it, the same
+        bounded walk :meth:`_next_txn` uses.  This is what time-travel
+        consumers (streaming pre-image resolution) must call: assuming
+        a txn-less commit applied nothing would mis-date any legacy
+        commit that POSTDATES the batch."""
+        doc = self._commit_doc(version)
+        if "txn" in doc:
+            return int(doc["txn"].get(app_id, -1))
+        best, start = -1, 0
+        ck = self._checkpoint_at_or_below(version)
+        if ck is not None:
+            best = int(ck.get("txn", {}).get(app_id, -1))
+            start = ck["version"] + 1
+        for v in range(start, version + 1):
+            m = self._commit_doc(v).get("app_meta") or {}
+            if m.get("app_id") == app_id:
+                best = max(best, int(m["batch_id"]))
+        return best
 
     def _next_txn(self, parent_version: int, meta: dict | None) -> dict:
         """The cumulative txn map for a child commit of

@@ -73,14 +73,14 @@ def _version_before_batch(table: CowTable, app_id: str, batch_id: int) -> int:
     diff against.  In the normal flow this is the head (one commit-doc
     read: the head's high-water is batch_id - 1); on replay after a
     crash between the corpus and index merges it is the head's parent.
-    The walk is bounded by the replay horizon, never the log length."""
+    The walk is bounded by the replay horizon, never the log length.
+    Each step resolves the CUMULATIVE high-water at that version
+    (CowTable.txn_version_at): a commit without its own txn map -- e.g.
+    a pre-upgrade compact landing AFTER the batch on a mixed legacy/new
+    log -- still contains the batch's data, so treating it as
+    applied=-1 would hand replay a post-image as the pre-image."""
     for v in range(table.version(), -1, -1):
-        doc = table._commit_doc(v)
-        applied = int((doc.get("txn") or {}).get(app_id, -1))
-        m = doc.get("app_meta") or {}
-        if m.get("app_id") == app_id:  # legacy commits without txn
-            applied = max(applied, int(m["batch_id"]))
-        if applied < batch_id:
+        if table.txn_version_at(v, app_id) < batch_id:
             return v
     raise RuntimeError(
         f"no snapshot of {table.path} predates batch {batch_id} for "
@@ -99,13 +99,27 @@ def read_doc_cdc_stream(
     deletion, which is what the delta maintainers need and what real
     CDC feeds provide).  ``maxFilesPerTrigger=1`` keeps one file per
     micro-batch -- deterministic batch boundaries for tests; production
-    would raise it."""
+    would raise it.
+
+    Event ORDER ships as explicit columns, not partition layout: the
+    producer appends files in sequence and writes rows in event order
+    within each file, so (``_event_file`` = ``_metadata.file_path``,
+    ``_event_pos`` = ``_metadata.row_index``) totally orders a batch's
+    events even when a micro-batch spans several CDC files
+    (maxFilesPerTrigger > 1) or Spark splits one file across tasks --
+    the regimes where partition-id order (what
+    monotonically_increasing_id encodes) is NOT event order, because
+    the file source packs splits largest-first."""
     reader = spark.readStream.schema(_DOC_CDC_COLS).option(
         "pathGlobFilter", "*.parquet"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(batches_dir)
+    return reader.parquet(batches_dir).select(
+        "*",
+        F.col("_metadata.file_path").alias("_event_file"),
+        F.col("_metadata.row_index").alias("_event_pos"),
+    )
 
 
 def ref_docs_maintenance_batch_applier(
@@ -142,19 +156,37 @@ def ref_docs_maintenance_batch_applier(
         # A CDC batch may carry several events for one _id (insert
         # then delete, an update's delete+add pair, duplicate
         # upserts); the merges below are keyed per-_id, so collapse to
-        # the LAST event per _id first -- feed order is file row
-        # order, preserved per input split and indexed by
-        # monotonically_increasing_id's (partition, offset) encoding.
-        # Without this, a delete-after-insert pair in one batch would
-        # resolve "source row wins" (doc resurrected).
+        # the LAST event per _id first.  Without this, a
+        # delete-after-insert pair in one batch would resolve "source
+        # row wins" (doc resurrected).  Ordering comes from explicit
+        # event-position columns, never partition layout: the stream
+        # ships (_event_file, _event_pos) from the file source's
+        # _metadata (producer file sequence + in-file row index), a
+        # producer-side _seq is honored when the feed carries one, and
+        # only a directly-driven batch with neither (tests, ad-hoc
+        # replays of single in-memory frames) falls back to
+        # monotonically_increasing_id -- whose (partition, offset)
+        # encoding matches event order ONLY there, because the file
+        # source packs splits largest-first once a batch spans
+        # multiple files or a file exceeds one split.
         from pyspark.sql import Window
 
-        w = Window.partitionBy("_id").orderBy(F.desc("_seq"))
+        cols = set(batch_df.columns)
+        if {"_event_file", "_event_pos"} <= cols:
+            order = [F.desc("_event_file"), F.desc("_event_pos")]
+            drop = ["_event_file", "_event_pos"]
+        elif "_seq" in cols:
+            order, drop = [F.desc("_seq")], ["_seq"]
+        else:
+            batch_df = batch_df.withColumn(
+                "_seq", F.monotonically_increasing_id()
+            )
+            order, drop = [F.desc("_seq")], ["_seq"]
+        w = Window.partitionBy("_id").orderBy(*order)
         batch_df = (
-            batch_df.withColumn("_seq", F.monotonically_increasing_id())
-            .withColumn("_rn", F.row_number().over(w))
+            batch_df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .drop("_rn", "_seq")
+            .drop("_rn", *drop)
         )
         # foreachBatch hands over an ephemeral view; the merges
         # traverse it several times (touch keys, affected files,
@@ -243,13 +275,20 @@ def run_ref_docs_maintenance_stream(
     checkpoint_dir: str,
     app_id: str = "ref_docs_maint",
     maintain_every: int | None = None,
+    max_files_per_trigger: int | None = 1,
 ) -> None:
     """Drive the CDC stream over the batch files currently in
     ``batches_dir`` and return once all are applied (restartable: the
     checkpoint remembers consumed files, the app_meta commits make
     redelivered batches no-ops).  ``maintain_every`` enables the
-    in-loop growth control (see the applier)."""
-    stream = read_doc_cdc_stream(spark, batches_dir)
+    in-loop growth control (see the applier);
+    ``max_files_per_trigger`` > 1 is the production setting (several
+    CDC files per micro-batch) -- event order stays correct there
+    because the applier orders by the explicit (_event_file,
+    _event_pos) columns, never partition layout."""
+    stream = read_doc_cdc_stream(
+        spark, batches_dir, max_files_per_trigger=max_files_per_trigger
+    )
     q = (
         stream.writeStream.foreachBatch(
             ref_docs_maintenance_batch_applier(

@@ -1058,3 +1058,86 @@ def test_vacuum_prunes_checkpoint_all_files(spark, tmp_path):
     assert dict(_rows(t.read()))[99] == 99
     ck2 = t._read_last_checkpoint()
     assert all(os.path.exists(f) for f in ck2["all_files"])
+
+
+def test_txn_lookup_checkpoint_at_head_is_one_read(spark, tmp_path):
+    """Round-12 ADVICE #3: when the newest checkpoint sits exactly at
+    the head of a legacy log (e.g. written by vacuum or an operator
+    checkpoint() on a pre-txn table), txn_version must answer from the
+    manifest immediately -- the loop's top-of-iteration floor check
+    can never revisit the version it was loaded at, so without the
+    load-time short-circuit the walk degrades to O(versions)."""
+    df = spark.range(4).selectExpr("id AS k", "id AS v").coalesce(1)
+    t = CowTable.create(spark, str(tmp_path / "legacy_head_ck"), df)
+    files, schema = t.files(), t._commit_doc(0)["schema"]
+    p = _commit_path(t.path, 0)
+    with open(p) as f:
+        doc = json.load(f)
+    doc.pop("txn", None)
+    os.remove(p)
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    # 30 legacy commits; the one for buried_app sits deep in the log
+    for v in range(1, 31):
+        app = "buried_app" if v == 5 else "noise_app"
+        t._commit(
+            v, files, "merge",
+            {
+                "parent": v - 1,
+                "app_meta": {"app_id": app, "batch_id": v},
+                "schema": schema,
+            },
+        )
+    t.checkpoint()  # head checkpoint on an all-legacy log
+    assert t._read_last_checkpoint()["version"] == 30
+    reads = []
+    orig = CowTable._commit_doc
+    try:
+        CowTable._commit_doc = (
+            lambda self, v: (reads.append(v), orig(self, v))[1]
+        )
+        # head commit is noise_app's; buried_app must come from the
+        # manifest after ONE commit-doc read, not a 26-doc walk
+        assert t.txn_version("buried_app") == 5
+        assert len(reads) == 1
+        reads.clear()
+        assert t.txn_version("ghost") == -1
+        assert len(reads) == 1
+    finally:
+        CowTable._commit_doc = orig
+
+
+def test_txn_version_at_reconstructs_legacy_commits(spark, tmp_path):
+    """txn_version_at (round-12 ADVICE #2 support) resolves the
+    CUMULATIVE high-water at any version: txn-carrying commits answer
+    from their map; a txn-less commit reconstructs from the newest
+    checkpoint at-or-below it plus the app_meta above -- never from a
+    LATER checkpoint, which would time-travel future batches in."""
+    df = spark.range(4).selectExpr("id AS k", "id AS v").coalesce(1)
+    t = CowTable.create(spark, str(tmp_path / "txn_at"), df)
+    files, schema = t.files(), t._commit_doc(0)["schema"]
+    t._commit(
+        1, files, "merge",
+        {
+            "parent": 0, "schema": schema,
+            "app_meta": {"app_id": "app", "batch_id": 7},
+            "txn": {"app": 7},
+        },
+    )
+    # v2: legacy compact (no txn, no app_meta) -- contains batch 7
+    t._commit(2, files, "compact", {"parent": 1, "schema": schema})
+    # v3: a later txn commit advancing the app
+    t._commit(
+        3, files, "merge",
+        {
+            "parent": 2, "schema": schema,
+            "app_meta": {"app_id": "app", "batch_id": 8},
+            "txn": {"app": 8},
+        },
+    )
+    t.checkpoint(3)  # newest manifest sits ABOVE the legacy commit
+    assert t.txn_version_at(0, "app") == -1
+    assert t.txn_version_at(1, "app") == 7
+    assert t.txn_version_at(2, "app") == 7   # not -1, not 8
+    assert t.txn_version_at(3, "app") == 8
+    assert t.txn_version_at(2, "ghost") == -1

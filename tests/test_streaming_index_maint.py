@@ -354,3 +354,79 @@ def test_upsert_over_live_doc_moves_index_refs(spark, staged):
     got = {r["_id"]: r for r in index.read().collect()}
     assert "n7" not in got                    # transient ref fully gone
     assert got["n1"]["refer_count"] == 4      # w1..w4 again
+
+
+def test_multifile_batch_event_order_is_file_then_row(spark, staged):
+    """Round-12 ADVICE #1: with maxFilesPerTrigger > 1 (the documented
+    production setting) one micro-batch spans several CDC files, and
+    Spark packs input splits LARGEST-FIRST -- so partition-id order
+    (monotonically_increasing_id) is not event order.  Layout here
+    makes the inversion real: the earlier file carries only the insert
+    of wz (tiny), the later file its delete plus padding (large), so
+    the delete lands in partition 0 with the SMALLER monotonic ids.
+    Ordering by the explicit (_event_file, _event_pos) columns must
+    resolve wz to its delete; id-ordering would resurrect it."""
+    corpus, index, batches_dir, ckpt = staged
+    b0 = [("insert", ("wz", "way", ["n1", "nz"], None))]
+    b1 = [("delete", ("wz", "way", ["n1", "nz"], None))] + [
+        ("insert", (f"pad{i}", "way", [f"padref{i % 3}"], None))
+        for i in range(200)
+    ]
+    _write_batch_file(spark, b0, batches_dir, 0)
+    _write_batch_file(spark, b1, batches_dir, 1)
+    run_ref_docs_maintenance_stream(
+        spark, batches_dir, corpus.path, index.path, CAP, ckpt,
+        max_files_per_trigger=2,
+    )
+    rows = _apply_cdc(_apply_cdc(_base_rows(), b0), b1)
+    got_ids = sorted(r["_id"] for r in corpus.read().collect())
+    assert "wz" not in got_ids            # delete (later file) won
+    assert got_ids == [r[0] for r in rows]
+    want = build_ref_docs(_docs(spark, rows), cap=CAP)
+    assert _canon(index.read()) == _canon(want)
+    assert "nz" not in {r["_id"] for r in index.read().collect()}
+
+
+def test_preimage_resolution_skips_postbatch_legacy_commit(spark, staged):
+    """Round-12 ADVICE #2: on a mixed legacy/new log, a commit WITHOUT
+    a txn map that lands AFTER a batch (e.g. a pre-upgrade compact)
+    still contains that batch's data -- _version_before_batch must not
+    treat it as applied=-1 and hand it back as the pre-image.  The
+    cumulative reconstruction (CowTable.txn_version_at) resolves the
+    legacy commit's true high-water from the app_meta below it."""
+    import json as _json
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _commit_path,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.index_maint import (
+        _version_before_batch,
+    )
+
+    corpus, index, _batches_dir, _ckpt = staged
+    applier = ref_docs_maintenance_batch_applier(
+        spark, corpus.path, index.path, CAP
+    )
+    applier(_batch_df(spark, _BATCHES[0]), 0)  # corpus v1 applies batch 0
+    corpus.compact(100_000)                    # v2 contains batch 0's data
+    head = corpus.version()
+    assert head == 2
+    # simulate pre-upgrade provenance: strip the compact's txn map
+    p = _commit_path(corpus.path, head)
+    with open(p) as f:
+        doc = _json.load(f)
+    doc.pop("txn", None)
+    doc.pop("app_meta", None)
+    os.remove(p)
+    with open(p, "w") as f:
+        _json.dump(doc, f)
+    # the pre-image of batch 0 is the CREATE snapshot, not the legacy
+    # compact that already absorbed the batch
+    assert corpus.txn_version_at(head, "ref_docs_maint") == 0
+    assert _version_before_batch(corpus, "ref_docs_maint", 0) == 0
+    assert _version_before_batch(corpus, "ref_docs_maint", 1) == head
+    # and the idempotence guard still sees batch 0 as applied: a
+    # forced redelivery after the legacy compact stays a no-op
+    state = (_canon(index.read()), corpus.version(), index.version())
+    applier(_batch_df(spark, _BATCHES[0]), 0)
+    assert (_canon(index.read()), corpus.version(), index.version()) == state
