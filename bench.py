@@ -120,6 +120,9 @@ EXTENDED = [
     # Round-9 additions.
     "m9_ref_docs_incremental",
     "i3_tfidf_incremental",
+    # Round-13 additions.
+    "t15_passage_dedup",
+    "v10_kmeans_ivf_training",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

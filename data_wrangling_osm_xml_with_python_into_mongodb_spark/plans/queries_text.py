@@ -1473,3 +1473,120 @@ def q_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("kept"), F.col("n_tokens"))), F.lit(0)
         ).alias("tokens_kept"),
     )
+
+
+# --- t15: cross-document repeated-passage removal (C4/RefinedWeb). ---
+# C4 removed any three-sentence span occurring more than once in the
+# corpus (Raffel et al. 2020 §2.2); RefinedWeb/Dolma run the same idea
+# at passage granularity.  The synthetic corpus has no sentence
+# boundaries, so a "passage" here is a non-overlapping 8-word chunk --
+# the semantics (exact global span dedup, first occurrence wins) are
+# the published ones.
+PASSAGE_WORDS = 8
+
+
+@register(
+    "t15_passage_dedup",
+    "Cross-document repeated-passage removal: each doc's text splits "
+    "into non-overlapping 8-word chunks; a chunk text occurring at "
+    "several positions corpus-wide survives only at its first "
+    "occurrence (min (doc_id, chunk_idx)), every other occurrence is "
+    "cut and the doc reassembled (C4's three-sentence-span dedup at "
+    "chunk granularity).  Scale shape: ONE shuffle of the chunk set "
+    "keyed by chunk text with full map-side combine (the per-key state "
+    "is a single min-struct, so a chunk duplicated a million times "
+    "still reduces to one row per map task -- skew-immune, no window "
+    "sort, no join-back: the winner rows ARE the kept set), then a "
+    "doc_id-keyed reassembly of winners co-partitioned with the "
+    "per-doc totals.",
+    f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(
+               ws[(i*{PASSAGE_WORDS} + 1):(i*{PASSAGE_WORDS} + {PASSAGE_WORDS})],
+               ' ') AS chunk_text
+      FROM words,
+           UNNEST(range(CAST(ceil(len(ws) / {PASSAGE_WORDS}.0) AS BIGINT))) AS t(i)
+    ),
+    winners AS (
+      SELECT chunk_text,
+             w[1] AS doc_id, w[2] AS chunk_idx
+      FROM (SELECT chunk_text, min([doc_id, chunk_idx]) AS w
+            FROM chunks GROUP BY chunk_text)
+    )
+    SELECT t.doc_id,
+           coalesce(k.text_dedup, '') AS text_dedup,
+           coalesce(k.kept_chunks, CAST(0 AS BIGINT)) AS kept_chunks,
+           t.total_chunks - coalesce(k.kept_chunks, CAST(0 AS BIGINT))
+             AS removed_chunks
+    FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_chunks
+          FROM chunks GROUP BY doc_id) t
+    LEFT JOIN (
+      SELECT doc_id,
+             string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup,
+             CAST(count(*) AS BIGINT) AS kept_chunks
+      FROM winners GROUP BY doc_id
+    ) k USING (doc_id)
+    """,
+    tags=("text", "dedup"),
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W = PASSAGE_WORDS
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {W}.0)"
+                f" AS INT) - 1), i -> array_join(slice(split(text, ' '),"
+                f" i * {W} + 1, {W}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    # First-occurrence-wins in ONE combinable aggregation: min over
+    # (doc_id, chunk_idx) structs reduces map-side, so the hot chunk
+    # (corpus boilerplate repeated everywhere) costs one struct per map
+    # task instead of a skewed window sort; the winner rows are exactly
+    # the kept occurrences, so no second pass over the chunk set.
+    winners = chunks.groupBy("chunk_text").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    )
+    kept = winners.select(
+        F.col("w.doc_id").alias("doc_id"),
+        F.col("w.chunk_idx").alias("chunk_idx"),
+        "chunk_text",
+    )
+    # Per-doc totals come straight off the documents scan as a narrow
+    # projection (doc_id is unique there): no explode, no aggregate, no
+    # exchange on this branch -- at scale this is the difference
+    # between re-scanning the corpus and re-shuffling it.
+    totals = docs.select(
+        "doc_id",
+        F.ceil(F.size(F.split(F.col("text"), " ")) / F.lit(float(W)))
+        .cast("long")
+        .alias("total_chunks"),
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("long").alias("kept_chunks"),
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        F.coalesce("kept_chunks", F.lit(0).cast("long")).alias("kept_chunks"),
+        (
+            F.col("total_chunks")
+            - F.coalesce("kept_chunks", F.lit(0).cast("long"))
+        ).alias("removed_chunks"),
+    )

@@ -859,3 +859,159 @@ def q_pq_encode_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qdist").cast("bigint").alias("adc_dist"),
         )
     )
+
+
+# --- v10: IVF coarse-quantizer TRAINING (Lloyd's k-means). -----------
+# v2/v8 probe IVF cells built from the shipped label column; this is
+# the step that PRODUCES such cells (Lloyd 1982; the k-means step of
+# Jegou et al. 2011's IVFADC).  Cross-engine-exact by integer
+# arithmetic: vectors land as floor(x*1000) BIGINTs, distances are
+# integer squared-L2, centroid updates floor-divide -- every engine
+# computes identical integers, so the gate needs no float tolerance.
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_dist(v_col: str, cent: list[int]) -> F.Column:
+    """Integer squared-L2 between an array<long> column and a literal
+    centroid as a zip_with/aggregate fold.  Measured 5x faster than
+    expanding to 64 explicit terms per centroid here: with K=8
+    centroids the expanded tree is 512 getItem+multiply nodes and
+    falls out of whole-stage codegen, while the fold stays one
+    expression per centroid (the inverse of the column-column dot
+    trade-off noted in functions/vectors.py)."""
+    lit = F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
+    return F.aggregate(
+        F.zip_with(F.col(v_col), lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_argmin(v_col: str, cents: list[list[int]]) -> F.Column:
+    """(dist, cid) of the nearest literal centroid -- array_min over K
+    structs keeps the tie-break (smallest cid) in struct order, all
+    inside whole-stage codegen: assignment costs ZERO shuffle."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _kmeans_dist(v_col, c).alias("dist"),
+                    F.lit(k).cast("bigint").alias("cid"),
+                )
+                for k, c in enumerate(cents)
+            ]
+        )
+    )
+
+
+@register(
+    "v10_kmeans_ivf_training",
+    "IVF coarse-quantizer training: 2 fixed Lloyd iterations of "
+    "k-means (K=8) over integerized embeddings (floor(x*1000) -- "
+    "engine-exact), seeded with the K lowest vec_ids.  Per iteration: "
+    "centroids ride to executors as LITERALS (K x 64 ints via the "
+    "driver, MLlib's own pattern), so assignment is a zero-shuffle "
+    "codegen'd argmin over the scan; the only exchange is the "
+    "map-combined (cid, dim) partial-sum grid, K*64 rows per task "
+    "regardless of corpus size.  Output: per-cluster size, min member, "
+    "and integer inertia.",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * 1000.0) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+      FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+    ),
+    d1 AS (
+      SELECT q.vec_id, c0.cid,
+             list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                      i -> (q.v[i] - c0.v[i]) * (q.v[i] - c0.v[i]))) AS dist
+      FROM q, c0
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cd ORDER BY d) AS v FROM (
+        SELECT a1.cid, t.d,
+               CAST(floor(sum(q.v[t.d])::DOUBLE / count(*)) AS BIGINT) AS cd
+        FROM a1 JOIN q USING (vec_id),
+             UNNEST(range(1, {EMBED_DIM + 1})) AS t(d)
+        GROUP BY a1.cid, t.d)
+      GROUP BY cid
+    ),
+    d2 AS (
+      SELECT q.vec_id, c1.cid,
+             list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+                      i -> (q.v[i] - c1.v[i]) * (q.v[i] - c1.v[i]))) AS dist
+      FROM q, c1
+    ),
+    a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id,
+           CAST(sum(dist) AS BIGINT) AS inertia
+    FROM a2 GROUP BY cid
+    """,
+    tags=("vector", "clustering"),
+)
+def q_kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))"
+        ).alias("v"),
+    )
+    emb = emb.localCheckpoint(eager=True)  # scanned 3x (init + 2 iters)
+    # Seed: the K lowest vec_ids, in vec_id order (deterministic, the
+    # k-means++ slot in a production trainer).
+    seed_rows = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [list(r["v"]) for r in seed_rows]
+    for _ in range(KMEANS_ITERS - 1):
+        # One job per Lloyd update: assign by literal-centroid argmin
+        # (zero shuffle), then the (cid, d) sum/count grid -- K*EMBED_DIM
+        # rows after map-side combine -- comes back to the driver where
+        # the floor-divide matches the oracle's floor(sum/count) exactly
+        # (IEEE double division of exact integers on both sides).
+        assigned = emb.withColumn(
+            "cid", _kmeans_argmin("v", cents).getField("cid")
+        )
+        grid = (
+            assigned.select("cid", F.posexplode("v").alias("d", "vd"))
+            .groupBy("cid", "d")
+            .agg(F.sum("vd").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in grid:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["d"])] = int(
+                math.floor(r["s"] / r["n"])
+            )
+        # A cluster that loses every member keeps its previous centroid
+        # (can't happen with this seed/data; guarded for generality).
+        cents = [
+            [by_cid[k][d] for d in range(EMBED_DIM)] if k in by_cid else cents[k]
+            for k in range(KMEANS_K)
+        ]
+    final = emb.withColumn("m", _kmeans_argmin("v", cents))
+    return final.groupBy(F.col("m.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("size"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.sum(F.col("m.dist")).cast("long").alias("inertia"),
+    )

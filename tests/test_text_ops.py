@@ -86,3 +86,55 @@ def test_bm25_topk_is_deterministic_and_positive(spark):
     assert all(s > 0 for _, s in a)
     # descending by score, doc_id tiebreak
     assert a == sorted(a, key=lambda r: (-r[1], r[0]))
+
+
+def test_t15_passage_dedup_planted(spark, tmp_path):
+    """First-occurrence-wins at chunk granularity: a chunk shared with
+    an earlier doc is cut, a doc that is a full duplicate empties out,
+    sub-chunk-length docs pass through."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_text import (
+        q_passage_dedup,
+    )
+
+    head = "a b c d e f g h"           # one full chunk, shared
+    docs = [
+        (0, f"{head} x1 x2 x3", "en", "s", 0),
+        (1, f"{head} y1 y2 y3 y4", "en", "s", 0),   # loses the head
+        (2, "short text only", "en", "s", 0),        # < 8 words: kept
+        (3, f"{head} x1 x2 x3", "en", "s", 0),       # full dup: empties
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in q_passage_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["text_dedup"] == f"{head} x1 x2 x3"
+    assert got[0]["removed_chunks"] == 0
+    assert got[1]["text_dedup"] == "y1 y2 y3 y4"
+    assert got[1]["kept_chunks"] == 1 and got[1]["removed_chunks"] == 1
+    assert got[2]["text_dedup"] == "short text only"
+    assert got[3]["text_dedup"] == "" and got[3]["kept_chunks"] == 0
+    assert got[3]["removed_chunks"] == 2
+
+
+def test_v10_kmeans_empty_cluster_guard(spark, tmp_path):
+    """All-identical vectors: every point ties to cluster 0 (struct
+    tie-break on smallest cid), clusters 1..7 lose all members, and the
+    guard must keep their previous centroids instead of KeyError-ing.
+    Result: one cluster, zero inertia."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_vectors import (
+        q_kmeans_ivf_training,
+    )
+
+    vec = [float(i % 5) / 10.0 for i in range(64)]
+    rows = [(i, vec, 0) for i in range(10)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = q_kmeans_ivf_training(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["cluster_id"] == 0 and r["size"] == 10
+    assert r["min_vec_id"] == 0 and r["inertia"] == 0
