@@ -430,3 +430,24 @@ def test_preimage_resolution_skips_postbatch_legacy_commit(spark, staged):
     state = (_canon(index.read()), corpus.version(), index.version())
     applier(_batch_df(spark, _BATCHES[0]), 0)
     assert (_canon(index.read()), corpus.version(), index.version()) == state
+
+
+def test_applier_honors_producer_seq_column(spark, staged):
+    """Contract extension: a CDC feed may ship its own ``_seq``
+    ordering column (Debezium-style LSN/offset).  The applier must
+    order by it -- here the delete is FIRST in row order (so the
+    partition-id fallback would resolve the insert as last and keep
+    the doc) but LAST by _seq, so the doc must come out deleted."""
+    corpus, index, _batches_dir, _ckpt = staged
+    rows = [
+        ("wz", "way", ["n1"], None, "delete", 1),
+        ("wz", "way", ["n1"], None, "insert", 0),
+    ]
+    batch = spark.createDataFrame(
+        rows, DOC_COLS + ", _op string, _seq long"
+    ).coalesce(1)
+    applier = ref_docs_maintenance_batch_applier(
+        spark, corpus.path, index.path, CAP
+    )
+    applier(batch, 0)
+    assert "wz" not in {r["_id"] for r in corpus.read().collect()}
