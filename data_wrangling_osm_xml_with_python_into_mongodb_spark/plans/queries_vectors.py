@@ -978,7 +978,11 @@ def q_kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))"
         ).alias("v"),
     )
-    emb = emb.localCheckpoint(eager=True)  # scanned 3x (init + 2 iters)
+    # Deliberately NOT checkpointed: the plan is re-executed per Lloyd
+    # job (init + one per iteration), but each execution is a
+    # column-pruned parquet scan + narrow transform -- at corpus scale
+    # three cheap scans beat materializing the integerized vectors to
+    # executor disk.
     # Seed: the K lowest vec_ids, in vec_id order (deterministic, the
     # k-means++ slot in a production trainer).
     seed_rows = emb.orderBy("vec_id").limit(KMEANS_K).collect()
