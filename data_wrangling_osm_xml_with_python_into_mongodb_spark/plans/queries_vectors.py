@@ -905,18 +905,29 @@ def _kmeans_argmin(v_col: str, cents: list[list[int]]) -> F.Column:
     )
 
 
-@register(
-    "v10_kmeans_ivf_training",
-    "IVF coarse-quantizer training: 2 fixed Lloyd iterations of "
-    "k-means (K=8) over integerized embeddings (floor(x*1000) -- "
-    "engine-exact), seeded with the K lowest vec_ids.  Per iteration: "
-    "centroids ride to executors as LITERALS (K x 64 ints via the "
-    "driver, MLlib's own pattern), so assignment is a zero-shuffle "
-    "codegen'd argmin over the scan; the only exchange is the "
-    "map-combined (cid, dim) partial-sum grid, K*64 rows per task "
-    "regardless of corpus size.  Output: per-cluster size, min member, "
-    "and integer inertia.",
-    f"""
+# Literal-argmin plan size grows O(K*dim) expression nodes -- fine at
+# coarse-quantizer K=8, plan-size/codegen-bounded well before the
+# K=4096+ a production IVF trains.  Past this K the broadcast-centroid
+# assignment (centroids ride as ONE broadcast row holding an
+# array<struct<cid,v>>, argmin is a transform+array_min over it) wins:
+# its plan is O(1) in K and the per-row work identical.  Crossover
+# A/B-measured at K=8/64/512 in tools/ab_kmeans_broadcast.py (PERF.md
+# round-14 addendum): at K=8 the two are within noise, at K=64 literal
+# analysis/codegen already costs ~2x, at K=512 the literal plan is
+# deep in analyzer territory while broadcast stays flat.
+KMEANS_LITERAL_MAX_K = 16
+KMEANS_BROADCAST_K = 64  # v11's K: exercises the broadcast path
+
+
+def _kmeans_oracle_sql(k: int, dim: int = EMBED_DIM) -> str:
+    """DuckDB oracle for 2-iteration integer-exact Lloyd k-means,
+    parameterized by K (v10 at K=8, v11 at K=64).  The c1 CTE mirrors
+    the engine's dead-cluster guard: a cluster that loses every member
+    in iteration 1 KEEPS its seed centroid (LEFT JOIN from c0,
+    coalesce) -- without this, the engines would diverge exactly when
+    the guard fires (unreachable for this seed/data, but the oracle
+    must encode the same semantics, not a lucky subset)."""
+    return f"""
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -925,11 +936,11 @@ def _kmeans_argmin(v_col: str, cents: list[list[int]]) -> F.Column:
     ),
     c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
-      FROM q ORDER BY vec_id LIMIT {KMEANS_K}
+      FROM q ORDER BY vec_id LIMIT {k}
     ),
     d1 AS (
       SELECT q.vec_id, c0.cid,
-             list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+             list_sum(list_transform(range(1, {dim + 1}),
                       i -> (q.v[i] - c0.v[i]) * (q.v[i] - c0.v[i]))) AS dist
       FROM q, c0
     ),
@@ -939,18 +950,22 @@ def _kmeans_argmin(v_col: str, cents: list[list[int]]) -> F.Column:
                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         FROM d1) WHERE rn = 1
     ),
-    c1 AS (
+    g1 AS (
       SELECT cid, list(cd ORDER BY d) AS v FROM (
         SELECT a1.cid, t.d,
                CAST(floor(sum(q.v[t.d])::DOUBLE / count(*)) AS BIGINT) AS cd
         FROM a1 JOIN q USING (vec_id),
-             UNNEST(range(1, {EMBED_DIM + 1})) AS t(d)
+             UNNEST(range(1, {dim + 1})) AS t(d)
         GROUP BY a1.cid, t.d)
       GROUP BY cid
     ),
+    c1 AS (
+      SELECT c0.cid, coalesce(g1.v, c0.v) AS v
+      FROM c0 LEFT JOIN g1 ON c0.cid = g1.cid
+    ),
     d2 AS (
       SELECT q.vec_id, c1.cid,
-             list_sum(list_transform(range(1, {EMBED_DIM + 1}),
+             list_sum(list_transform(range(1, {dim + 1}),
                       i -> (q.v[i] - c1.v[i]) * (q.v[i] - c1.v[i]))) AS dist
       FROM q, c1
     ),
@@ -965,31 +980,54 @@ def _kmeans_argmin(v_col: str, cents: list[list[int]]) -> F.Column:
            CAST(min(vec_id) AS BIGINT) AS min_vec_id,
            CAST(sum(dist) AS BIGINT) AS inertia
     FROM a2 GROUP BY cid
-    """,
-    tags=("vector", "clustering"),
-)
-def q_kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
+    """
 
-    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+
+def _integerized_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings as (vec_id, v: array<bigint>) -- floor(x*1000), the
+    cross-engine-exact integerization every k-means query trains on.
+    Deliberately NOT checkpointed: the plan is re-executed per Lloyd
+    job (init + one per iteration), but each execution is a
+    column-pruned parquet scan + narrow transform -- at corpus scale
+    three cheap scans beat materializing the integerized vectors to
+    executor disk."""
+    return _spread(_t(spark, sf_dir, "embeddings")).select(
         "vec_id",
         F.expr(
             "transform(embedding, x -> "
             "CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))"
         ).alias("v"),
     )
-    # Deliberately NOT checkpointed: the plan is re-executed per Lloyd
-    # job (init + one per iteration), but each execution is a
-    # column-pruned parquet scan + narrow transform -- at corpus scale
-    # three cheap scans beat materializing the integerized vectors to
-    # executor disk.
+
+
+def _kmeans_summary(final: DataFrame) -> DataFrame:
+    """Per-cluster (size, min member, integer inertia) from a frame
+    carrying the (dist, cid) argmin struct in column ``m``."""
+    return final.groupBy(F.col("m.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("size"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+        F.sum(F.col("m.dist")).cast("long").alias("inertia"),
+    )
+
+
+def _kmeans_train_literal(emb: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd training with centroids as PLAN LITERALS (K x dim ints via
+    the driver, MLlib's own driver-roundtrip pattern): assignment is a
+    zero-shuffle codegen'd argmin over the scan; the only exchange is
+    the map-combined (cid, dim) partial-sum grid, K*dim rows per task
+    regardless of corpus size.  Right at coarse K (the plan embeds
+    K*dim literal nodes -- see KMEANS_LITERAL_MAX_K for where that
+    stops scaling)."""
+    import math
+
     # Seed: the K lowest vec_ids, in vec_id order (deterministic, the
     # k-means++ slot in a production trainer).
-    seed_rows = emb.orderBy("vec_id").limit(KMEANS_K).collect()
+    seed_rows = emb.orderBy("vec_id").limit(k).collect()
     cents = [list(r["v"]) for r in seed_rows]
-    for _ in range(KMEANS_ITERS - 1):
+    dim = len(cents[0])
+    for _ in range(iters - 1):
         # One job per Lloyd update: assign by literal-centroid argmin
-        # (zero shuffle), then the (cid, d) sum/count grid -- K*EMBED_DIM
+        # (zero shuffle), then the (cid, d) sum/count grid -- K*dim
         # rows after map-side combine -- comes back to the driver where
         # the floor-divide matches the oracle's floor(sum/count) exactly
         # (IEEE double division of exact integers on both sides).
@@ -1008,14 +1046,167 @@ def q_kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                 math.floor(r["s"] / r["n"])
             )
         # A cluster that loses every member keeps its previous centroid
-        # (can't happen with this seed/data; guarded for generality).
+        # (can't happen with this seed/data; the oracle's c1 CTE
+        # carries the SAME guard, so if it ever fires both engines
+        # stay in lockstep).
         cents = [
-            [by_cid[k][d] for d in range(EMBED_DIM)] if k in by_cid else cents[k]
-            for k in range(KMEANS_K)
+            [by_cid[c][d] for d in range(dim)] if c in by_cid else cents[c]
+            for c in range(k)
         ]
     final = emb.withColumn("m", _kmeans_argmin("v", cents))
-    return final.groupBy(F.col("m.cid").alias("cluster_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("size"),
-        F.min("vec_id").cast("long").alias("min_vec_id"),
-        F.sum(F.col("m.dist")).cast("long").alias("inertia"),
+    return _kmeans_summary(final)
+
+
+def _kmeans_argmin_bcast() -> F.Column:
+    """(dist, cid) of the nearest centroid from a BROADCAST ``cents``
+    column (array<struct<cid,v>>, one row for the whole corpus):
+    transform computes the zip_with integer squared-L2 fold per
+    centroid, array_min keeps the (dist, cid)-lexicographic winner --
+    smallest distance, then smallest cid, the same tie-break as the
+    literal argmin and the oracle's row_number ORDER BY dist, cid."""
+    return F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), c["v"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
+
+
+def _kmeans_train_broadcast(emb: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd training with centroids as a BROADCAST one-row frame: the
+    K-row (cid, v) centroid table collapses to a single
+    array<struct<cid,v>> row that rides to every task via a broadcast
+    cross join (K*dim ints of DATA, not plan nodes), so the plan stays
+    O(1) in K -- the strategy that scales to production coarse-
+    quantizer K (4096+), where the literal plan blows analyzer/codegen
+    budgets.  Assignment per row is transform+array_min over the
+    broadcast array (still zero shuffle for the corpus); the centroid
+    update is the same map-combined K*dim (cid, d) grid, but folded
+    back into a K-row DataFrame DISTRIBUTED-side -- no driver
+    roundtrip -- with the dead-cluster guard as a LEFT JOIN back to
+    the previous centroids (coalesce keeps a dead cluster's centroid,
+    mirroring the oracle's c1 CTE).  Each iteration's K-row centroid
+    frame is localCheckpoint'ed: K rows, truncates what would
+    otherwise be an exponentially nesting lineage across iterations."""
+    # Seed cids via collect_list + posexplode, not a row_number window:
+    # the K seed rows collapse to one sorted array (struct order =
+    # vec_id order) and the explode position IS the cid -- same result,
+    # no global-window single-partition plan node.
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("s"))
+        .select(F.posexplode("s").alias("cid", "sv"))
+        .select(F.col("cid").cast("bigint").alias("cid"), F.col("sv.v").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    def one_row(cdf: DataFrame) -> DataFrame:
+        return cdf.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "v"))).alias("cents")
+        )
+
+    for _ in range(iters - 1):
+        assigned = (
+            emb.crossJoin(F.broadcast(one_row(cents)))
+            .withColumn("m", _kmeans_argmin_bcast())
+            .select("vec_id", "v", F.col("m.cid").alias("cid"))
+        )
+        # floor(sum/count): bigint/bigint is IEEE double division in
+        # both engines (exact for these magnitudes), floor of it is
+        # bit-identical -- the same contract the literal path's driver
+        # math.floor keeps.
+        grid = (
+            assigned.select("cid", F.posexplode("v").alias("d", "vd"))
+            .groupBy("cid", "d")
+            .agg(
+                F.floor(F.sum("vd") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("cd")
+            )
+        )
+        new = (
+            grid.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "cd"))).alias("p"))
+            .select(
+                "cid", F.transform("p", lambda x: x["cd"]).alias("v")
+            )
+        )
+        cents = (
+            cents.alias("prev")
+            .join(new.alias("nw"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("nw.v"), F.col("prev.v")).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = emb.crossJoin(F.broadcast(one_row(cents))).withColumn(
+        "m", _kmeans_argmin_bcast()
+    )
+    return _kmeans_summary(final)
+
+
+def _kmeans_train(
+    emb: DataFrame, k: int, iters: int, strategy: str | None = None
+) -> DataFrame:
+    """Dispatch Lloyd training by K: literal-centroid argmin (zero
+    plan-side joins, K*dim literal nodes) up to KMEANS_LITERAL_MAX_K,
+    broadcast-centroid (O(1) plan, one broadcast row) above it.  Both
+    compute identical integers -- pinned by
+    tests/test_vector_queries.py::test_kmeans_literal_eq_broadcast."""
+    if strategy is None:
+        strategy = "literal" if k <= KMEANS_LITERAL_MAX_K else "broadcast"
+    if strategy == "literal":
+        return _kmeans_train_literal(emb, k, iters)
+    if strategy == "broadcast":
+        return _kmeans_train_broadcast(emb, k, iters)
+    raise ValueError(f"unknown k-means strategy {strategy!r}")
+
+
+@register(
+    "v10_kmeans_ivf_training",
+    "IVF coarse-quantizer training: 2 fixed Lloyd iterations of "
+    "k-means (K=8) over integerized embeddings (floor(x*1000) -- "
+    "engine-exact), seeded with the K lowest vec_ids.  At this K the "
+    "trainer picks the LITERAL strategy: centroids ride to executors "
+    "as literals (K x 64 ints via the driver, MLlib's own pattern), "
+    "so assignment is a zero-shuffle codegen'd argmin over the scan; "
+    "the only exchange is the map-combined (cid, dim) partial-sum "
+    "grid, K*64 rows per task regardless of corpus size.  Output: "
+    "per-cluster size, min member, and integer inertia.",
+    _kmeans_oracle_sql(KMEANS_K),
+    tags=("vector", "clustering"),
+)
+def q_kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _integerized_emb(spark, sf_dir)
+    return _kmeans_train(emb, KMEANS_K, KMEANS_ITERS)
+
+
+@register(
+    "v11_kmeans_broadcast_training",
+    "The SAME Lloyd trainer at production-shaped K=64, exercising the "
+    "BROADCAST-centroid strategy: the centroid table collapses to one "
+    "broadcast array<struct<cid,v>> row (data, not plan nodes), "
+    "assignment is transform+array_min over it (plan O(1) in K -- the "
+    "literal plan embeds K*dim expression nodes and stops scaling "
+    "near K~100s, A/B-measured in PERF.md), and the centroid update "
+    "folds the map-combined (cid,d) grid back into a K-row frame "
+    "distributed-side with a LEFT-JOIN dead-cluster guard -- no "
+    "driver roundtrip anywhere, the shape that holds at IVF "
+    "coarse-quantizer K=4096+.",
+    _kmeans_oracle_sql(KMEANS_BROADCAST_K),
+    tags=("vector", "clustering"),
+)
+def q_kmeans_broadcast_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _integerized_emb(spark, sf_dir)
+    return _kmeans_train(emb, KMEANS_BROADCAST_K, KMEANS_ITERS)

@@ -71,3 +71,87 @@ def test_pq_anchor_self_encoding_and_code_range(spark):
         i for i, r in enumerate(ranked) if r["vec_id"] == qv._PQ_QUERY_ID
     )
     assert pos < len(ranked) / 10, pos
+
+
+def _kmeans_rows(df):
+    return sorted(
+        (int(r["cluster_id"]), int(r["size"]), int(r["min_vec_id"]),
+         int(r["inertia"]))
+        for r in df.collect()
+    )
+
+
+def test_kmeans_literal_eq_broadcast(spark):
+    """The two Lloyd strategies are the SAME function of the data: at
+    K=8 (where both are cheap enough to run) the literal-argmin
+    trainer and the broadcast-centroid trainer must produce identical
+    per-cluster summaries -- sizes, min members, and integer inertia
+    -- because every intermediate is exact integer arithmetic.  This
+    is the gate that lets the K-threshold dispatch swap strategies
+    without a semantics change."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import (
+        queries_vectors as qv,
+    )
+
+    emb = qv._integerized_emb(spark, "/root/testdata/sf0.001")
+    lit = qv._kmeans_train(emb, 8, 2, strategy="literal")
+    bc = qv._kmeans_train(emb, 8, 2, strategy="broadcast")
+    assert _kmeans_rows(lit) == _kmeans_rows(bc)
+
+
+def test_kmeans_dead_cluster_guard_fires_identically(spark):
+    """Stage an ACTUAL dead cluster -- duplicate seed vectors, so the
+    cid-tie-break funnels every member to the lower cid and the upper
+    seed cluster empties after iteration 1 -- and pin that (a) both
+    Spark strategies keep the dead cluster's previous centroid without
+    diverging, and (b) the oracle SQL's mirrored guard (c1 LEFT JOIN
+    coalesce) computes the same final assignment in DuckDB.  This is
+    the exact scenario where an unguarded oracle would silently drop
+    the cluster and assign its would-be members elsewhere."""
+    import duckdb
+    from pyspark.sql import functions as F  # noqa: F401
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import (
+        queries_vectors as qv,
+    )
+
+    # vec 0 and vec 1 are identical -> seeds c0 == c1; every point is
+    # equidistant to both, tie-break sends all to c0; c1 goes dead.
+    data = [
+        (0, [0.0, 0.0]),
+        (1, [0.0, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [0.0, 10.0]),
+    ]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    iv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 1000.0D) AS BIGINT))"
+        ).alias("v"),
+    )
+    lit = _kmeans_rows(qv._kmeans_train(iv, 2, 2, strategy="literal"))
+    bc = _kmeans_rows(qv._kmeans_train(iv, 2, 2, strategy="broadcast"))
+    assert lit == bc
+    # The guard is observable in the OUTPUT here: cluster 1 died in
+    # iteration 1 (zero members), kept its seed centroid [0,0], and
+    # then WON BACK the two origin points in the final assignment
+    # (cluster 0's updated centroid moved to [2500,2500]).  An
+    # unguarded engine (or oracle) would have no cluster 1 at all and
+    # put all four points in cluster 0.
+    assert [(r[0], r[1]) for r in lit] == [(0, 2), (1, 2)]
+
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": [d[0] for d in data],
+             "embedding": [d[1] for d in data]}
+        ),
+    )
+    oracle = con.execute(qv._kmeans_oracle_sql(2, dim=2)).fetchall()
+    assert sorted(
+        (int(a), int(b), int(c), int(d)) for a, b, c, d in oracle
+    ) == lit
