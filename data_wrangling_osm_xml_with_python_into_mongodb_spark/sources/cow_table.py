@@ -437,7 +437,9 @@ class CowTable:
         except (OSError, ValueError):
             return None
 
-    def txn_version_at(self, version: int, app_id: str) -> int:
+    def txn_version_at(
+        self, version: int, app_id: str, _cache: dict | None = None
+    ) -> int:
         """Cumulative txn high-water for ``app_id`` as of ``version``
         (largest batch id any commit <= version applied; -1 if none).
         One commit-doc read when the commit carries the cumulative
@@ -447,17 +449,39 @@ class CowTable:
         bounded walk :meth:`_next_txn` uses.  This is what time-travel
         consumers (streaming pre-image resolution) must call: assuming
         a txn-less commit applied nothing would mis-date any legacy
-        commit that POSTDATES the batch."""
-        doc = self._commit_doc(version)
+        commit that POSTDATES the batch.
+
+        ``_cache``: caller-scoped memo (commit docs + the checkpoint
+        anchor) for loops that resolve MANY versions against one
+        immutable log snapshot -- e.g. the streaming pre-image walk.
+        Without it, an all-legacy, checkpoint-less log costs O(version)
+        commit-doc READS per call, O(n^2) across a descending walk;
+        with it, each doc is read once (reads O(n) total; the CPU-side
+        rescan of the memo stays O(n^2) worst-case but touches no
+        storage).  Safe because committed docs are immutable -- the log
+        is append-only and vacuum never rewrites commit metadata."""
+        if _cache is None:
+            _cache = {}
+
+        def doc_at(v: int) -> dict:
+            key = ("doc", v)
+            if key not in _cache:
+                _cache[key] = self._commit_doc(v)
+            return _cache[key]
+
+        doc = doc_at(version)
         if "txn" in doc:
             return int(doc["txn"].get(app_id, -1))
         best, start = -1, 0
-        ck = self._checkpoint_at_or_below(version)
+        ck_key = ("ckpt_at_or_below", version)
+        if ck_key not in _cache:
+            _cache[ck_key] = self._checkpoint_at_or_below(version)
+        ck = _cache[ck_key]
         if ck is not None:
             best = int(ck.get("txn", {}).get(app_id, -1))
             start = ck["version"] + 1
         for v in range(start, version + 1):
-            m = self._commit_doc(v).get("app_meta") or {}
+            m = doc_at(v).get("app_meta") or {}
             if m.get("app_id") == app_id:
                 best = max(best, int(m["batch_id"]))
         return best

@@ -73,14 +73,23 @@ def _version_before_batch(table: CowTable, app_id: str, batch_id: int) -> int:
     diff against.  In the normal flow this is the head (one commit-doc
     read: the head's high-water is batch_id - 1); on replay after a
     crash between the corpus and index merges it is the head's parent.
-    The walk is bounded by the replay horizon, never the log length.
-    Each step resolves the CUMULATIVE high-water at that version
-    (CowTable.txn_version_at): a commit without its own txn map -- e.g.
-    a pre-upgrade compact landing AFTER the batch on a mixed legacy/new
-    log -- still contains the batch's data, so treating it as
-    applied=-1 would hand replay a post-image as the pre-image."""
+    The walk is bounded by the replay horizon, never the log length,
+    WHEN commits carry txn maps (every post-upgrade commit does: one
+    head read answers each step).  Each step resolves the CUMULATIVE
+    high-water at that version (CowTable.txn_version_at): a commit
+    without its own txn map -- e.g. a pre-upgrade compact landing
+    AFTER the batch on a mixed legacy/new log -- still contains the
+    batch's data, so treating it as applied=-1 would hand replay a
+    post-image as the pre-image.  A shared memo caps the ALL-legacy
+    worst case (checkpoint-less log of txn-less commits, where each
+    step reconstructs from commit 0) at one READ per commit doc total
+    -- O(n) storage reads, not the O(n^2) a memo-less descending walk
+    would pay; the in-memory rescan of cached docs remains O(n^2)
+    worst-case, acceptable for a shape that cannot persist past the
+    first post-upgrade commit or checkpoint."""
+    memo: dict = {}
     for v in range(table.version(), -1, -1):
-        if table.txn_version_at(v, app_id) < batch_id:
+        if table.txn_version_at(v, app_id, _cache=memo) < batch_id:
             return v
     raise RuntimeError(
         f"no snapshot of {table.path} predates batch {batch_id} for "
@@ -103,20 +112,40 @@ def read_doc_cdc_stream(
 
     Event ORDER ships as explicit columns, not partition layout: the
     producer appends files in sequence and writes rows in event order
-    within each file, so (``_event_file`` = ``_metadata.file_path``,
-    ``_event_pos`` = ``_metadata.row_index``) totally orders a batch's
-    events even when a micro-batch spans several CDC files
-    (maxFilesPerTrigger > 1) or Spark splits one file across tasks --
-    the regimes where partition-id order (what
+    within each file, so (``_event_seq``, ``_event_file`` =
+    ``_metadata.file_path``, ``_event_pos`` = ``_metadata.row_index``)
+    totally orders a batch's events even when a micro-batch spans
+    several CDC files (maxFilesPerTrigger > 1) or Spark splits one
+    file across tasks -- the regimes where partition-id order (what
     monotonically_increasing_id encodes) is NOT event order, because
-    the file source packs splits largest-first."""
+    the file source packs splits largest-first.
+
+    FILE-ORDER CONTRACT: ``_event_seq`` is the trailing integer run of
+    the file's basename (``batch7`` / ``batch007`` / ``batch_1000`` all
+    yield their number), compared NUMERICALLY -- so an unpadded
+    producer rolling past a digit boundary (``batch999`` ->
+    ``batch1000``) still orders correctly, where bare lexicographic
+    path order would put 1000 before 999 and let a resurrected insert
+    win over a later delete.  Files with NO trailing number fall back
+    to ``_event_seq = -1`` and order lexicographically by full path
+    among themselves; a producer using non-numeric names must
+    therefore name files so lexicographic order IS append order (or
+    ship an explicit per-event ``_seq`` column, which the applier
+    prefers to file order whenever present)."""
     reader = spark.readStream.schema(_DOC_CDC_COLS).option(
         "pathGlobFilter", "*.parquet"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     return reader.parquet(batches_dir).select(
         "*",
+        F.coalesce(
+            F.regexp_extract(fname, r"(\d+)(?:\.[A-Za-z0-9]+)*$", 1).cast(
+                "long"
+            ),
+            F.lit(-1).cast("long"),
+        ).alias("_event_seq"),
         F.col("_metadata.file_path").alias("_event_file"),
         F.col("_metadata.row_index").alias("_event_pos"),
     )
@@ -172,9 +201,27 @@ def ref_docs_maintenance_batch_applier(
         from pyspark.sql import Window
 
         cols = set(batch_df.columns)
-        if {"_event_file", "_event_pos"} <= cols:
+        if "_seq" in cols and {"_event_file", "_event_pos"} <= cols:
+            # A producer-side per-event sequence outranks file order
+            # whenever the feed carries both -- it is authoritative by
+            # definition, and immune to any file-naming convention.
+            order = [F.desc("_seq")]
+            drop = ["_seq", "_event_file", "_event_pos"]
+            if "_event_seq" in cols:
+                drop.append("_event_seq")
+        elif {"_event_file", "_event_pos"} <= cols:
+            # File order: numeric filename sequence first (shipped by
+            # read_doc_cdc_stream; -1 when the name has no trailing
+            # number), then full path lexicographically as the
+            # non-numeric fallback, then in-file row index.  The
+            # numeric key is what keeps an unpadded producer correct
+            # across digit-boundary rollovers (batch999 -> batch1000),
+            # where path order alone would invert the two files.
             order = [F.desc("_event_file"), F.desc("_event_pos")]
             drop = ["_event_file", "_event_pos"]
+            if "_event_seq" in cols:
+                order = [F.desc("_event_seq")] + order
+                drop.append("_event_seq")
         elif "_seq" in cols:
             order, drop = [F.desc("_seq")], ["_seq"]
         else:

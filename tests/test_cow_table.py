@@ -1141,3 +1141,51 @@ def test_txn_version_at_reconstructs_legacy_commits(spark, tmp_path):
     assert t.txn_version_at(2, "app") == 7   # not -1, not 8
     assert t.txn_version_at(3, "app") == 8
     assert t.txn_version_at(2, "ghost") == -1
+
+
+def test_preimage_walk_all_legacy_reads_each_doc_once(spark, tmp_path):
+    """Round-13 ADVICE #3: on an ALL-legacy, checkpoint-less log the
+    descending pre-image walk calls txn_version_at per step, and each
+    step's reconstruction spans commits 0..v -- O(n^2) commit-doc
+    READS without memoization.  _version_before_batch shares one memo
+    across the walk, so every commit doc is read from storage at most
+    once: total reads stay O(n) no matter how deep the walk goes."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.index_maint import (
+        _version_before_batch,
+    )
+
+    df = spark.range(4).selectExpr("id AS k", "id AS v").coalesce(1)
+    t = CowTable.create(spark, str(tmp_path / "legacy_walk"), df)
+    t.checkpoint_interval = 0  # never auto-checkpoint: worst case
+    p = _commit_path(t.path, 0)
+    with open(p) as f:
+        doc = json.load(f)
+    doc.pop("txn", None)
+    os.remove(p)
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    files, schema = t.files(), doc["schema"]
+    n = 12
+    for v in range(1, n + 1):
+        # batch 0's app_meta sits at v=1; everything above is txn-less
+        # noise, so the walk must descend all the way to the create.
+        extra = {"parent": v - 1, "schema": schema}
+        if v == 1:
+            extra["app_meta"] = {"app_id": "maint", "batch_id": 0}
+        t._commit(v, files, "merge", extra)
+    assert t._read_last_checkpoint() is None
+    reads = []
+    orig = CowTable._commit_doc
+    try:
+        CowTable._commit_doc = (
+            lambda self, v: (reads.append(v), orig(self, v))[1]
+        )
+        assert _version_before_batch(t, "maint", 0) == 0
+        # one read per distinct doc (n+1 commits), never the ~n^2/2 an
+        # unmemoized descending walk would pay
+        assert len(reads) == len(set(reads)) <= n + 1
+    finally:
+        CowTable._commit_doc = orig
+    # and the memo changes no answers: spot-check against fresh calls
+    assert t.txn_version_at(n, "maint") == 0
+    assert t.txn_version_at(0, "maint") == -1

@@ -451,3 +451,34 @@ def test_applier_honors_producer_seq_column(spark, staged):
     )
     applier(batch, 0)
     assert "wz" not in {r["_id"] for r in corpus.read().collect()}
+
+
+def test_multifile_batch_order_survives_digit_rollover(spark, staged):
+    """Round-13 ADVICE #1: the producer names CDC files batch{n:03d},
+    which is zero-padded only up to n=999 -- 'batch1000.parquet' sorts
+    lexicographically BEFORE 'batch999.parquet'.  If the applier
+    ordered by the raw file path, a delete in file 1000 would lose to
+    an insert in file 999 inside one micro-batch and resurrect the
+    doc.  The stream ships _event_seq (the filename's trailing integer,
+    compared numerically), so the rollover pair must still resolve to
+    the later file's delete."""
+    corpus, index, batches_dir, ckpt = staged
+    b999 = [("insert", ("wz", "way", ["n1", "nz"], None))]
+    b1000 = [("delete", ("wz", "way", ["n1", "nz"], None))] + [
+        ("insert", (f"pad{i}", "way", [f"padref{i % 3}"], None))
+        for i in range(200)
+    ]
+    _write_batch_file(spark, b999, batches_dir, 999)
+    _write_batch_file(spark, b1000, batches_dir, 1000)
+    assert sorted(os.listdir(batches_dir))[0] == "batch1000.parquet"
+    run_ref_docs_maintenance_stream(
+        spark, batches_dir, corpus.path, index.path, CAP, ckpt,
+        max_files_per_trigger=2,
+    )
+    rows = _apply_cdc(_apply_cdc(_base_rows(), b999), b1000)
+    got_ids = sorted(r["_id"] for r in corpus.read().collect())
+    assert "wz" not in got_ids            # numerically-later delete won
+    assert got_ids == [r[0] for r in rows]
+    want = build_ref_docs(_docs(spark, rows), cap=CAP)
+    assert _canon(index.read()) == _canon(want)
+    assert "nz" not in {r["_id"] for r in index.read().collect()}
