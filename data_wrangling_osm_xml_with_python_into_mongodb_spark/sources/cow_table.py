@@ -953,11 +953,45 @@ class CowTable:
                     )
         except Exception:
             pass
+        # Checkpoint-file GC (Delta keeps the last N checkpoints; a
+        # maintained table otherwise accrues one NNNNNNNN.checkpoint
+        # .json per interval FOREVER -- the last unbounded metadata
+        # file series).  Retention anchor: the newest checkpoint
+        # at-or-below the retained-snapshot floor ``lo`` -- every
+        # _checkpoint_at_or_below(v) for a version in the retained
+        # window [lo, head] resolves to a checkpoint >= anchor, so
+        # deleting the ones strictly below it cannot change any
+        # reconstruction a reader of retained data performs.  Versions
+        # below ``lo`` already raise on data read (vacuumed); their
+        # txn reconstructions just fall back to full walks --
+        # checkpoints are an optimization, never load-bearing for
+        # correctness.  Best-effort like every metadata-plane op.
+        ckpts_deleted = 0
+        try:
+            ld = _log_dir(self.path)
+            cks = sorted(
+                int(n[:8])
+                for n in os.listdir(ld)
+                if n.endswith(".checkpoint.json")
+            )
+            anchors = [v for v in cks if v <= lo]
+            if anchors:
+                anchor = max(anchors)
+                for v in cks:
+                    if v < anchor:
+                        try:
+                            os.unlink(_checkpoint_path(self.path, v))
+                            ckpts_deleted += 1
+                        except FileNotFoundError:
+                            pass
+        except Exception:
+            pass
         return {
             "op": "vacuum",
             "retained_versions": [lo, latest],
             "files_deleted": deleted,
             "orphans_in_grace": orphans_kept,
+            "checkpoints_deleted": ckpts_deleted,
         }
 
     def merge(

@@ -482,3 +482,59 @@ def test_multifile_batch_order_survives_digit_rollover(spark, staged):
     want = build_ref_docs(_docs(spark, rows), cap=CAP)
     assert _canon(index.read()) == _canon(want)
     assert "nz" not in {r["_id"] for r in index.read().collect()}
+
+
+def test_foreign_commit_mid_batch_forces_rebase_and_converges(spark, staged):
+    """Round-13 VERDICT #6: a THIRD-PARTY writer lands commits between
+    a batch's corpus merge and index merge -- (a) a corpus compact
+    moves the corpus head mid-batch, and (b) a foreign disjoint-key
+    index merge steals the exact version the applier's index merge is
+    about to commit, forcing its optimistic attempt into
+    ConcurrentWriteError and the retries=2 rebase to re-plan against
+    the moved head.  Pinned: the race actually fired, the rebase
+    landed (not swallowed, not conflicted), the foreign row survived
+    the rebased merge's carry-over, and after draining the remaining
+    batches the maintained keys equal the capped rebuild oracle."""
+    corpus, index, _batches_dir, _ckpt = staged
+    applier = ref_docs_maintenance_batch_applier(
+        spark, corpus.path, index.path, CAP
+    )
+    foreign = spark.createDataFrame(
+        [("zzforeign", ["w1"], 1)],
+        "_id string, refers array<string>, refer_count long",
+    )
+    orig_commit = CowTable._commit
+    fired = {}
+
+    def racing_commit(self, version, files, op, stats):
+        if self.path == index.path and op == "merge" and not fired:
+            fired["stolen_version"] = version
+            CowTable._commit = orig_commit  # unpatch before foreign ops
+            # (a) corpus maintenance lands mid-batch: moved corpus head
+            CowTable(spark, corpus.path).compact(100_000)
+            # (b) foreign index writer takes THIS version first
+            CowTable(spark, index.path).merge(foreign, "_id")
+        return orig_commit(self, version, files, op, stats)
+
+    CowTable._commit = racing_commit
+    try:
+        applier(_batch_df(spark, _BATCHES[0]), 0)
+    finally:
+        CowTable._commit = orig_commit
+    assert fired                                   # the race happened
+    assert last_applied_batch(index, "ref_docs_maint") == 0  # rebase landed
+    assert last_applied_batch(corpus, "ref_docs_maint") == 0
+    # foreign commit holds the stolen version; the applier's merge sits
+    # above it
+    assert index.version() == fired["stolen_version"] + 1
+    for n, b in enumerate(_BATCHES[1:], start=1):
+        applier(_batch_df(spark, b), n)
+    rows = _base_rows()
+    for b in _BATCHES:
+        rows = _apply_cdc(rows, b)
+    want = _canon(build_ref_docs(_docs(spark, rows), cap=CAP))
+    got = _canon(index.read())
+    # the foreign row rode through every rebase/merge untouched ...
+    assert ("zzforeign", ("w1",), 1) in got
+    # ... and the MAINTAINED keys converge to the rebuild oracle
+    assert [r for r in got if r[0] != "zzforeign"] == want
