@@ -422,6 +422,44 @@ def _bench_skew(spark, qs, src_dir: str) -> dict | None:
                 }
             except Exception as e:
                 print(f"# dd9 large stats failed: {e}", file=sys.stderr)
+        # t15 under its OWN adversary (VERDICT r13 #2): one boilerplate
+        # chunk stamped at the head of EVERY doc (df == n_docs on one
+        # chunk text).  The min-struct map-side combine claim is "wall
+        # stays flat vs the unskewed corpus"; both sides are measured
+        # here with input volumes (the plant only rewrites documents,
+        # which is all t15 reads).  Oracle equality on planted data is
+        # pytest-gated (test_skew_stress.py::
+        # test_t15_hot_chunk_oracle_equal_and_shape).
+        try:
+            hot_dst = "/tmp/sf0.1_hotchunk"
+            hmarker = os.path.join(hot_dst, "_SKEW_DONE")
+            hfp = _src_fingerprint(src_dir, "hotchunk:v1")
+            if not _marker_current(hmarker, hfp):
+                import shutil
+
+                from tools.gen_sf_scale import plant_hot_chunk
+
+                shutil.rmtree(hot_dst, ignore_errors=True)
+                n_hot = plant_hot_chunk(spark, src_dir, hot_dst)
+                with open(hmarker, "w") as f:
+                    f.write(hfp)
+                print(f"# hot-chunk plant: {n_hot} docs", file=sys.stderr)
+            _, _, tm_hot, in_hot = _time_queries(
+                spark, qs, hot_dst, n_passes=3,
+                names=["t15_passage_dedup"],
+            )
+            _, _, tm_pln, in_pln = _time_queries(
+                spark, qs, src_dir, n_passes=3,
+                names=["t15_passage_dedup"],
+            )
+            cc_stats["t15_hot_chunk"] = {
+                "hot_tmean": tm_hot.get("t15_passage_dedup"),
+                "plain_tmean": tm_pln.get("t15_passage_dedup"),
+                "hot_input": in_hot.get("t15_passage_dedup"),
+                "plain_input": in_pln.get("t15_passage_dedup"),
+            }
+        except Exception as e:
+            print(f"# t15 hot-chunk bench failed: {e}", file=sys.stderr)
         # cpus/attempt ride along so a retry at reduced threads is
         # compared like-for-like against the 32-thread headline instead
         # of misreading as a ~2x skew regression.
@@ -531,7 +569,9 @@ def _incr_maintenance_stats(spark, n_ways: int = 400_000) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _m15_stream_stats(spark, n_ways: int, n_batches: int = 3) -> dict:
+def _m15_stream_stats(
+    spark, n_ways: int, n_batches: int = 3, mix: str = "insert"
+) -> dict:
     """Bench the m15 STREAMING index maintainer against a large staged
     corpus+index (VERDICT r11 #2): per-micro-batch wall + read volume,
     per-MERGE files_probed/files_kept/files_rewritten from the commit
@@ -546,7 +586,13 @@ def _m15_stream_stats(spark, n_ways: int, n_batches: int = 3) -> dict:
     fall in a narrow band near the corpus start and deletes the
     PREVIOUS batch's inserts (narrow band near the corpus top), so
     both merges' touch-key envelopes are narrow: files_probed must
-    come out far below files_total on both tables."""
+    come out far below files_total on both tables.
+
+    ``mix="upsert"`` (the m16 entry, VERDICT r13 #5): each batch
+    instead UPDATES 500 LIVE docs in place -- the same contiguous
+    low-id band re-inserted with ref-shifted payloads -- the more
+    expensive delta (old refs decrement, new refs increment, and the
+    touched index rows rewrite), with the same narrow envelopes."""
     import shutil
     import tempfile
 
@@ -565,13 +611,16 @@ def _m15_stream_stats(spark, n_ways: int, n_batches: int = 3) -> dict:
 
     work = tempfile.mkdtemp(prefix="m15_bench_")
     try:
-        def ways(lo, hi):
+        def ways(lo, hi, ref_salt=0):
             # refs: (3*(id - n_ways*(id >= n_ways ? 1 : 0)) ... keep it
             # simple -- base ways spread refs; batch ways (id >= n_ways)
-            # take a contiguous band at 3*(id - n_ways).
+            # take a contiguous band at 3*(id - n_ways).  ref_salt
+            # shifts the in-corpus branch so an upsert batch carries
+            # CHANGED refs for the same _ids (still a narrow band: the
+            # upsert ids are a low contiguous block, no wraparound).
             base_ref = F.when(
                 F.col("id") >= n_ways, (F.col("id") - n_ways) * 3
-            ).otherwise((F.col("id") * 3) % (n_ways - 1000))
+            ).otherwise((F.col("id") * 3 + ref_salt) % (n_ways - 1000))
             return spark.range(lo, hi).select(
                 F.format_string("w%09d", "id").alias("_id"),
                 F.transform(
@@ -603,16 +652,24 @@ def _m15_stream_stats(spark, n_ways: int, n_batches: int = 3) -> dict:
         import shutil as _sh
 
         for b in range(n_batches):
-            ins = ways(n_ways + b * 500, n_ways + (b + 1) * 500).withColumn(
-                "_op", F.lit("insert")
-            )
-            cdc = ins
-            if b > 0:  # delete the previous batch's inserts
-                cdc = cdc.unionByName(
-                    ways(
-                        n_ways + (b - 1) * 500, n_ways + b * 500
-                    ).withColumn("_op", F.lit("delete"))
-                )
+            if mix == "upsert":
+                # update-in-place of live docs: re-insert the same
+                # low-id band with shifted refs (batch-varying salt so
+                # every batch really changes the index rows it touches)
+                cdc = ways(
+                    b * 500, (b + 1) * 500, ref_salt=977 * (b + 1)
+                ).withColumn("_op", F.lit("insert"))
+            else:
+                ins = ways(
+                    n_ways + b * 500, n_ways + (b + 1) * 500
+                ).withColumn("_op", F.lit("insert"))
+                cdc = ins
+                if b > 0:  # delete the previous batch's inserts
+                    cdc = cdc.unionByName(
+                        ways(
+                            n_ways + (b - 1) * 500, n_ways + b * 500
+                        ).withColumn("_op", F.lit("delete"))
+                    )
             stage = f"{bdir}/_stage{b}"
             cdc.coalesce(1).write.parquet(stage)
             part = _glob.glob(f"{stage}/part-*.parquet")[0]
@@ -665,6 +722,7 @@ def _m15_stream_stats(spark, n_ways: int, n_batches: int = 3) -> dict:
 
         return {
             "n_ways": n_ways,
+            "mix": mix,
             "batches": batches,
             "corpus_merges": merge_evidence(corpus),
             "index_merges": merge_evidence(index),
@@ -744,6 +802,18 @@ def _run_block(block: str, sf_dir: str) -> int:
         except Exception as e:
             print(f"# incr maint stats failed: {e}", file=sys.stderr)
             incr_maint = {}
+        # Lloyd k-means at 10x data (VERDICT r13 #3): three jobs per
+        # run is the real cost story; v10 (literal K=8) and v11
+        # (broadcast K=64) get one number per run like v7/v8 have.
+        try:
+            km, _, km_tm, km_input = _time_queries(
+                spark, qs, sf1_dir, n_passes=2,
+                names=["v10_kmeans_ivf_training",
+                       "v11_kmeans_broadcast_training"],
+            )
+        except Exception as e:
+            print(f"# kmeans sf1 block failed: {e}", file=sys.stderr)
+            km, km_tm, km_input = {}, {}, {}
         # v8 pruning evidence rides with its sf1 time: rows the probe
         # actually scored vs the brute-force corpus (v7's shape).
         try:
@@ -770,6 +840,9 @@ def _run_block(block: str, sf_dir: str) -> int:
                     "incr": incr,
                     "incr_input": incr_input,
                     "incr_maint": incr_maint,
+                    "kmeans": km,
+                    "kmeans_tmean": km_tm,
+                    "kmeans_input": km_input,
                     **v8_stats,
                 }
             )
@@ -781,11 +854,26 @@ def _run_block(block: str, sf_dir: str) -> int:
         # curve (flat = O(batch), creeping = O(corpus)) plus per-merge
         # pruning evidence.  Sizes match the incr_maint staging family.
         out = {}
+        _t_blk = time.time()
         for n in (400_000, 1_500_000):
             try:
                 out[f"ways_{n}"] = _m15_stream_stats(spark, n)
             except Exception as e:
                 print(f"# m15 block n={n} failed: {e}", file=sys.stderr)
+        # m16 upsert-dominant mix (VERDICT r13 #5): update-in-place of
+        # live docs, the more expensive delta.  Slack-guarded like
+        # dd9_large so a degraded day cannot cost the insert-mix
+        # numbers to the subprocess timeout.
+        for n in (400_000, 1_500_000):
+            if time.time() - _t_blk > 400:
+                print(f"# m15 upsert n={n} skipped: slack", file=sys.stderr)
+                break
+            try:
+                out[f"ways_{n}_upsert"] = _m15_stream_stats(
+                    spark, n, mix="upsert"
+                )
+            except Exception as e:
+                print(f"# m15 upsert n={n} failed: {e}", file=sys.stderr)
         print(json.dumps(out))
     elif block == "etl":
         # Parent passes the already-parsed sf; the basename fallback

@@ -89,3 +89,55 @@ def test_planted_shape(spark, skew_dir):
     ev = spark.read.parquet(f"{skew_dir}/events.parquet")
     assert ev.filter(F.col("user_id") == 777_777).count() == 10_000
     assert len(hot["refers"].split("|")) == 100
+
+
+@pytest.fixture(scope="module")
+def hot_chunk_dir(spark, tmp_path_factory):
+    from tools.gen_sf_scale import plant_hot_chunk
+
+    dst = str(tmp_path_factory.mktemp("hotchunk") / "sf_hot")
+    plant_hot_chunk(spark, "/root/testdata/sf0.001", dst)
+    return dst
+
+
+def test_t15_hot_chunk_oracle_equal_and_shape(spark, hot_chunk_dir):
+    """Round-13 VERDICT #2: t15's skew-immunity claim under its OWN
+    adversary -- one boilerplate chunk stamped at the head of every
+    doc, so a single chunk text carries df == n_docs.  Pinned: (a)
+    exact oracle equality on the planted corpus (the min-struct
+    combine and DuckDB's min([doc_id, idx]) drop the duplicates
+    identically), and (b) the planted shape resolved as passage dedup
+    must: the chunk survives in exactly ONE doc (the lowest doc_id --
+    every doc holds it at chunk_idx 0, so the min struct picks the min
+    doc), and every other doc lost at least that chunk."""
+    import duckdb
+
+    import __spark_entry__ as ent
+    from tools.gen_sf_scale import HOT_CHUNK
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{hot_chunk_dir}/documents.parquet/*.parquet'"
+    )
+    sdf = ent.queries()["t15_passage_dedup"](spark, hot_chunk_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ent.oracle_sql()["t15_passage_dedup"])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(sdf.columns) == sorted(dcols)
+    assert value_hash(sdf.columns, srows) == value_hash(dcols, drows)
+
+    rows = {r["doc_id"]: r for r in sdf.collect()}
+    n = len(rows)
+    assert n == 500
+    keepers = [
+        d for d, r in rows.items() if r["text_dedup"].startswith(HOT_CHUNK)
+    ]
+    assert keepers == [min(rows)]          # exactly one survivor: min doc
+    assert all(HOT_CHUNK not in r["text_dedup"]
+               for d, r in rows.items() if d != min(rows))
+    # every non-winner doc lost at least its planted chunk
+    assert all(r["removed_chunks"] >= 1
+               for d, r in rows.items() if d != min(rows))

@@ -221,6 +221,41 @@ def plant_skew(
     return int(hot_part)
 
 
+# Exactly PASSAGE_WORDS (8) words, none from the synthetic doc vocab:
+# the corpus-wide boilerplate chunk for t15's skew adversary.
+HOT_CHUNK = "copyright notice all rights reserved visit official site"
+
+
+def plant_hot_chunk(spark, src: str, dst: str) -> int:
+    """t15's skew adversary: stamp ONE fixed 8-word boilerplate chunk
+    (HOT_CHUNK) at the HEAD of every document's text.  The prefix is
+    exactly PASSAGE_WORDS words, so every original chunk boundary
+    shifts by one whole chunk and stays aligned -- the plant adds one
+    corpus-wide duplicate chunk (count == n_docs) without otherwise
+    perturbing the chunking.  This is the classic passage-dedup hot
+    key (site boilerplate repeated on every page); t15's min-struct
+    map-side combine must keep the wall flat vs the unskewed corpus,
+    where a window-sort or join-back shape would serialize n_docs rows
+    through one key.  Only ``documents.parquet`` is written (t15 reads
+    nothing else).  Returns the doc count."""
+    from pyspark.sql import functions as F
+
+    assert len(HOT_CHUNK.split()) == 8
+    os.makedirs(dst, exist_ok=True)
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.length(F.col("text")) > 0,
+            F.concat(F.lit(HOT_CHUNK + " "), F.col("text")),
+        ).otherwise(F.lit(HOT_CHUNK)),
+    ).withColumn("n_chars", F.length("text"))
+    planted.select(docs.columns).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
+    return docs.count()
+
+
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
