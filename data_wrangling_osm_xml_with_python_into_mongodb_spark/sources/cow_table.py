@@ -188,6 +188,128 @@ def _file_footer_stats(path: str) -> dict:
     return out
 
 
+# -- per-file Bloom key index ---------------------------------------
+#
+# Range stats (min/max) prune beautifully on clustered columns and not
+# at all on high-cardinality keys with full-range spread per file
+# (UUID-ish ids: every file's [min, max] spans the whole key space, so
+# a point lookup scans everything).  Delta solves this with a bloom
+# filter index; same mechanism here: at commit time each NEW data file
+# gets a small Bloom filter over the key column (executor-side,
+# column-pruned read), stored in a per-commit sidecar the commit doc
+# references.  ``read_point`` then skips every file whose filter
+# proves the key absent -- no false negatives by construction, false
+# positives only cost a scan.  Sidecars are derived metadata like
+# checkpoints: losing-writer orphans and expired ones are GC'd by
+# vacuum, and a missing sidecar just means no skipping.
+
+_BLOOM_BITS_DEFAULT = 8192  # bits per file (1 KiB); fpp ~1% at ~850 keys
+_BLOOM_K_DEFAULT = 5
+
+
+def _bloom_positions(value, m: int, k: int) -> list[int]:
+    """The ``k`` bit positions of ``value`` in an ``m``-bit filter.
+    Hashing is md5 over a TYPE-TAGGED stable encoding (``hash()`` is
+    process-seeded; executors and the driver must agree), split into
+    two 64-bit halves combined Kirsch-Mitzenmacher style
+    (``h1 + i*h2``)."""
+    import hashlib
+
+    if isinstance(value, (bytes, bytearray)):
+        d = hashlib.md5(b"y:" + bytes(value)).digest()
+    else:
+        enc = _enc_stat(value)
+        if enc is None:
+            raise TypeError(f"bloom-unsupported value type: {type(value)}")
+        tag = "b" if isinstance(enc, bool) else (
+            "n" if isinstance(enc, (int, float)) else "s"
+        )
+        if tag == "n":  # 3 and 3.0 hash identically, like Spark's = and IN
+            enc = float(enc)
+        d = hashlib.md5(f"{tag}:{enc}".encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_bloom(path: str, col: str, m: int, k: int) -> str:
+    """Bloom filter of a file's ``col`` values as a hex string.  Reads
+    ONLY that column (column-pruned parquet read) -- runs executor-side
+    for large commits, mirroring :meth:`CowTable._harvest_file_stats`.
+    NULLs are not inserted (a point lookup never matches NULL)."""
+    import pyarrow.parquet as pq
+
+    bits = 0
+    table = pq.read_table(path, columns=[col])
+    for chunk in table.column(0).chunks:
+        for v in chunk:
+            pv = v.as_py()
+            if pv is None:
+                continue
+            for pos in _bloom_positions(pv, m, k):
+                bits |= 1 << pos
+    return f"{bits:x}"
+
+
+def _bloom_maybe_contains(hex_bits: str, value, m: int, k: int) -> bool:
+    bits = int(hex_bits, 16)
+    return all(bits >> p & 1 for p in _bloom_positions(value, m, k))
+
+
+def _zvalue_expr(df: DataFrame, cols: list[str]) -> F.Column:
+    """Morton (Z-order) code over ``cols`` as native shift/mask
+    arithmetic (no UDF; same unrolled-interleave recipe as
+    operators/geo.geo_cell).  Each column is linearly quantized to
+    ``b = 48 // ncols`` bits against its actual min/max (ONE one-row
+    agg over ``df`` -- a driver-sized probe, same class as merge's
+    metadata collects; the extra scan is of the small files being
+    rewritten, not the table), then bits interleave round-robin
+    MSB-first, so range-partitioning the result gives every output
+    file a compact hyper-rectangle-ish region of the key space --
+    per-file footer min/max become tight on EVERY clustered column at
+    once, which is the whole point of ``OPTIMIZE ... ZORDER BY``.
+
+    Linear quantization is deliberately simple: heavy per-column skew
+    wastes bucket resolution (Delta samples range boundaries instead),
+    but it is one map-side expression with no sampling pass, and
+    skipping is an optimization -- a bad layout only costs skips.
+    NULLs quantize to bucket 0."""
+    ncols = len(cols)
+    b = max(1, min(16, 48 // ncols))
+    dtypes = dict(df.dtypes)
+
+    def num_expr(c: str) -> F.Column:
+        if dtypes.get(c) == "date":
+            return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        return F.col(c).cast("double")
+
+    bounds = df.agg(
+        *[F.min(num_expr(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(num_expr(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    qs = []
+    for i, c in enumerate(cols):
+        lo = bounds[f"lo_{i}"]
+        hi = bounds[f"hi_{i}"]
+        if lo is None or hi is None:  # all-null column: constant bucket
+            qs.append(F.lit(0).cast("long"))
+            continue
+        span = (hi - lo) or 1.0
+        q = F.floor(
+            (num_expr(c) - F.lit(float(lo))) / F.lit(float(span))
+            * F.lit(float(1 << b))
+        )
+        q = F.least(F.greatest(q, F.lit(0)), F.lit((1 << b) - 1))
+        qs.append(F.coalesce(q, F.lit(0)).cast("long"))
+    total = b * ncols
+    z = F.lit(0).cast("long")
+    for i in range(total):
+        src, idx = qs[i % ncols], i // ncols
+        bit = F.shiftright(src, b - 1 - idx).bitwiseAND(F.lit(1))
+        z = z + bit * F.lit(1 << (total - 1 - i))
+    return z
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
@@ -238,7 +360,91 @@ class CowTable:
             raise FileNotFoundError(f"no CowTable at {self.path}")
         return self._commit_doc(v)["files"]
 
+    def _bloom_doc(self, doc: dict) -> dict | None:
+        """The bloom sidecar a commit doc references, or None.  Derived
+        metadata: unreadable/absent just means no bloom skipping."""
+        name = doc.get("bloom_sidecar")
+        if not name:
+            return None
+        try:
+            with open(os.path.join(_log_dir(self.path), name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _harvest_blooms(
+        self, files: list[str], col: str, m: int, k: int
+    ) -> dict:
+        """Per-file key blooms, basename-keyed.  Same driver/executor
+        split as :meth:`_harvest_file_stats`: the read is column-pruned
+        to the key column, and large commits fan the work out so
+        commit cost never becomes a driver loop over 1e5 files."""
+        if len(files) <= _DRIVER_STATS_MAX:
+            return {
+                os.path.basename(f): _file_bloom(f, col, m, k)
+                for f in files
+            }
+        sc = self.spark.sparkContext
+        slices = min(len(files), sc.defaultParallelism)
+        pairs = (
+            sc.parallelize(sorted(files), slices)
+            .map(lambda f: (os.path.basename(f), _file_bloom(f, col, m, k)))
+            .collect()
+        )
+        return dict(pairs)
+
+    def _maintain_bloom(self, version: int, files: list[str], stats: dict) -> dict:
+        """Carry the table's bloom index through a commit: inherit the
+        config from the parent commit (or take it from ``stats`` on
+        create), compute filters ONLY for files the parent sidecar
+        does not cover (immutable files never recompute -- same
+        carry-by-reference economics as file_stats), and write a new
+        sidecar unless the file set is unchanged, in which case the
+        parent's is reused by pointer.  The sidecar is written BEFORE
+        the commit link, so a committed doc always points at an
+        existing sidecar; a losing racer's sidecar becomes a
+        grace-windowed orphan vacuum GCs.  Token-suffixed names keep
+        racing writers from colliding."""
+        conf = stats.pop("bloom_conf", None)
+        pdoc: dict = {}
+        if version > 0:
+            try:
+                pdoc = self._commit_doc(version - 1)
+            except (OSError, ValueError):
+                pdoc = {}
+            conf = conf or pdoc.get("bloom_conf")
+        if not conf:
+            return stats
+        col, m, k = conf["col"], int(conf["m"]), int(conf["k"])
+        parent = self._bloom_doc(pdoc) or {}
+        have = (
+            parent.get("files", {})
+            if (parent.get("col"), parent.get("m"), parent.get("k"))
+            == (col, m, k)
+            else {}
+        )
+        base = {os.path.basename(f): f for f in files}
+        missing = [p for b, p in base.items() if b not in have]
+        if not missing and set(base) == set(have) and pdoc.get("bloom_sidecar"):
+            return {
+                **stats,
+                "bloom_conf": conf,
+                "bloom_sidecar": pdoc["bloom_sidecar"],
+            }
+        fresh = self._harvest_blooms(missing, col, m, k) if missing else {}
+        filemap = {b: have.get(b) or fresh[b] for b in base}
+        name = f"{version:08d}-{uuid.uuid4().hex[:8]}.bloom.json"
+        os.makedirs(_log_dir(self.path), exist_ok=True)
+        tmp = os.path.join(_log_dir(self.path), f"_tmp_bl_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"col": col, "m": m, "k": k, "files": filemap}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(_log_dir(self.path), name))
+        return {**stats, "bloom_conf": conf, "bloom_sidecar": name}
+
     def _commit(self, version: int, files: list[str], op: str, stats: dict) -> dict:
+        stats = self._maintain_bloom(version, files, stats)
         doc = {
             "version": version,
             "op": op,
@@ -578,20 +784,42 @@ class CowTable:
     # -- operations --------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "CowTable":
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        bloom_col: str | None = None,
+        bloom_bits: int = _BLOOM_BITS_DEFAULT,
+        bloom_k: int = _BLOOM_K_DEFAULT,
+    ) -> "CowTable":
+        """``bloom_col`` opts the table into a per-file Bloom key index
+        (Delta's bloom filter index analogue) maintained by every
+        subsequent commit; :meth:`read_point` uses it to prune files
+        range stats cannot (high-cardinality keys whose per-file
+        [min, max] spans the whole key space)."""
         t = cls(spark, path)
         if t.version() >= 0:
             raise FileExistsError(f"CowTable already exists at {path}")
+        stats: dict = {
+            "files_written": 0,
+            "schema": df.schema.jsonValue(),
+            "txn": {},
+        }
+        if bloom_col is not None:
+            dt = dict(df.dtypes).get(bloom_col)
+            if dt is None or dt.startswith(("array", "map", "struct")):
+                raise ValueError(
+                    f"bloom_col must be a top-level scalar column, got "
+                    f"{bloom_col!r} ({dt})"
+                )
+            stats["bloom_conf"] = {
+                "col": bloom_col, "m": int(bloom_bits), "k": int(bloom_k)
+            }
         files, fstats, _ = t._write_data_files(df, 0)
-        t._commit(
-            0, files, "create",
-            {
-                "files_written": len(files),
-                "file_stats": fstats,
-                "schema": df.schema.jsonValue(),
-                "txn": {},
-            },
-        )
+        stats["files_written"] = len(files)
+        stats["file_stats"] = fstats
+        t._commit(0, files, "create", stats)
         return t
 
     def _snapshot_schema(self, version: int):
@@ -656,20 +884,46 @@ class CowTable:
         table-format half of predicate pushdown: at 100 TB the commit
         log prunes whole files before Spark ever lists them, on top of
         parquet's own row-group pruning inside the survivors."""
+        return self.read_ranges({col: (lo, hi)}, version=version)
+
+    def read_ranges(
+        self, preds: dict, version: int | None = None
+    ) -> DataFrame:
+        """Multi-column file skipping: ``preds`` maps column ->
+        ``(lo, hi)`` (inclusive; either bound None), the predicates
+        AND together, and a file is skipped as soon as ANY column's
+        recorded range proves its predicate cannot match there.  On a
+        Z-order-compacted layout (``compact(cluster_by=[a, b])``)
+        every queried dimension prunes at once -- the multi-column
+        payoff single-column range clustering cannot give (clustering
+        on ``a`` leaves every file's ``b`` range full-width).  Same
+        contract as :meth:`read_range`: survivors are exactly
+        re-filtered, stat-less columns never skip, evidence in
+        ``self.last_scan``."""
         v = self.version() if version is None else version
         files = self.files(v)
         stats = self._commit_doc(v).get("file_stats", {})
-        lo_e = _enc_stat(lo) if lo is not None else None
-        hi_e = _enc_stat(hi) if hi is not None else None
+        enc = {
+            col: (
+                _enc_stat(lo) if lo is not None else None,
+                _enc_stat(hi) if hi is not None else None,
+            )
+            for col, (lo, hi) in preds.items()
+        }
         scan: list[str] = []
         for f in files:
-            s = stats.get(os.path.basename(f), {}).get("cols", {}).get(col)
+            cols = stats.get(os.path.basename(f), {}).get("cols", {})
             skip = False
-            if s is not None:
+            for col, (lo_e, hi_e) in enc.items():
+                s = cols.get(col)
+                if s is None:
+                    continue
                 if lo_e is not None and _stat_cmp_ok(s["max"], lo_e):
                     skip = skip or s["max"] < lo_e
                 if hi_e is not None and _stat_cmp_ok(s["min"], hi_e):
                     skip = skip or s["min"] > hi_e
+                if skip:
+                    break
             if not skip:
                 scan.append(f)
         self.last_scan = {
@@ -681,16 +935,88 @@ class CowTable:
             df = self.spark.read.schema(self._snapshot_schema(v)).parquet(*scan)
         else:
             df = self.spark.createDataFrame([], self._snapshot_schema(v))
-        if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
+        for col, (lo, hi) in preds.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
         return df
+
+    def read_point(self, col: str, values, version: int | None = None) -> DataFrame:
+        """Point lookup (``col = v`` / ``col IN (...)``) with BLOOM
+        file skipping on top of range stats.  Range pruning is useless
+        exactly where point lookups live -- high-cardinality keys
+        (UUIDs, content hashes) whose per-file [min, max] spans the
+        whole key space after any non-key clustering -- so tables
+        created with ``bloom_col`` carry a per-file Bloom filter in a
+        commit sidecar, and a file is opened only when (a) some probe
+        value sits inside its recorded range AND (b) the filter says
+        maybe-present.  No false negatives by construction (pinned in
+        pytest: every present key survives pruning); false positives
+        only cost a scan.  Survivors are exactly re-filtered --
+        skipping is never a semantics change.  Evidence in
+        ``self.last_scan`` incl. ``files_skipped_bloom`` (files range
+        stats admitted but the bloom refuted -- the index's marginal
+        value).  At 100 TB this is the difference between a point
+        lookup scanning every file of a compacted table and touching
+        one."""
+        vals = (
+            list(values)
+            if isinstance(values, (list, tuple, set))
+            else [values]
+        )
+        if not vals or any(v is None for v in vals):
+            raise ValueError("read_point needs 1+ non-null probe values")
+        v = self.version() if version is None else version
+        doc = self._commit_doc(v)
+        files = doc["files"]
+        stats = doc.get("file_stats", {})
+        bloom = self._bloom_doc(doc)
+        if bloom is not None and bloom.get("col") != col:
+            bloom = None  # index covers a different column
+        enc_vals = [_enc_stat(x) for x in vals]
+        scan: list[str] = []
+        skipped_bloom = 0
+        for f in files:
+            base = os.path.basename(f)
+            s = stats.get(base, {}).get("cols", {}).get(col)
+            in_range = [True] * len(vals)
+            if s is not None:
+                for i, e in enumerate(enc_vals):
+                    if e is None:
+                        continue
+                    if _stat_cmp_ok(s["min"], e) and _stat_cmp_ok(s["max"], e):
+                        in_range[i] = s["min"] <= e <= s["max"]
+            if not any(in_range):
+                continue
+            hex_bits = (bloom or {}).get("files", {}).get(base)
+            if hex_bits is not None:
+                m, k = int(bloom["m"]), int(bloom["k"])
+                if not any(
+                    ok and _bloom_maybe_contains(hex_bits, x, m, k)
+                    for ok, x in zip(in_range, vals)
+                ):
+                    skipped_bloom += 1
+                    continue
+            scan.append(f)
+        self.last_scan = {
+            "files_total": len(files),
+            "files_scanned": len(scan),
+            "files_skipped": len(files) - len(scan),
+            "files_skipped_bloom": skipped_bloom,
+        }
+        if scan:
+            df = self.spark.read.schema(self._snapshot_schema(v)).parquet(*scan)
+        else:
+            df = self.spark.createDataFrame([], self._snapshot_schema(v))
+        if len(vals) == 1:
+            return df.filter(F.col(col) == F.lit(vals[0]))
+        return df.filter(F.col(col).isin(vals))
 
     def compact(
         self,
         target_rows: int,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
         retries: int = 0,
         refresh_stats: bool = False,
     ) -> dict:
@@ -708,10 +1034,16 @@ class CowTable:
         on a column (``OPTIMIZE ... ZORDER BY`` for the single-column
         case): each output file covers a disjoint range, so the
         footer stats in the commit log make :meth:`read_range` on
-        that column maximally selective afterwards.  Costs one
-        shuffle of the small files only (carried files are untouched,
-        so clustering converges over repeated maintenance cycles
-        without ever rewriting the whole table).
+        that column maximally selective afterwards.  A LIST of 2+
+        columns Z-orders instead (the real ``ZORDER BY a, b``):
+        rows shuffle on a Morton interleave of the quantized columns
+        (:func:`_zvalue_expr`), so every clustered column's per-file
+        min/max tightens at once and :meth:`read_ranges` prunes on
+        any of them -- single-column clustering makes the OTHER
+        columns' ranges full-width per file, pruning nothing.  Either
+        way it costs one shuffle of the small files only (carried
+        files are untouched, so clustering converges over repeated
+        maintenance cycles without ever rewriting the whole table).
 
         Returns the commit doc; a no-op (fewer than two small files)
         commits nothing and returns a summary with ``"noop": True``.
@@ -741,7 +1073,7 @@ class CowTable:
         return self._compact_attempt(target_rows, cluster_by, refresh_stats)
 
     def _compact_attempt(
-        self, target_rows: int, cluster_by: str | None = None,
+        self, target_rows: int, cluster_by: str | list[str] | None = None,
         refresh_stats: bool = False,
     ) -> dict:
         base_version = self.version()
@@ -785,10 +1117,26 @@ class CowTable:
         merged = self.spark.read.schema(
             self._snapshot_schema(base_version)
         ).parquet(*small)
-        if cluster_by is not None:
+        zcols = (
+            list(cluster_by)
+            if isinstance(cluster_by, (list, tuple))
+            else ([cluster_by] if cluster_by is not None else [])
+        )
+        if len(zcols) > 1:
+            # Multi-column: range shuffle on the Morton code, sorted
+            # within partitions so row groups inherit the locality too;
+            # each output file covers a compact region of the joint key
+            # space and its footer min/max go tight on EVERY column.
+            merged = (
+                merged.withColumn("__cow_zval", _zvalue_expr(merged, zcols))
+                .repartitionByRange(nout, "__cow_zval")
+                .sortWithinPartitions("__cow_zval")
+                .drop("__cow_zval")
+            )
+        elif zcols:
             # one range shuffle of the small files -> disjoint per-file
             # ranges on the cluster column (skipping-effective layout).
-            merged = merged.repartitionByRange(nout, cluster_by)
+            merged = merged.repartitionByRange(nout, zcols[0])
         else:
             # coalesce, not repartition: bin-packing needs no shuffle.
             merged = merged.coalesce(nout)
@@ -986,12 +1334,41 @@ class CowTable:
                             pass
         except Exception:
             pass
+        # Bloom-sidecar GC: keep every sidecar a RETAINED commit
+        # references (a no-new-files commit points at its parent's, so
+        # the referenced set, not version arithmetic, is the keep
+        # rule); everything else is either a losing racer's orphan or
+        # an expired snapshot's index -- derived metadata, deleted
+        # once past the same grace window that shields an in-flight
+        # writer's just-written sidecar whose commit has not linked
+        # yet.  Best-effort like every metadata-plane op.
+        blooms_deleted = 0
+        try:
+            ld = _log_dir(self.path)
+            keep = {
+                self._commit_doc(v).get("bloom_sidecar")
+                for v in range(lo, latest + 1)
+            }
+            for n in os.listdir(ld):
+                if not n.endswith(".bloom.json") or n in keep:
+                    continue
+                p = os.path.join(ld, n)
+                try:
+                    if now - os.path.getmtime(p) < orphan_grace_s:
+                        continue
+                    os.unlink(p)
+                    blooms_deleted += 1
+                except FileNotFoundError:
+                    pass
+        except Exception:
+            pass
         return {
             "op": "vacuum",
             "retained_versions": [lo, latest],
             "files_deleted": deleted,
             "orphans_in_grace": orphans_kept,
             "checkpoints_deleted": ckpts_deleted,
+            "blooms_deleted": blooms_deleted,
         }
 
     def merge(

@@ -1253,3 +1253,275 @@ def test_vacuum_gc_prunes_old_checkpoint_files(spark, tmp_path):
     assert ck_versions()[0] == max(v for v in ck_versions() if v <= lo2)
     assert t.txn_version("writer") == 30
     assert sorted(r["k"] for r in t.read().collect()) == list(range(8)) + [99]
+
+
+# -- Z-order compaction (multi-column cluster_by) --------------------
+
+
+def _grid_df(spark, n=8000, card=40):
+    """Independent x/y grid: x cycles fast, y slow, so single-column
+    clustering on x provably leaves every file's y range full-width."""
+    return spark.range(n).selectExpr(
+        f"id % {card} AS x",
+        f"CAST(id / {card} AS LONG) % {card} AS y",
+        "id AS payload",
+    )
+
+
+def test_zorder_compact_prunes_every_clustered_dim(spark, tmp_path):
+    """ZORDER BY (x, y): after a multi-column compact, range reads on
+    EITHER column alone skip files, a 2-dim box scans a small corner,
+    and the rewrite is content-pure.  Contrast pinned in
+    test_zorder_beats_linear_on_trailing_dim: linear clustering on x
+    gives the same data ZERO y-pruning."""
+    df = _grid_df(spark)
+    t = CowTable.create(spark, str(tmp_path / "z"), df.repartition(16))
+    s = t.compact(target_rows=600, cluster_by=["x", "y"])
+    assert s["files_written"] >= 9
+    assert s["cluster_by"] == ["x", "y"]
+    # content purity: same rows, helper column never leaks into files
+    assert _rows(t.read()) == _rows(df)
+    assert t.read().columns == ["x", "y", "payload"]
+    # each axis prunes on its own
+    for col in ("x", "y"):
+        got = _rows(t.read_ranges({col: (0, 9)}))
+        assert got == _rows(df.filter(F.col(col) <= 9))
+        assert t.last_scan["files_skipped"] > 0, col
+    # the 2-dim box is the headline: a corner touches a corner
+    got = _rows(t.read_ranges({"x": (0, 9), "y": (0, 9)}))
+    assert got == _rows(df.filter((F.col("x") <= 9) & (F.col("y") <= 9)))
+    assert t.last_scan["files_scanned"] <= t.last_scan["files_total"] // 2
+
+
+def test_zorder_beats_linear_on_trailing_dim(spark, tmp_path):
+    """The reason Z-order exists: linear cluster_by='x' makes every
+    output file carry the FULL y range (x and y are independent), so a
+    y predicate can skip nothing; the same data Z-ordered skips on y."""
+    df = _grid_df(spark)
+    lin = CowTable.create(spark, str(tmp_path / "lin"), df.repartition(16))
+    lin.compact(target_rows=600, cluster_by="x")
+    lin.read_ranges({"y": (0, 9)}).count()
+    assert lin.last_scan["files_skipped"] == 0
+    zt = CowTable.create(spark, str(tmp_path / "z"), df.repartition(16))
+    zt.compact(target_rows=600, cluster_by=["x", "y"])
+    zt.read_ranges({"y": (0, 9)}).count()
+    assert zt.last_scan["files_skipped"] > 0
+
+
+def test_read_ranges_multi_pred_semantics(spark, tmp_path):
+    """Predicates AND together and survivors are exactly re-filtered
+    even on an unclustered layout (skipping is an optimization, never
+    semantics); open bounds work per side."""
+    df = _grid_df(spark, n=2000, card=20)
+    t = CowTable.create(spark, str(tmp_path / "t"), df.repartition(5))
+    got = _rows(t.read_ranges({"x": (3, None), "y": (None, 7)}))
+    assert got == _rows(df.filter((F.col("x") >= 3) & (F.col("y") <= 7)))
+
+
+def test_zorder_date_column(spark, tmp_path):
+    """Date columns quantize through the datediff mapping; a date+int
+    Z-order prunes on the date axis with typed bounds."""
+    import datetime
+
+    df = spark.range(4000).selectExpr(
+        "date_add(DATE '2020-01-01', CAST(id % 365 AS INT)) AS d",
+        "CAST(id / 365 AS LONG) % 50 AS g",
+        "id AS payload",
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), df.repartition(12))
+    t.compact(target_rows=400, cluster_by=["d", "g"])
+    lo, hi = datetime.date(2020, 2, 1), datetime.date(2020, 3, 1)
+    got = _rows(t.read_ranges({"d": (lo, hi)}))
+    assert got == _rows(
+        df.filter((F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi)))
+    )
+    assert t.last_scan["files_skipped"] > 0
+
+
+# -- per-file Bloom key index ----------------------------------------
+
+
+def _keyed_df(spark, n=6000):
+    """High-cardinality string keys (md5 hex): every file's [min, max]
+    spans ~the whole key space, so range stats prune nothing and any
+    observed point-lookup pruning is the bloom index's."""
+    return spark.range(n).selectExpr(
+        "md5(CAST(id AS STRING)) AS k", "id AS v"
+    )
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    df = _keyed_df(spark)
+    return (
+        CowTable.create(
+            spark, str(tmp_path / "bl"), df.repartition(12), bloom_col="k"
+        ),
+        df,
+    )
+
+
+def test_bloom_no_false_negatives(spark, bloom_table):
+    """EVERY present key survives pruning (the bloom guarantee), and
+    pruning is actually active: lookups open a fraction of the files."""
+    t, df = bloom_table
+    keys = [r["k"] for r in df.filter(F.col("v") % 500 == 7).collect()]
+    assert len(keys) >= 10
+    scanned = total = 0
+    for k in keys:
+        rows = t.read_point("k", k).collect()
+        assert len(rows) == 1 and rows[0]["k"] == k
+        scanned += t.last_scan["files_scanned"]
+        total += t.last_scan["files_total"]
+        assert t.last_scan["files_skipped_bloom"] > 0
+    # across the batch, the index must have skipped most of the work
+    assert scanned < total / 3
+
+
+def test_bloom_absent_key_refuted_by_filter_not_range(spark, bloom_table):
+    """An absent key that LOOKS like a present one (md5 hex, inside
+    every file's range) is refuted by the bloom alone: near-zero files
+    open and the result is exactly empty."""
+    import hashlib
+
+    t, _ = bloom_table
+    probe = hashlib.md5(b"definitely-not-a-row").hexdigest()
+    assert t.read_point("k", probe).count() == 0
+    assert t.last_scan["files_skipped_bloom"] > 0
+    # fpp at 8192 bits / ~500 keys per file is ~1e-5: expect ~0 scans
+    assert t.last_scan["files_scanned"] <= 2
+
+
+def test_bloom_multi_value_probe(spark, bloom_table):
+    """IN-list probe: one scan, pruned to the union of the values'
+    candidate files, exact isin() semantics."""
+    t, df = bloom_table
+    keys = [r["k"] for r in df.filter(F.col("v").isin([3, 1234, 5999])).collect()]
+    got = _rows(t.read_point("k", keys))
+    assert got == _rows(df.filter(F.col("k").isin(keys)))
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_bloom_merge_carries_untouched_file_entries(spark, tmp_path):
+    """Merge maintains the index incrementally: only its REWRITTEN
+    files get fresh filters, carried files reuse the parent sidecar's
+    entries verbatim (same carry-by-reference economics as
+    file_stats), and lookups stay correct on old and new rows.
+    Range-clustered keys so merge's key-range pruning actually carries
+    files (hash keys would touch every file)."""
+    df = spark.range(6000).selectExpr(
+        "printf('%08d', id) AS k", "id AS v"
+    )
+    t = CowTable.create(
+        spark,
+        str(tmp_path / "bl"),
+        df.repartitionByRange(12, "k"),
+        bloom_col="k",
+    )
+    parent_map = t._bloom_doc(t._commit_doc(0))["files"]
+    upd = df.filter(F.col("v") < 300).withColumn(
+        "v", F.col("v") + 1_000_000
+    )
+    t.merge(upd, "k")
+    doc = t._commit_doc(1)
+    assert doc["files_rewritten"] < len(parent_map)
+    head_map = t._bloom_doc(doc)["files"]
+    carried = set(head_map) & set(parent_map)
+    assert len(carried) >= 10  # most files carried by reference...
+    assert all(head_map[b] == parent_map[b] for b in carried)  # ...verbatim
+    assert set(head_map) == {os.path.basename(f) for f in doc["files"]}
+    assert t.read_point("k", "00000007").collect()[0]["v"] == 1_000_007
+    assert t.read_point("k", "00004321").collect()[0]["v"] == 4321
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_bloom_compact_reindexes_output(spark, bloom_table):
+    """Compact's freshly packed files get filters in the same commit,
+    so point lookups prune on the new layout immediately -- range
+    stats stay useless on the hash keys, any pruning is the bloom's."""
+    t, df = bloom_table
+    t.compact(target_rows=600)
+    assert t.version() == 1
+    k = df.filter(F.col("v") == 4242).collect()[0]["k"]
+    assert t.read_point("k", k).collect()[0]["v"] == 4242
+    assert t.last_scan["files_skipped_bloom"] > 0
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_bloom_sidecar_reused_when_files_unchanged(spark, bloom_table):
+    """A commit that carries the exact file set forward points at the
+    parent's sidecar instead of rewriting it (metadata-only commits on
+    a bloom table stay O(1), not O(files))."""
+    t, _ = bloom_table
+    t.compact(target_rows=1, refresh_stats=True)  # stats-refresh commit
+    head = t._commit_doc(t.version())
+    parent = t._commit_doc(t.version() - 1)
+    assert head["files"] == parent["files"]
+    assert head["bloom_sidecar"] == parent["bloom_sidecar"]
+
+
+def test_bloom_harvest_executor_side_matches_driver(spark, tmp_path):
+    """>_DRIVER_STATS_MAX files routes the harvest through the Spark
+    job path; filters must be bit-identical to in-process ones (same
+    _file_bloom both sides)."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _DRIVER_STATS_MAX,
+        _file_bloom,
+    )
+
+    df = _keyed_df(spark, n=2000).repartition(_DRIVER_STATS_MAX + 4)
+    t = CowTable.create(spark, str(tmp_path / "bl"), df, bloom_col="k")
+    files = t.files()
+    assert len(files) > _DRIVER_STATS_MAX
+    via_job = t._harvest_blooms(files, "k", 8192, 5)
+    via_driver = {
+        os.path.basename(f): _file_bloom(f, "k", 8192, 5) for f in files
+    }
+    assert via_job == via_driver
+
+
+def test_vacuum_gc_bloom_sidecars(spark, bloom_table, tmp_path):
+    """Sidecars of expired snapshots and losing racers are GC'd;
+    whatever a retained commit references survives and lookups still
+    prune afterwards."""
+    t, df = bloom_table
+    for step in range(3):
+        src = df.filter(F.col("v") % 50 == step).withColumn(
+            "v", F.col("v") + 10 * (step + 1)
+        )
+        t.merge(src, "k")
+
+    def sidecars():
+        ld = os.path.join(t.path, "_log")
+        return {n for n in os.listdir(ld) if n.endswith(".bloom.json")}
+
+    assert len(sidecars()) >= 4  # create + one per merge
+    summ = t.vacuum(retain_last=1, orphan_grace_s=0.0)
+    assert summ["blooms_deleted"] > 0
+    kept = sidecars()
+    assert t._commit_doc(t.version())["bloom_sidecar"] in kept
+    k = df.filter(F.col("v") == 4321).collect()[0]["k"]
+    assert t.read_point("k", k).count() == 1  # index still functional
+    assert t.last_scan["files_skipped_bloom"] >= 0
+
+
+def test_bloom_rejects_nested_column(spark, tmp_path):
+    df = spark.range(10).selectExpr("array(id) AS a", "id AS v")
+    with pytest.raises(ValueError, match="scalar"):
+        CowTable.create(spark, str(tmp_path / "x"), df, bloom_col="a")
+
+
+def test_bloom_positions_deterministic_and_typed():
+    """Cross-process stability (md5, not hash()) and the numeric
+    normalization: 3 and 3.0 collide by design (Spark's `=`), while
+    '3' the string does not."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _bloom_positions,
+    )
+
+    assert _bloom_positions(3, 8192, 5) == _bloom_positions(3.0, 8192, 5)
+    assert _bloom_positions(3, 8192, 5) != _bloom_positions("3", 8192, 5)
+    assert _bloom_positions(b"xy", 8192, 5) == _bloom_positions(
+        bytearray(b"xy"), 8192, 5
+    )
+    assert all(0 <= p < 8192 for p in _bloom_positions("abc", 8192, 5))
