@@ -123,6 +123,9 @@ EXTENDED = [
     # Round-13 additions.
     "t15_passage_dedup",
     "v10_kmeans_ivf_training",
+    # Round-14 additions.
+    "m17_cow_zorder_skipping",
+    "m18_cow_bloom_point_lookup",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

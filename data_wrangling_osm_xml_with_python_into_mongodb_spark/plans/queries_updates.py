@@ -401,3 +401,136 @@ def q_cow_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(
         "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("text_md5")
     )
+
+
+@register(
+    "m17_cow_zorder_skipping",
+    "Multi-column data skipping from a Z-ORDERED layout "
+    "(sources/cow_table.CowTable.compact cluster_by=[date, custkey], "
+    "the OPTIMIZE ... ZORDER BY analogue): rows shuffle once on a "
+    "Morton interleave of the quantized columns, so EVERY clustered "
+    "column's per-file min/max tightens and read_ranges prunes files "
+    "on a 2-dim box -- and on the trailing dimension alone, which "
+    "single-column range clustering leaves full-width per file (both "
+    "prunes asserted in-query with files_skipped > 0).  Skipping is "
+    "an optimization, never semantics: survivors are exactly "
+    "re-filtered, and the oracle recomputes the box aggregate from "
+    "the raw table.  At 100 TB this is how a second predicate "
+    "dimension avoids a full scan without a second copy of the data.",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE)
+          BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      AND o_custkey BETWEEN 0 AND 299
+    GROUP BY month
+    """,
+    tags=("update", "scan", "sink"),
+)
+def q_cow_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The create/compact staging is test scaffolding; the operators
+    under test are _zvalue_expr + compact(cluster_by=list) +
+    read_ranges (sources/cow_table.py)."""
+    import datetime
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_odate", F.to_date("o_orderdate")
+    )
+    work = tempfile.mkdtemp(prefix="m17_cow_")
+    table = CowTable.create(
+        spark, f"{work}/orders", orders.repartition(16)
+    )
+    total = sum(
+        s["rows"]
+        for s in table._commit_doc(0)["file_stats"].values()
+    )
+    table.compact(
+        target_rows=max(1, total // 12), cluster_by=["o_odate", "o_custkey"]
+    )
+    # trailing-dim prune: the reason Z-order exists (a cust-only
+    # predicate skips files even though the date column leads).  The
+    # probe is the bottom ~10% of the KEY RANGE THE LOG RECORDS --
+    # custkey cardinality scales with SF, a fixed bound would cover
+    # every customer at small SFs and have nothing to prune.
+    ck_max = max(
+        s["cols"]["o_custkey"]["max"]
+        for s in table._commit_doc(table.version())["file_stats"].values()
+    )
+    table.read_ranges({"o_custkey": (0, ck_max // 10)}).count()
+    assert table.last_scan["files_skipped"] > 0, (
+        "z-order layout failed to prune on the trailing dimension"
+    )
+    pruned = table.read_ranges({
+        "o_odate": (datetime.date(1996, 1, 1), datetime.date(1996, 12, 31)),
+        "o_custkey": (0, 299),
+    })
+    assert table.last_scan["files_skipped"] > 0, (
+        "z-order layout failed to prune the 2-dim box"
+    )
+    return pruned.groupBy(
+        F.date_format("o_odate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "m18_cow_bloom_point_lookup",
+    "Point lookups through the per-file Bloom key index "
+    "(sources/cow_table.CowTable create(bloom_col)/read_point, the "
+    "Delta bloom-filter-index analogue): the table is keyed by an "
+    "md5 hex of the doc id, so every file's [min, max] spans ~the "
+    "whole key space and range stats prune NOTHING -- any skipping "
+    "is the bloom's, asserted in-query (files_skipped_bloom > 0, "
+    "files_scanned < files_total).  No false negatives by "
+    "construction: the oracle recomputes the same IN-list lookup "
+    "from the raw table, so a key the index wrongly skipped would "
+    "hash-mismatch.  At 100 TB this is a point lookup touching a "
+    "handful of files instead of every file of the table.",
+    """
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) IN (
+      '8f14e45fceea167a5a36dedd4bea2543', 'a1d0c6e83f027327d8461063f4ac58a6',
+      'ac627ab1ccbdb62ec96e702f07f6425b', '202cb962ac59075b964b07152d234b70',
+      'd3d9446802a44259755d38e6d163e820', '310dcbbf4cce62f762a2aaa148d556bd',
+      '550a141f12de6341fba65b0ad0433500', '3cf166c6b73f030b4f67eeaeba301103'
+    )
+    """,
+    tags=("update", "scan", "sink"),
+)
+def q_cow_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staging (md5-keyed copy of documents) is test scaffolding;
+    the operators under test are the bloom sidecar maintenance in
+    CowTable._commit and read_point's range+bloom pruning."""
+    import hashlib
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+        "doc_id", "text", "lang", "n_chars",
+    )
+    work = tempfile.mkdtemp(prefix="m18_cow_")
+    table = CowTable.create(
+        spark, f"{work}/docs", docs.repartition(16), bloom_col="k"
+    )
+    ids = [7, 42, 99, 123, 10, 333, 444, 499]
+    probes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    out = table.read_point("k", probes)
+    assert table.last_scan["files_skipped_bloom"] > 0, (
+        "bloom index failed to refute any file"
+    )
+    assert (
+        table.last_scan["files_scanned"] < table.last_scan["files_total"]
+    ), "point lookup scanned every file"
+    return out.select(
+        "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("text_md5")
+    )
