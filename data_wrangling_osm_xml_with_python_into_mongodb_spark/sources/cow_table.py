@@ -206,6 +206,11 @@ def _file_footer_stats(path: str) -> dict:
 _BLOOM_BITS_DEFAULT = 8192  # bits per file (1 KiB); fpp ~1% at ~850 keys
 _BLOOM_K_DEFAULT = 5
 
+# Above this many distinct merge keys, merge() stops collecting them
+# for driver-side bloom probing (same hazard class as
+# _DELETE_INLINE_MAX); the range-envelope prune still applies.
+_BLOOM_PRUNE_MAX_KEYS = 10_000
+
 
 def _bloom_positions(value, m: int, k: int) -> list[int]:
     """The ``k`` bit positions of ``value`` in an ``m``-bit filter.
@@ -1529,6 +1534,50 @@ class CowTable:
             # all-null keys, which never join-match) -- nothing can be
             # affected; null-keyed source rows still insert below.
             candidates = []
+
+        # Second prune, where range stats go blind: on a
+        # high-cardinality hash key every file's [min, max] spans the
+        # whole key space, so the envelope above keeps EVERYTHING and
+        # each delta merge pays an O(table) candidate scan.  If the
+        # table carries a bloom index on the merge key and the batch's
+        # key set is driver-sized (limit-probed, capped like the
+        # delete-inline path), probe every candidate's filter: a file
+        # none of the touch keys maybe-hits provably contains no match
+        # (no false negatives) and is kept by reference unread.  Bit
+        # positions are computed once per key, then tested per file --
+        # O(keys*k hashes + files*keys bit tests), all metadata-plane.
+        # Any hiccup (oversized batch, unhashable key type, missing
+        # entries) just leaves the candidate list as-is.
+        if candidates:
+            try:
+                bloom = self._bloom_doc(self._commit_doc(base_version))
+                if bloom is not None and bloom.get("col") == key:
+                    probe = touch_keys.limit(
+                        _BLOOM_PRUNE_MAX_KEYS + 1
+                    ).collect()
+                    if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
+                        m_b, k_b = int(bloom["m"]), int(bloom["k"])
+                        pos = [
+                            _bloom_positions(r["_mk"], m_b, k_b)
+                            for r in probe
+                            if r["_mk"] is not None
+                        ]
+                        fmap = bloom.get("files", {})
+                        kept_cand = []
+                        for f in candidates:
+                            hx = fmap.get(os.path.basename(f))
+                            if hx is None:
+                                kept_cand.append(f)
+                                continue
+                            bits = int(hx, 16)
+                            if any(
+                                all(bits >> p & 1 for p in ps)
+                                for ps in pos
+                            ):
+                                kept_cand.append(f)
+                        candidates = kept_cand
+            except TypeError:
+                pass
 
         snap_schema = self._snapshot_schema(base_version)
         if candidates:

@@ -1525,3 +1525,47 @@ def test_bloom_positions_deterministic_and_typed():
         bytearray(b"xy"), 8192, 5
     )
     assert all(0 <= p < 8192 for p in _bloom_positions("abc", 8192, 5))
+
+
+def test_bloom_prunes_merge_candidate_scan(spark, tmp_path):
+    """The bloom index feeds MERGE's file matching: on a hash-keyed
+    layout the key-range envelope keeps every file (each spans the
+    whole key space), so without the index a 3-key delta merge probes
+    all 12 files; with it, files_probed collapses to the files that
+    might actually hold the keys.  Same merge, same result -- pinned
+    against the no-bloom table row-for-row."""
+    df = _keyed_df(spark, n=6000)
+    upd = df.filter(F.col("v").isin([11, 2222, 4444])).withColumn(
+        "v", F.col("v") + 1_000_000
+    )
+    plain = CowTable.create(
+        spark, str(tmp_path / "plain"), df.repartition(12)
+    )
+    plain.merge(upd, "k")
+    assert plain._commit_doc(1)["files_probed"] == 12  # range-blind
+    bl = CowTable.create(
+        spark, str(tmp_path / "bl"), df.repartition(12), bloom_col="k"
+    )
+    bl.merge(upd, "k")
+    doc = bl._commit_doc(1)
+    assert doc["files_probed"] <= 4  # <=3 true hits + rare fp
+    assert doc["files_probed"] >= 1
+    assert _rows(bl.read()) == _rows(plain.read())
+
+
+def test_bloom_merge_prune_respects_deletes(spark, tmp_path):
+    """Delete keys join the touch-key set BEFORE bloom pruning, so a
+    delete-only merge still locates (and only rewrites) the files
+    holding its victims."""
+    df = _keyed_df(spark, n=6000)
+    t = CowTable.create(
+        spark, str(tmp_path / "bl"), df.repartition(12), bloom_col="k"
+    )
+    victims = [r["k"] for r in df.filter(F.col("v").isin([5, 3003])).collect()]
+    dels = spark.createDataFrame([(k,) for k in victims], "k string")
+    empty_src = df.filter(F.lit(False))
+    t.merge(empty_src, "k", deletes=dels)
+    doc = t._commit_doc(1)
+    assert doc["files_probed"] <= 3
+    assert t.read().filter(F.col("k").isin(victims)).count() == 0
+    assert t.read().count() == 5998
