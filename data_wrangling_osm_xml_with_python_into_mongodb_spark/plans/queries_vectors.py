@@ -907,14 +907,19 @@ def _kmeans_argmin(v_col: str, cents: list[list[int]]) -> F.Column:
 
 # Literal-argmin plan size grows O(K*dim) expression nodes -- fine at
 # coarse-quantizer K=8, plan-size/codegen-bounded well before the
-# K=4096+ a production IVF trains.  Past this K the broadcast-centroid
-# assignment (centroids ride as ONE broadcast row holding an
-# array<struct<cid,v>>, argmin is a transform+array_min over it) wins:
-# its plan is O(1) in K and the per-row work identical.  Crossover
-# A/B-measured at K=8/64/512 in tools/ab_kmeans_broadcast.py (PERF.md
-# round-14 addendum): at K=8 the two are within noise, at K=64 literal
-# analysis/codegen already costs ~2x, at K=512 the literal plan is
-# deep in analyzer territory while broadcast stays flat.
+# K=4096+ a production IVF trains.  The broadcast-centroid assignment
+# (centroids ride as ONE broadcast row holding an array<struct<cid,v>>,
+# argmin is a transform+array_min over it) has a plan O(1) in K with
+# identical per-row work -- and the A/B (tools/ab_kmeans_broadcast.py,
+# PERF.md round-14 addendum) found NO crossover: broadcast wins at
+# EVERY measured K (sf0.1 full train tmean, literal vs broadcast:
+# K=8 3.5s vs 1.2s, K=64 23.6s vs 1.3s, K=512 155s vs 2.4s), because
+# the literal plan's K*dim expression nodes cost analyzer/codegen time
+# on every Lloyd iteration -- 2.0s of pure analysis at K=8 already,
+# 11s at K=64.  So the DEFAULT strategy is broadcast at any K; the
+# literal trainer stays opt-in as the zero-join plan v10 pins for the
+# registered contrast (and the bound below documents where its plan
+# would stop being viable at all).
 KMEANS_LITERAL_MAX_K = 16
 KMEANS_BROADCAST_K = 64  # v11's K: exercises the broadcast path
 
@@ -1159,13 +1164,16 @@ def _kmeans_train_broadcast(emb: DataFrame, k: int, iters: int) -> DataFrame:
 def _kmeans_train(
     emb: DataFrame, k: int, iters: int, strategy: str | None = None
 ) -> DataFrame:
-    """Dispatch Lloyd training by K: literal-centroid argmin (zero
-    plan-side joins, K*dim literal nodes) up to KMEANS_LITERAL_MAX_K,
-    broadcast-centroid (O(1) plan, one broadcast row) above it.  Both
-    compute identical integers -- pinned by
-    tests/test_vector_queries.py::test_kmeans_literal_eq_broadcast."""
+    """Dispatch Lloyd training: DEFAULT is the broadcast-centroid
+    strategy at every K -- the A/B found no crossover (broadcast 2.9x
+    faster at K=8 rising to 66x at K=512; see the note at
+    KMEANS_LITERAL_MAX_K and PERF.md round 14).  The literal-argmin
+    trainer stays opt-in (``strategy='literal'``, viable only up to
+    ~KMEANS_LITERAL_MAX_K) as the zero-join plan v10 registers for
+    the contrast.  Both compute identical integers -- pinned by
+    tests/test_vectors_quant.py."""
     if strategy is None:
-        strategy = "literal" if k <= KMEANS_LITERAL_MAX_K else "broadcast"
+        strategy = "broadcast"
     if strategy == "literal":
         return _kmeans_train_literal(emb, k, iters)
     if strategy == "broadcast":
@@ -1177,19 +1185,23 @@ def _kmeans_train(
     "v10_kmeans_ivf_training",
     "IVF coarse-quantizer training: 2 fixed Lloyd iterations of "
     "k-means (K=8) over integerized embeddings (floor(x*1000) -- "
-    "engine-exact), seeded with the K lowest vec_ids.  At this K the "
-    "trainer picks the LITERAL strategy: centroids ride to executors "
-    "as literals (K x 64 ints via the driver, MLlib's own pattern), "
-    "so assignment is a zero-shuffle codegen'd argmin over the scan; "
-    "the only exchange is the map-combined (cid, dim) partial-sum "
-    "grid, K*64 rows per task regardless of corpus size.  Output: "
+    "engine-exact), seeded with the K lowest vec_ids.  PINS the "
+    "LITERAL strategy: centroids ride to executors as literals "
+    "(K x 64 ints via the driver, MLlib's own pattern), so assignment "
+    "is a zero-shuffle codegen'd argmin over the scan; the only "
+    "exchange is the map-combined (cid, dim) partial-sum grid, K*64 "
+    "rows per task regardless of corpus size.  Kept as the registered "
+    "contrast to v11: the r14 A/B found broadcast faster at EVERY K "
+    "(the K*dim plan nodes cost analysis each iteration), so the "
+    "dispatcher now defaults to broadcast -- this query is the "
+    "measured-slower zero-join twin, bit-identical output.  Output: "
     "per-cluster size, min member, and integer inertia.",
     _kmeans_oracle_sql(KMEANS_K),
     tags=("vector", "clustering"),
 )
 def q_kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _integerized_emb(spark, sf_dir)
-    return _kmeans_train(emb, KMEANS_K, KMEANS_ITERS)
+    return _kmeans_train(emb, KMEANS_K, KMEANS_ITERS, strategy="literal")
 
 
 @register(
