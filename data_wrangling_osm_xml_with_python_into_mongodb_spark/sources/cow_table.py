@@ -203,109 +203,309 @@ def _file_footer_stats(path: str) -> dict:
 # checkpoints: losing-writer orphans and expired ones are GC'd by
 # vacuum, and a missing sidecar just means no skipping.
 
-_BLOOM_BITS_DEFAULT = 8192  # bits per file (1 KiB); fpp ~1% at ~850 keys
+_BLOOM_BITS_DEFAULT = 8192  # FLOOR bits per file; fpp ~1% at ~850 keys
 _BLOOM_K_DEFAULT = 5
+# Per-file filters are sized from the file's actual row count (a
+# fixed m saturates -- fpp -> 1 -- past ~m/10 keys and the index
+# silently prunes nothing at production file sizes): m = rows *
+# bits_per_key, floored at _BLOOM_BITS_DEFAULT so tiny files keep a
+# well-mixed filter, capped at _BLOOM_BITS_MAX (1 MiB of bits per
+# file; beyond ~800k keys/file the filter degrades gracefully toward
+# scan-everything, never toward wrong answers).  Each sidecar entry
+# records ITS OWN (m, k), so files of different sizes and eras coexist
+# in one index.
+_BLOOM_BITS_PER_KEY = 10  # fpp ~1% at k=5
+_BLOOM_BITS_MAX = 1 << 23
 
 # Above this many distinct merge keys, merge() stops collecting them
-# for driver-side bloom probing (same hazard class as
-# _DELETE_INLINE_MAX); the range-envelope prune still applies.
+# for DRIVER-side bloom probing (same hazard class as
+# _DELETE_INLINE_MAX) and probes EXECUTOR-side instead: the per-file
+# filters broadcast to the key batch and only the O(files) hit set
+# returns to the driver (see _bloom_prune_distributed).
 _BLOOM_PRUNE_MAX_KEYS = 10_000
 
+# Column dtypes create() accepts for bloom_col: exactly the types
+# _bloom_key_bytes encodes.  Everything else (decimal, interval,
+# timestamp_ntz, nested) is rejected AT CREATE, not as an
+# executor-side TypeError halfway through the first commit.
+_BLOOM_SUPPORTED_DTYPES = frozenset({
+    "string", "binary", "boolean", "tinyint", "smallint", "int",
+    "bigint", "float", "double", "date", "timestamp",
+})
 
-def _bloom_positions(value, m: int, k: int) -> list[int]:
-    """The ``k`` bit positions of ``value`` in an ``m``-bit filter.
-    Hashing is md5 over a TYPE-TAGGED stable encoding (``hash()`` is
-    process-seeded; executors and the driver must agree), split into
-    two 64-bit halves combined Kirsch-Mitzenmacher style
-    (``h1 + i*h2``)."""
-    import hashlib
+
+def _session_tz(spark):
+    """The session's IANA timezone as a tzinfo (falls back to UTC on
+    an unparseable conf).  Naive probe datetimes -- what collect()
+    hands back -- are wall time in THIS zone, not the driver's."""
+    import datetime
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return datetime.timezone.utc
+
+
+def _bloom_key_bytes(value, tz=None) -> bytes:
+    """TYPE-TAGGED stable byte encoding of a bloom key (``hash()`` is
+    process-seeded; executors and the driver must agree).  Datetimes
+    normalize to UTC **epoch micros** -- NOT the ISO string _enc_stat
+    uses for range stats -- because write-side values (pyarrow
+    ``as_py()``: tz-aware UTC) and probe-side values (``collect()``:
+    naive session-local) must hash identically or every probe of a
+    timestamp key silently misses (the bloom equivalent of the
+    aware-vs-naive hazard _stat_cmp_ok guards on the range path).
+    tz rule for NAIVE datetimes: interpreted in ``tz`` (callers pass
+    the session timezone), defaulting to UTC -- the documented
+    contract, matching pyarrow's UTC-adjusted decode on the write
+    side."""
+    import datetime
 
     if isinstance(value, (bytes, bytearray)):
-        d = hashlib.md5(b"y:" + bytes(value)).digest()
-    else:
-        enc = _enc_stat(value)
-        if enc is None:
-            raise TypeError(f"bloom-unsupported value type: {type(value)}")
-        tag = "b" if isinstance(enc, bool) else (
-            "n" if isinstance(enc, (int, float)) else "s"
+        return b"y:" + bytes(value)
+    if isinstance(value, bool):
+        return f"b:{value}".encode("utf-8")
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=tz or datetime.timezone.utc)
+        delta = value - datetime.datetime(
+            1970, 1, 1, tzinfo=datetime.timezone.utc
         )
-        if tag == "n":  # 3 and 3.0 hash identically, like Spark's = and IN
-            enc = float(enc)
-        d = hashlib.md5(f"{tag}:{enc}".encode("utf-8")).digest()
-    h1 = int.from_bytes(d[:8], "big")
-    h2 = int.from_bytes(d[8:], "big") | 1
+        micros = (
+            (delta.days * 86400 + delta.seconds) * 1_000_000
+            + delta.microseconds
+        )
+        return f"t:{micros}".encode("utf-8")
+    if isinstance(value, datetime.date):
+        return f"s:{value.isoformat()}".encode("utf-8")
+    if isinstance(value, (int, float)):
+        # 3 and 3.0 hash identically, like Spark's = and IN
+        return f"n:{float(value)}".encode("utf-8")
+    if isinstance(value, str):
+        return f"s:{value}".encode("utf-8")
+    raise TypeError(f"bloom-unsupported value type: {type(value)}")
+
+
+def _bloom_hashes(value, tz=None) -> tuple[int, int]:
+    """md5 of the tagged encoding split into two 64-bit halves,
+    combined Kirsch-Mitzenmacher style (``h1 + i*h2``) downstream.
+    Computed ONCE per value; positions then cost one mod per (i, m)
+    -- per-file filter sizes reuse the same pair."""
+    import hashlib
+
+    d = hashlib.md5(_bloom_key_bytes(value, tz)).digest()
+    return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1
+
+
+def _bloom_positions(value, m: int, k: int, tz=None) -> list[int]:
+    """The ``k`` bit positions of ``value`` in an ``m``-bit filter."""
+    h1, h2 = _bloom_hashes(value, tz)
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _file_bloom(path: str, col: str, m: int, k: int) -> str:
-    """Bloom filter of a file's ``col`` values as a hex string.  Reads
-    ONLY that column (column-pruned parquet read) -- runs executor-side
-    for large commits, mirroring :meth:`CowTable._harvest_file_stats`.
-    NULLs are not inserted (a point lookup never matches NULL)."""
+def _bloom_size(rows: int, bpk: int, floor_m: int) -> int:
+    """Per-file filter size in bits: rows * bits-per-key, floored and
+    capped, rounded up to whole 64-bit words."""
+    m = max(int(floor_m), int(rows) * int(bpk))
+    m = min(m, _BLOOM_BITS_MAX)
+    return ((m + 63) // 64) * 64
+
+
+def _file_bloom(path: str, col: str, conf: dict) -> dict:
+    """Bloom filter of a file's ``col`` values, sized from the file's
+    OWN row count (``_bloom_size``): ``{"h": hex, "m": bits, "k":
+    hashes}``.  Reads ONLY that column (column-pruned parquet read) --
+    runs executor-side for large commits, mirroring
+    :meth:`CowTable._harvest_file_stats`.  NULLs are not inserted (a
+    point lookup never matches NULL).  Datetime values hash through
+    the UTC-epoch-micros rule of :func:`_bloom_key_bytes` (pyarrow
+    hands them back tz-aware UTC; naive -- e.g. INT96-era files --
+    means UTC wall time)."""
     import pyarrow.parquet as pq
 
-    bits = 0
+    k = int(conf.get("k", _BLOOM_K_DEFAULT))
     table = pq.read_table(path, columns=[col])
+    m = _bloom_size(
+        table.num_rows,
+        int(conf.get("bpk", _BLOOM_BITS_PER_KEY)),
+        int(conf.get("m", _BLOOM_BITS_DEFAULT)),
+    )
+    bits = 0
     for chunk in table.column(0).chunks:
         for v in chunk:
             pv = v.as_py()
             if pv is None:
                 continue
-            for pos in _bloom_positions(pv, m, k):
-                bits |= 1 << pos
-    return f"{bits:x}"
+            h1, h2 = _bloom_hashes(pv)
+            for i in range(k):
+                bits |= 1 << ((h1 + i * h2) % m)
+    return {"h": f"{bits:x}", "m": m, "k": k}
 
 
-def _bloom_maybe_contains(hex_bits: str, value, m: int, k: int) -> bool:
+def _bloom_entry(e, doc: dict) -> tuple[str, int, int]:
+    """Normalize a sidecar file entry to ``(hex_bits, m, k)``.  New
+    sidecars store per-file dicts; legacy entries were bare hex
+    strings sized by the sidecar-wide conf -- both stay readable (a
+    carried file keeps its original entry verbatim forever)."""
+    if isinstance(e, str):
+        return e, int(doc["m"]), int(doc["k"])
+    return e["h"], int(e["m"]), int(e["k"])
+
+
+def _bloom_any_hit(bits: int, m: int, k: int, hashes) -> bool:
+    """True iff ANY of the pre-hashed keys maybe-hits the filter.
+    Early exit both ways: a non-member key fails on its first unset
+    bit (expected ~2 probes at 50% density), a hit returns
+    immediately."""
+    for h1, h2 in hashes:
+        for i in range(k):
+            if not bits >> ((h1 + i * h2) % m) & 1:
+                break
+        else:
+            return True
+    return False
+
+
+def _bloom_maybe_contains(hex_bits: str, value, m: int, k: int, tz=None) -> bool:
     bits = int(hex_bits, 16)
-    return all(bits >> p & 1 for p in _bloom_positions(value, m, k))
+    return all(bits >> p & 1 for p in _bloom_positions(value, m, k, tz))
 
 
-def _zvalue_expr(df: DataFrame, cols: list[str]) -> F.Column:
+def _normalize_probe(v, tzi):
+    """A user/collect() probe value, tz-resolved: naive datetimes are
+    wall time in the SESSION zone (``tzi``) -- attaching it makes the
+    value an unambiguous instant, so range stats (aware-UTC ISO),
+    bloom hashing (UTC epoch micros), and ``F.lit`` (which would
+    otherwise convert naive via the DRIVER's local zone, a different
+    bug) all agree."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is None:
+        return v.replace(tzinfo=tzi)
+    return v
+
+
+def _probe_to_py(v, tzi):
+    """Arrow/pandas scalar -> plain-Python bloom key.  mapInPandas
+    hands back numpy scalars and pandas Timestamps (tz-naive, session
+    zone); the hash encoding is defined over Python natives."""
+    import datetime
+
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+        v = v.to_pydatetime()
+    elif hasattr(v, "item") and not isinstance(
+        v, (str, bytes, bool, int, float, datetime.date)
+    ):
+        v = v.item()
+    return _normalize_probe(v, tzi)
+
+
+def _zvalue_expr(
+    df: DataFrame, cols: list[str], boundaries: str = "linear"
+) -> F.Column:
     """Morton (Z-order) code over ``cols`` as native shift/mask
     arithmetic (no UDF; same unrolled-interleave recipe as
-    operators/geo.geo_cell).  Each column is linearly quantized to
-    ``b = 48 // ncols`` bits against its actual min/max (ONE one-row
-    agg over ``df`` -- a driver-sized probe, same class as merge's
-    metadata collects; the extra scan is of the small files being
-    rewritten, not the table), then bits interleave round-robin
-    MSB-first, so range-partitioning the result gives every output
-    file a compact hyper-rectangle-ish region of the key space --
-    per-file footer min/max become tight on EVERY clustered column at
-    once, which is the whole point of ``OPTIMIZE ... ZORDER BY``.
+    operators/geo.geo_cell).  Each column quantizes to a small bucket
+    number, then bits interleave round-robin MSB-first, so
+    range-partitioning the result gives every output file a compact
+    hyper-rectangle-ish region of the key space -- per-file footer
+    min/max become tight on EVERY clustered column at once, which is
+    the whole point of ``OPTIMIZE ... ZORDER BY``.
 
-    Linear quantization is deliberately simple: heavy per-column skew
-    wastes bucket resolution (Delta samples range boundaries instead),
-    but it is one map-side expression with no sampling pass, and
-    skipping is an optimization -- a bad layout only costs skips.
-    NULLs quantize to bucket 0."""
+    ``boundaries="linear"`` (default): ``b = 48 // ncols`` bits per
+    column against its actual min/max (ONE one-row agg over ``df`` --
+    a driver-sized probe, same class as merge's metadata collects;
+    the extra scan is of the small files being rewritten, not the
+    table).  One map-side expression, no sampling pass -- but heavy
+    per-column skew (long-tail ids, hot dates) wastes most of the
+    2^b buckets on empty range and collapses skipping selectivity.
+
+    ``boundaries="sampled"``: Delta's answer to exactly that skew --
+    bucket edges come from ``percentile_approx`` (equi-DEPTH, up to
+    256 buckets per column, same band-edge technique as
+    operators/ranges rj2), so every bucket holds ~the same row count
+    no matter how skewed the distribution, and the bucket expression
+    is a rank against the sampled-edge array (one extra one-row agg;
+    the per-row cost is an O(256) array rank, still map-side
+    whole-stage codegen).
+
+    Either way skipping stays sound -- survivors are re-filtered; a
+    bad layout only costs skips.  NULLs quantize to bucket 0.
+    STRING columns participate via an order-preserving 3-codepoint
+    base-65536 prefix integer (clamped to the BMP): lexicographic
+    locality survives into the bucket number, so per-file string
+    min/max tighten too -- a string column is never silently a
+    constant-0 dimension."""
     ncols = len(cols)
     b = max(1, min(16, 48 // ncols))
     dtypes = dict(df.dtypes)
 
     def num_expr(c: str) -> F.Column:
-        if dtypes.get(c) == "date":
+        dt = dtypes.get(c, "")
+        if dt == "date":
             return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+        if dt == "string":
+            cps = [
+                F.least(
+                    F.coalesce(
+                        F.ascii(F.substring(F.col(c), i + 1, 1)), F.lit(0)
+                    ),
+                    F.lit(65535),
+                ).cast("double")
+                for i in range(3)
+            ]
+            return (
+                cps[0] * F.lit(float(1 << 32))
+                + cps[1] * F.lit(float(1 << 16))
+                + cps[2]
+            )
         return F.col(c).cast("double")
 
-    bounds = df.agg(
-        *[F.min(num_expr(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
-        *[F.max(num_expr(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
-    ).collect()[0]
-    qs = []
-    for i, c in enumerate(cols):
-        lo = bounds[f"lo_{i}"]
-        hi = bounds[f"hi_{i}"]
-        if lo is None or hi is None:  # all-null column: constant bucket
-            qs.append(F.lit(0).cast("long"))
-            continue
-        span = (hi - lo) or 1.0
-        q = F.floor(
-            (num_expr(c) - F.lit(float(lo))) / F.lit(float(span))
-            * F.lit(float(1 << b))
+    if boundaries == "sampled":
+        b = min(b, 8)
+        nq = 1 << b
+        pcts = [i / nq for i in range(1, nq)]
+        row = df.agg(*[
+            F.percentile_approx(num_expr(c), pcts, 10_000).alias(f"q_{i}")
+            for i, c in enumerate(cols)
+        ]).collect()[0]
+        qs = []
+        for i, c in enumerate(cols):
+            edges = sorted({
+                float(x) for x in (row[f"q_{i}"] or []) if x is not None
+            })
+            if not edges:  # all-null column: constant bucket
+                qs.append(F.lit(0).cast("long"))
+                continue
+            arr = F.array(*[F.lit(x) for x in edges])
+            n = num_expr(c)
+            q = F.size(F.filter(arr, lambda x: x <= n)).cast("long")
+            qs.append(F.coalesce(q, F.lit(0)))
+    elif boundaries == "linear":
+        bounds = df.agg(
+            *[F.min(num_expr(c)).alias(f"lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(num_expr(c)).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        qs = []
+        for i, c in enumerate(cols):
+            lo = bounds[f"lo_{i}"]
+            hi = bounds[f"hi_{i}"]
+            if lo is None or hi is None:  # all-null column: constant bucket
+                qs.append(F.lit(0).cast("long"))
+                continue
+            span = (hi - lo) or 1.0
+            q = F.floor(
+                (num_expr(c) - F.lit(float(lo))) / F.lit(float(span))
+                * F.lit(float(1 << b))
+            )
+            q = F.least(F.greatest(q, F.lit(0)), F.lit((1 << b) - 1))
+            qs.append(F.coalesce(q, F.lit(0)).cast("long"))
+    else:
+        raise ValueError(
+            f"boundaries must be 'linear' or 'sampled', got {boundaries!r}"
         )
-        q = F.least(F.greatest(q, F.lit(0)), F.lit((1 << b) - 1))
-        qs.append(F.coalesce(q, F.lit(0)).cast("long"))
     total = b * ncols
     z = F.lit(0).cast("long")
     for i in range(total):
@@ -377,23 +577,23 @@ class CowTable:
         except (OSError, ValueError):
             return None
 
-    def _harvest_blooms(
-        self, files: list[str], col: str, m: int, k: int
-    ) -> dict:
-        """Per-file key blooms, basename-keyed.  Same driver/executor
+    def _harvest_blooms(self, files: list[str], conf: dict) -> dict:
+        """Per-file key blooms, basename-keyed, each sized from its
+        file's row count (``_file_bloom``).  Same driver/executor
         split as :meth:`_harvest_file_stats`: the read is column-pruned
         to the key column, and large commits fan the work out so
         commit cost never becomes a driver loop over 1e5 files."""
+        col = conf["col"]
         if len(files) <= _DRIVER_STATS_MAX:
             return {
-                os.path.basename(f): _file_bloom(f, col, m, k)
+                os.path.basename(f): _file_bloom(f, col, conf)
                 for f in files
             }
         sc = self.spark.sparkContext
         slices = min(len(files), sc.defaultParallelism)
         pairs = (
             sc.parallelize(sorted(files), slices)
-            .map(lambda f: (os.path.basename(f), _file_bloom(f, col, m, k)))
+            .map(lambda f: (os.path.basename(f), _file_bloom(f, col, conf)))
             .collect()
         )
         return dict(pairs)
@@ -421,11 +621,14 @@ class CowTable:
         if not conf:
             return stats
         col, m, k = conf["col"], int(conf["m"]), int(conf["k"])
+        bpk = int(conf.get("bpk", _BLOOM_BITS_PER_KEY))
         parent = self._bloom_doc(pdoc) or {}
+        # Carried files keep their entries verbatim (each entry
+        # records its own m/k, so a conf change only re-sizes NEW
+        # files); a parent index on a DIFFERENT column is useless.
         have = (
             parent.get("files", {})
-            if (parent.get("col"), parent.get("m"), parent.get("k"))
-            == (col, m, k)
+            if parent.get("col") == col
             else {}
         )
         base = {os.path.basename(f): f for f in files}
@@ -436,13 +639,15 @@ class CowTable:
                 "bloom_conf": conf,
                 "bloom_sidecar": pdoc["bloom_sidecar"],
             }
-        fresh = self._harvest_blooms(missing, col, m, k) if missing else {}
+        fresh = self._harvest_blooms(missing, conf) if missing else {}
         filemap = {b: have.get(b) or fresh[b] for b in base}
         name = f"{version:08d}-{uuid.uuid4().hex[:8]}.bloom.json"
         os.makedirs(_log_dir(self.path), exist_ok=True)
         tmp = os.path.join(_log_dir(self.path), f"_tmp_bl_{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump({"col": col, "m": m, "k": k, "files": filemap}, f)
+            json.dump(
+                {"col": col, "m": m, "k": k, "bpk": bpk, "files": filemap}, f
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(_log_dir(self.path), name))
@@ -797,12 +1002,19 @@ class CowTable:
         bloom_col: str | None = None,
         bloom_bits: int = _BLOOM_BITS_DEFAULT,
         bloom_k: int = _BLOOM_K_DEFAULT,
+        bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
     ) -> "CowTable":
         """``bloom_col`` opts the table into a per-file Bloom key index
         (Delta's bloom filter index analogue) maintained by every
         subsequent commit; :meth:`read_point` uses it to prune files
         range stats cannot (high-cardinality keys whose per-file
-        [min, max] spans the whole key space)."""
+        [min, max] spans the whole key space).  Each file's filter is
+        sized from ITS row count (``bloom_bits_per_key``, floored at
+        ``bloom_bits``) so the index never silently saturates as files
+        grow.  ``bloom_col`` must be one of the dtypes the key encoder
+        supports (``_BLOOM_SUPPORTED_DTYPES``) -- unsupported types
+        (decimal, timestamp_ntz, nested) fail HERE, not as an
+        executor-side TypeError mid-commit."""
         t = cls(spark, path)
         if t.version() >= 0:
             raise FileExistsError(f"CowTable already exists at {path}")
@@ -813,13 +1025,15 @@ class CowTable:
         }
         if bloom_col is not None:
             dt = dict(df.dtypes).get(bloom_col)
-            if dt is None or dt.startswith(("array", "map", "struct")):
+            if dt is None or dt not in _BLOOM_SUPPORTED_DTYPES:
                 raise ValueError(
-                    f"bloom_col must be a top-level scalar column, got "
+                    f"bloom_col must be a top-level column of a supported "
+                    f"scalar dtype {sorted(_BLOOM_SUPPORTED_DTYPES)}, got "
                     f"{bloom_col!r} ({dt})"
                 )
             stats["bloom_conf"] = {
-                "col": bloom_col, "m": int(bloom_bits), "k": int(bloom_k)
+                "col": bloom_col, "m": int(bloom_bits), "k": int(bloom_k),
+                "bpk": int(bloom_bits_per_key),
             }
         files, fstats, _ = t._write_data_files(df, 0)
         stats["files_written"] = len(files)
@@ -964,7 +1178,21 @@ class CowTable:
         stats admitted but the bloom refuted -- the index's marginal
         value).  At 100 TB this is the difference between a point
         lookup scanning every file of a compacted table and touching
-        one."""
+        one.
+
+        Probe-cardinality contract: the per-value driver loop is
+        O(files x probes) pure-Python -- sized for point lookups (a
+        handful to a few thousand values).  Past
+        ``_BLOOM_PRUNE_MAX_KEYS`` probes the lookup automatically
+        switches to the merge-style EXECUTOR-side path: envelope
+        range prune, distributed bloom probe
+        (:meth:`_bloom_prune_distributed`), and a broadcast semi-join
+        instead of an ``isin()`` literal (which at that size is a
+        Catalyst-plan hazard of its own).  Naive datetime probes are
+        interpreted in the SESSION timezone (what ``collect()`` hands
+        back), normalized to UTC instants before range comparison,
+        bloom hashing, and the final filter -- the documented tz
+        rule."""
         vals = (
             list(values)
             if isinstance(values, (list, tuple, set))
@@ -972,6 +1200,8 @@ class CowTable:
         )
         if not vals or any(v is None for v in vals):
             raise ValueError("read_point needs 1+ non-null probe values")
+        tzi = _session_tz(self.spark)
+        vals = [_normalize_probe(x, tzi) for x in vals]
         v = self.version() if version is None else version
         doc = self._commit_doc(v)
         files = doc["files"]
@@ -979,7 +1209,17 @@ class CowTable:
         bloom = self._bloom_doc(doc)
         if bloom is not None and bloom.get("col") != col:
             bloom = None  # index covers a different column
+        if len(vals) > _BLOOM_PRUNE_MAX_KEYS:
+            return self._read_point_large(col, vals, v, files, stats, bloom)
         enc_vals = [_enc_stat(x) for x in vals]
+        hashes: list = []
+        for x in vals:
+            try:
+                hashes.append(_bloom_hashes(x))
+            except TypeError:
+                # unhashable probe type: the bloom cannot refute this
+                # value -- same maybe-present fallback merge uses.
+                hashes.append(None)
         scan: list[str] = []
         skipped_bloom = 0
         for f in files:
@@ -994,15 +1234,14 @@ class CowTable:
                         in_range[i] = s["min"] <= e <= s["max"]
             if not any(in_range):
                 continue
-            hex_bits = (bloom or {}).get("files", {}).get(base)
-            if hex_bits is not None:
-                m, k = int(bloom["m"]), int(bloom["k"])
-                if not any(
-                    ok and _bloom_maybe_contains(hex_bits, x, m, k)
-                    for ok, x in zip(in_range, vals)
-                ):
-                    skipped_bloom += 1
-                    continue
+            entry = (bloom or {}).get("files", {}).get(base)
+            if entry is not None:
+                live = [h for ok, h in zip(in_range, hashes) if ok]
+                if all(h is not None for h in live):
+                    hx, m, k = _bloom_entry(entry, bloom)
+                    if not _bloom_any_hit(int(hx, 16), m, k, live):
+                        skipped_bloom += 1
+                        continue
             scan.append(f)
         self.last_scan = {
             "files_total": len(files),
@@ -1018,12 +1257,156 @@ class CowTable:
             return df.filter(F.col(col) == F.lit(vals[0]))
         return df.filter(F.col(col).isin(vals))
 
+    def _read_point_large(
+        self, col: str, vals: list, v: int, files: list[str],
+        stats: dict, bloom: dict | None,
+    ) -> DataFrame:
+        """:meth:`read_point` past ``_BLOOM_PRUNE_MAX_KEYS`` probes:
+        range-prunes by the batch's [min, max] ENVELOPE only (one
+        driver pass over the values, O(files) comparisons), bloom-
+        probes executor-side, and filters survivors with a broadcast
+        left-semi join -- the same shape :meth:`merge` uses for large
+        key batches, so a 100k-value IN-list costs O(files) driver
+        work, not O(files x probes)."""
+        from pyspark.sql.types import StructField, StructType
+
+        enc = []
+        for x in vals:
+            e = _enc_stat(x)
+            if e is None:
+                enc = None  # unencodable value: no range prune at all
+                break
+            enc.append(e)
+        scan0 = []
+        if enc:
+            lo_e, hi_e = min(enc), max(enc)
+            for f in files:
+                s = stats.get(os.path.basename(f), {}).get("cols", {}).get(col)
+                skip = False
+                if s is not None:
+                    if _stat_cmp_ok(s["max"], lo_e):
+                        skip = skip or s["max"] < lo_e
+                    if _stat_cmp_ok(s["min"], hi_e):
+                        skip = skip or s["min"] > hi_e
+                if not skip:
+                    scan0.append(f)
+        else:
+            scan0 = list(files)
+        schema = self._snapshot_schema(v)
+        ktype = schema[col].dataType
+        probe_df = self.spark.createDataFrame(
+            [(x,) for x in vals],
+            StructType([StructField("_mk", ktype)]),
+        )
+        scan = self._bloom_prune_distributed(probe_df, scan0, bloom)
+        self.last_scan = {
+            "files_total": len(files),
+            "files_scanned": len(scan),
+            "files_skipped": len(files) - len(scan),
+            "files_skipped_bloom": len(scan0) - len(scan),
+        }
+        if scan:
+            df = self.spark.read.schema(schema).parquet(*scan)
+        else:
+            df = self.spark.createDataFrame([], schema)
+        return df.join(
+            F.broadcast(probe_df.withColumnRenamed("_mk", "__probe_k")),
+            df[col] == F.col("__probe_k"),
+            "left_semi",
+        )
+
+    def _bloom_prune_distributed(
+        self, touch_keys: DataFrame, candidates: list[str],
+        bloom: dict | None,
+    ) -> list[str]:
+        """Bloom candidate pruning for key batches TOO BIG to collect:
+        the per-file filters (the sidecar entries for ``candidates``
+        only) broadcast to the executors holding the key batch, each
+        partition tests its keys against the filters with per-file
+        early exit (a file one key hits stops being tested), and only
+        the O(files) set of HIT basenames returns to the driver -- the
+        keys themselves never leave the cluster.  This is what keeps
+        bloom pruning engaged for the 100k-key delta merges that are
+        the normal case at 100 TB, where the driver-side probe's
+        ``_BLOOM_PRUNE_MAX_KEYS`` cap would otherwise silently fall
+        back to range-envelope pruning (useless on hash keys).  Work
+        is O(keys/partition x unhit files) per partition, numpy-free
+        on purpose: position arithmetic is exact Python-int modular
+        math, bit-identical to the write side.  Files without a
+        sidecar entry are kept unread (never refuted); an unhashable
+        key type conservatively keeps everything.  No false negatives:
+        a file is dropped only when EVERY key's filter test refutes
+        it."""
+        fmap = (bloom or {}).get("files", {})
+        entries: dict[str, tuple[int, int, int]] = {}
+        for f in candidates:
+            b = os.path.basename(f)
+            e = fmap.get(b)
+            if e is not None:
+                hx, m, k = _bloom_entry(e, bloom)
+                entries[b] = (int(hx, 16), m, k)
+        if not entries:
+            return candidates
+        tzi = _session_tz(self.spark)
+        bc = self.spark.sparkContext.broadcast(entries)
+
+        def probe(batches):
+            import pandas as pd
+
+            active = dict(bc.value)
+            hits: set[str] = set()
+            give_up = False
+            for pdf in batches:
+                if give_up or not active:
+                    break
+                for raw in pdf["_mk"]:
+                    if raw is None or (
+                        not isinstance(raw, (str, bytes)) and pd.isna(raw)
+                    ):
+                        continue
+                    try:
+                        h1, h2 = _bloom_hashes(_probe_to_py(raw, tzi))
+                    except TypeError:
+                        # unhashable key type: this partition cannot
+                        # refute ANY file -- keep them all.
+                        hits.update(bc.value)
+                        give_up = True
+                        break
+                    dead = []
+                    for b, (bits, m, k) in active.items():
+                        for i in range(k):
+                            if not bits >> ((h1 + i * h2) % m) & 1:
+                                break
+                        else:
+                            hits.add(b)
+                            dead.append(b)
+                    for b in dead:
+                        del active[b]
+                    if not active:
+                        break
+            yield pd.DataFrame({"_hit": sorted(hits)})
+
+        hit = {
+            r["_hit"]
+            for r in touch_keys.select("_mk")
+            .mapInPandas(probe, "_hit string")
+            .distinct()
+            .collect()
+        }
+        return [
+            f
+            for f in candidates
+            if os.path.basename(f) not in entries
+            or os.path.basename(f) in hit
+        ]
+
     def compact(
         self,
         target_rows: int,
         cluster_by: str | list[str] | None = None,
         retries: int = 0,
         refresh_stats: bool = False,
+        zorder_boundaries: str = "linear",
     ) -> dict:
         """``OPTIMIZE``-style bin-packing: rewrite every file holding
         fewer than ``target_rows`` rows into ``ceil(total/target)``
@@ -1053,6 +1436,14 @@ class CowTable:
         Returns the commit doc; a no-op (fewer than two small files)
         commits nothing and returns a summary with ``"noop": True``.
 
+        ``zorder_boundaries``: quantization for the multi-column
+        Morton path -- ``"linear"`` (default; min/max scaling, zero
+        extra passes) or ``"sampled"`` (equi-depth
+        ``percentile_approx`` edges; the layout that keeps skipping
+        selective under heavy per-column skew, see
+        :func:`_zvalue_expr`).  Single-column clustering ignores it:
+        ``repartitionByRange`` already samples.
+
         ``retries``: on losing a commit race, re-plan against the new
         head and retry (compaction is a pure layout rewrite -- the
         recompute picks up whatever the winner committed, so rebase is
@@ -1071,15 +1462,17 @@ class CowTable:
         for _ in range(max(0, retries)):
             try:
                 return self._compact_attempt(
-                    target_rows, cluster_by, refresh_stats
+                    target_rows, cluster_by, refresh_stats, zorder_boundaries
                 )
             except ConcurrentWriteError:
                 continue
-        return self._compact_attempt(target_rows, cluster_by, refresh_stats)
+        return self._compact_attempt(
+            target_rows, cluster_by, refresh_stats, zorder_boundaries
+        )
 
     def _compact_attempt(
         self, target_rows: int, cluster_by: str | list[str] | None = None,
-        refresh_stats: bool = False,
+        refresh_stats: bool = False, zorder_boundaries: str = "linear",
     ) -> dict:
         base_version = self.version()
         files = self.files(base_version)
@@ -1133,7 +1526,10 @@ class CowTable:
             # each output file covers a compact region of the joint key
             # space and its footer min/max go tight on EVERY column.
             merged = (
-                merged.withColumn("__cow_zval", _zvalue_expr(merged, zcols))
+                merged.withColumn(
+                    "__cow_zval",
+                    _zvalue_expr(merged, zcols, zorder_boundaries),
+                )
                 .repartitionByRange(nout, "__cow_zval")
                 .sortWithinPartitions("__cow_zval")
                 .drop("__cow_zval")
@@ -1384,6 +1780,7 @@ class CowTable:
         retries: int = 0,
         meta: dict | None = None,
         evolve_schema: bool = False,
+        bloom_probe: str | None = None,
     ) -> dict:
         """``MERGE INTO`` this table: matched keys take the source row
         wholesale, unmatched source rows insert (operators/audits.
@@ -1429,7 +1826,16 @@ class CowTable:
         rewritten/new files carry them, carried files do not, and
         reads fill the gap with NULLs via the recorded snapshot schema
         (so old snapshots time-travel with their own narrower
-        schema)."""
+        schema).
+
+        ``bloom_probe``: how the bloom candidate prune runs -- None
+        (default) picks by batch size (driver-side at or below
+        ``_BLOOM_PRUNE_MAX_KEYS`` distinct keys, executor-side above),
+        ``"distributed"`` forces the executor-side probe (skips the
+        sizing collect entirely), ``"driver"`` pins the driver path
+        and degrades to NO bloom prune past the cap rather than
+        collecting an unbounded key set.  The path taken is recorded
+        in the commit doc as ``bloom_probe``."""
         # Delete keys: the common (incremental-maintenance) batch is
         # delta-sized, so collect it ONCE and inline as an isin()
         # literal -- reused for the touch set, the filter predicate,
@@ -1459,7 +1865,8 @@ class CowTable:
         while True:
             try:
                 return self._merge_attempt(
-                    source, key, dk_vals, dk_df, meta, evolve_schema
+                    source, key, dk_vals, dk_df, meta, evolve_schema,
+                    bloom_probe,
                 )
             except ConcurrentMergeConflictError:
                 raise
@@ -1473,6 +1880,7 @@ class CowTable:
         dk_df: DataFrame | None = None,
         meta: dict | None = None,
         evolve_schema: bool = False,
+        bloom_probe: str | None = None,
     ) -> dict:
         """One optimistic attempt of :meth:`merge` against the current
         head.  On a lost commit race, classifies the failure: if the
@@ -1539,43 +1947,69 @@ class CowTable:
         # high-cardinality hash key every file's [min, max] spans the
         # whole key space, so the envelope above keeps EVERYTHING and
         # each delta merge pays an O(table) candidate scan.  If the
-        # table carries a bloom index on the merge key and the batch's
-        # key set is driver-sized (limit-probed, capped like the
-        # delete-inline path), probe every candidate's filter: a file
-        # none of the touch keys maybe-hits provably contains no match
-        # (no false negatives) and is kept by reference unread.  Bit
-        # positions are computed once per key, then tested per file --
-        # O(keys*k hashes + files*keys bit tests), all metadata-plane.
-        # Any hiccup (oversized batch, unhashable key type, missing
-        # entries) just leaves the candidate list as-is.
+        # table carries a bloom index on the merge key, probe every
+        # candidate's filter: a file none of the touch keys maybe-hits
+        # provably contains no match (no false negatives) and is kept
+        # by reference unread.  Driver-sized batches (at most
+        # _BLOOM_PRUNE_MAX_KEYS distinct keys, limit-probed like the
+        # delete-inline path) hash once per key and test per file --
+        # all metadata-plane.  BIGGER batches -- the normal delta size
+        # at 100 TB -- do NOT lose the prune: the probe goes
+        # executor-side (_bloom_prune_distributed), keeping the driver
+        # at O(files).  ``bloom_probe`` forces a path ("driver" past
+        # the cap degrades to no bloom prune rather than collecting an
+        # unbounded key set).  Any hiccup (unhashable key type,
+        # missing entries) just leaves the candidate list as-is.
+        bloom_mode = None
         if candidates:
             try:
                 bloom = self._bloom_doc(self._commit_doc(base_version))
                 if bloom is not None and bloom.get("col") == key:
-                    probe = touch_keys.limit(
-                        _BLOOM_PRUNE_MAX_KEYS + 1
-                    ).collect()
-                    if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
-                        m_b, k_b = int(bloom["m"]), int(bloom["k"])
-                        pos = [
-                            _bloom_positions(r["_mk"], m_b, k_b)
-                            for r in probe
-                            if r["_mk"] is not None
-                        ]
-                        fmap = bloom.get("files", {})
-                        kept_cand = []
-                        for f in candidates:
-                            hx = fmap.get(os.path.basename(f))
-                            if hx is None:
-                                kept_cand.append(f)
+                    tzi = _session_tz(self.spark)
+                    use_dist = bloom_probe == "distributed"
+                    probe = None
+                    if not use_dist:
+                        probe = touch_keys.limit(
+                            _BLOOM_PRUNE_MAX_KEYS + 1
+                        ).collect()
+                        if (
+                            len(probe) > _BLOOM_PRUNE_MAX_KEYS
+                            and bloom_probe != "driver"
+                        ):
+                            use_dist = True
+                    if use_dist:
+                        candidates = self._bloom_prune_distributed(
+                            touch_keys, candidates, bloom
+                        )
+                        bloom_mode = "distributed"
+                    elif len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
+                        hashes = []
+                        hashable = True
+                        for r in probe:
+                            if r["_mk"] is None:
                                 continue
-                            bits = int(hx, 16)
-                            if any(
-                                all(bits >> p & 1 for p in ps)
-                                for ps in pos
-                            ):
-                                kept_cand.append(f)
-                        candidates = kept_cand
+                            try:
+                                hashes.append(_bloom_hashes(
+                                    _normalize_probe(r["_mk"], tzi)
+                                ))
+                            except TypeError:
+                                hashable = False
+                                break
+                        if hashable:
+                            fmap = bloom.get("files", {})
+                            kept_cand = []
+                            for f in candidates:
+                                e = fmap.get(os.path.basename(f))
+                                if e is None:
+                                    kept_cand.append(f)
+                                    continue
+                                hx, m_b, k_b = _bloom_entry(e, bloom)
+                                if _bloom_any_hit(
+                                    int(hx, 16), m_b, k_b, hashes
+                                ):
+                                    kept_cand.append(f)
+                            candidates = kept_cand
+                            bloom_mode = "driver"
             except TypeError:
                 pass
 
@@ -1678,8 +2112,14 @@ class CowTable:
                     "files_rewritten": len(rewritten),
                     "files_written": len(new_files),
                     # skipping-on-merge evidence: candidate files the
-                    # match scan actually READ (vs len(files) total).
+                    # match scan actually READ (vs len(files) total),
+                    # and which bloom-probe path pruned them.
                     "files_probed": len(candidates),
+                    **(
+                        {"bloom_probe": bloom_mode}
+                        if bloom_mode is not None
+                        else {}
+                    ),
                     "delete_keys": (
                         dk_df.count() if dk_df is not None else len(dk_vals)
                     ),

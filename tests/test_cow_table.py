@@ -1473,9 +1473,10 @@ def test_bloom_harvest_executor_side_matches_driver(spark, tmp_path):
     t = CowTable.create(spark, str(tmp_path / "bl"), df, bloom_col="k")
     files = t.files()
     assert len(files) > _DRIVER_STATS_MAX
-    via_job = t._harvest_blooms(files, "k", 8192, 5)
+    conf = {"col": "k", "m": 8192, "k": 5, "bpk": 10}
+    via_job = t._harvest_blooms(files, conf)
     via_driver = {
-        os.path.basename(f): _file_bloom(f, "k", 8192, 5) for f in files
+        os.path.basename(f): _file_bloom(f, "k", conf) for f in files
     }
     assert via_job == via_driver
 
