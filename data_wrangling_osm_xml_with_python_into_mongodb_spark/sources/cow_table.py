@@ -257,10 +257,13 @@ def _bloom_key_bytes(value, tz=None) -> bytes:
     naive session-local) must hash identically or every probe of a
     timestamp key silently misses (the bloom equivalent of the
     aware-vs-naive hazard _stat_cmp_ok guards on the range path).
-    tz rule for NAIVE datetimes: interpreted in ``tz`` (callers pass
-    the session timezone), defaulting to UTC -- the documented
-    contract, matching pyarrow's UTC-adjusted decode on the write
-    side."""
+    tz rule for NAIVE datetimes: interpreted in ``tz``, defaulting to
+    UTC (right for pyarrow's decode on the write side, INT96 and
+    TIMESTAMP_MICROS alike).  Probe-side callers attach the correct
+    zone UPSTREAM -- driver-local for collect()/lit-shaped values
+    (:func:`_normalize_probe`), session-tz for Arrow batches
+    (:func:`_probe_to_py`) -- because Spark itself uses those two
+    different conventions at those two boundaries."""
     import datetime
 
     if isinstance(value, (bytes, bytearray)):
@@ -373,33 +376,43 @@ def _bloom_maybe_contains(hex_bits: str, value, m: int, k: int, tz=None) -> bool
     return all(bits >> p & 1 for p in _bloom_positions(value, m, k, tz))
 
 
-def _normalize_probe(v, tzi):
+def _normalize_probe(v):
     """A user/collect() probe value, tz-resolved: naive datetimes are
-    wall time in the SESSION zone (``tzi``) -- attaching it makes the
-    value an unambiguous instant, so range stats (aware-UTC ISO),
-    bloom hashing (UTC epoch micros), and ``F.lit`` (which would
-    otherwise convert naive via the DRIVER's local zone, a different
-    bug) all agree."""
+    wall time in the DRIVER's local zone -- the convention both plain
+    ``collect()`` (which builds them via ``fromtimestamp`` in driver
+    local time) and ``F.lit`` use, so a collected value round-trips
+    into ``read_point`` unchanged.  Attaching the zone makes the value
+    an unambiguous instant, and range stats (aware-UTC ISO), bloom
+    hashing (UTC epoch micros), and the final filter all agree.
+    (Arrow batches follow the OTHER Spark convention -- session-tz
+    naive -- handled by :func:`_probe_to_py`.)"""
     import datetime
 
     if isinstance(v, datetime.datetime) and v.tzinfo is None:
-        return v.replace(tzinfo=tzi)
+        return v.astimezone()  # attach driver-local zone
     return v
 
 
 def _probe_to_py(v, tzi):
     """Arrow/pandas scalar -> plain-Python bloom key.  mapInPandas
-    hands back numpy scalars and pandas Timestamps (tz-naive, session
-    zone); the hash encoding is defined over Python natives."""
+    hands back numpy scalars and pandas Timestamps; Arrow timestamps
+    are tz-naive wall time in the SESSION zone (``tzi``) -- Spark's
+    Arrow convention, distinct from collect()'s driver-local one --
+    so that is the zone attached here."""
     import datetime
 
-    if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp (session-naive)
         v = v.to_pydatetime()
-    elif hasattr(v, "item") and not isinstance(
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=tzi)
+        return v
+    if hasattr(v, "item") and not isinstance(
         v, (str, bytes, bool, int, float, datetime.date)
     ):
         v = v.item()
-    return _normalize_probe(v, tzi)
+    if isinstance(v, datetime.datetime) and v.tzinfo is None:
+        return v.replace(tzinfo=tzi)
+    return v
 
 
 def _zvalue_expr(
@@ -1189,10 +1202,11 @@ class CowTable:
         (:meth:`_bloom_prune_distributed`), and a broadcast semi-join
         instead of an ``isin()`` literal (which at that size is a
         Catalyst-plan hazard of its own).  Naive datetime probes are
-        interpreted in the SESSION timezone (what ``collect()`` hands
-        back), normalized to UTC instants before range comparison,
-        bloom hashing, and the final filter -- the documented tz
-        rule."""
+        interpreted in the DRIVER's local timezone -- exactly the
+        convention plain ``collect()`` and ``F.lit`` use, so a
+        collected value round-trips -- then normalized to UTC
+        instants before range comparison, bloom hashing, and the
+        final filter; pass tz-aware values to be explicit."""
         vals = (
             list(values)
             if isinstance(values, (list, tuple, set))
@@ -1200,8 +1214,7 @@ class CowTable:
         )
         if not vals or any(v is None for v in vals):
             raise ValueError("read_point needs 1+ non-null probe values")
-        tzi = _session_tz(self.spark)
-        vals = [_normalize_probe(x, tzi) for x in vals]
+        vals = [_normalize_probe(x) for x in vals]
         v = self.version() if version is None else version
         doc = self._commit_doc(v)
         files = doc["files"]
@@ -1965,7 +1978,6 @@ class CowTable:
             try:
                 bloom = self._bloom_doc(self._commit_doc(base_version))
                 if bloom is not None and bloom.get("col") == key:
-                    tzi = _session_tz(self.spark)
                     use_dist = bloom_probe == "distributed"
                     probe = None
                     if not use_dist:
@@ -1990,7 +2002,7 @@ class CowTable:
                                 continue
                             try:
                                 hashes.append(_bloom_hashes(
-                                    _normalize_probe(r["_mk"], tzi)
+                                    _normalize_probe(r["_mk"])
                                 ))
                             except TypeError:
                                 hashable = False

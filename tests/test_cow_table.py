@@ -1570,3 +1570,305 @@ def test_bloom_merge_prune_respects_deletes(spark, tmp_path):
     assert doc["files_probed"] <= 3
     assert t.read().filter(F.col("k").isin(victims)).count() == 0
     assert t.read().count() == 5998
+
+
+# -- round 15: bloom at scale, tz-safe keys, sampled Z-order ---------
+
+
+def test_bloom_hash_timestamp_aware_naive_agree():
+    """ADVICE r14 (high): bloom keys hash datetimes as UTC epoch
+    micros, so the SAME INSTANT hashes identically whether it arrives
+    tz-aware UTC (pyarrow write side), tz-aware in any other zone, or
+    naive with an explicit session tz (collect() probe side)."""
+    import datetime
+    from zoneinfo import ZoneInfo
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _bloom_positions,
+    )
+
+    utc = datetime.timezone.utc
+    aware = datetime.datetime(2024, 5, 1, 12, 0, 0, tzinfo=utc)
+    ny = aware.astimezone(ZoneInfo("America/New_York"))
+    naive_utc = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    naive_ny = datetime.datetime(2024, 5, 1, 8, 0, 0)  # same instant, NY wall
+    p = _bloom_positions(aware, 8192, 5)
+    assert _bloom_positions(ny, 8192, 5) == p
+    assert _bloom_positions(naive_utc, 8192, 5) == p  # naive default = UTC
+    assert _bloom_positions(
+        naive_ny, 8192, 5, tz=ZoneInfo("America/New_York")
+    ) == p
+    # a DIFFERENT instant does not collide
+    assert _bloom_positions(
+        aware + datetime.timedelta(microseconds=1), 8192, 5
+    ) != p
+
+
+def test_bloom_timestamp_key_probe_finds_rows(spark, tmp_path):
+    """ADVICE r14 (high) end-to-end: a timestamp bloom_col probed with
+    the naive DRIVER-LOCAL datetime collect() hands back (session tz
+    deliberately non-UTC to prove the two zones are not conflated)
+    and with an aware equivalent -- both find the row, and the bloom
+    still refutes files (the old ISO-string encoding made every probe
+    hash differently from the stored keys, silently returning zero
+    rows)."""
+    import datetime
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.range(3000).selectExpr(
+            "timestamp_micros(1500000000000000 + id * 1000000) AS ts",
+            "id AS v",
+        )
+        t = CowTable.create(
+            spark, str(tmp_path / "ts"), df.repartition(8), bloom_col="ts"
+        )
+        probe = df.filter("v = 1234").collect()[0]["ts"]
+        assert probe.tzinfo is None  # collect() really is naive
+        got = t.read_point("ts", probe).collect()
+        assert [r["v"] for r in got] == [1234]
+        assert t.last_scan["files_skipped_bloom"] > 0
+        aware = datetime.datetime.fromtimestamp(
+            1500000000 + 1234, tz=datetime.timezone.utc
+        )
+        assert t.read_point("ts", aware).count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_bloom_rejects_unsupported_scalar_dtype(spark, tmp_path):
+    """ADVICE r14: decimal passes the old nested-only validation and
+    then TypeErrors executor-side mid-commit; now it fails at
+    create(), named."""
+    df = spark.range(10).selectExpr("CAST(id AS DECIMAL(10, 2)) AS d", "id AS v")
+    with pytest.raises(ValueError, match="supported"):
+        CowTable.create(spark, str(tmp_path / "x"), df, bloom_col="d")
+
+
+def test_bloom_sized_from_file_rowcount(spark, tmp_path):
+    """ADVICE r14: per-file m scales with the file's rows (a fixed
+    8192 bits saturates past ~1-2k keys and prunes nothing).  One
+    50k-key file gets a ~500k-bit filter recorded in ITS sidecar
+    entry, keeps ~1% fpp (>=90 of 100 absent probes refuted), and
+    stays exact on present keys."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _bloom_size,
+    )
+
+    df = _keyed_df(spark, n=50_000).coalesce(1)
+    t = CowTable.create(spark, str(tmp_path / "big"), df, bloom_col="k")
+    entry = list(t._bloom_doc(t._commit_doc(0))["files"].values())[0]
+    assert entry["m"] == _bloom_size(50_000, 10, 8192)
+    assert entry["m"] >= 10 * 50_000  # not the saturated floor
+    refuted = 0
+    for i in range(100):
+        t.read_point("k", f"absent-{i}")
+        refuted += t.last_scan["files_skipped_bloom"]
+    assert refuted >= 90  # fixed 8192 bits would refute ~0
+    present = df.limit(5).collect()
+    for r in present:
+        assert t.read_point("k", r["k"]).count() == 1
+
+
+def test_bloom_merge_distributed_probe_large_batch(spark, tmp_path):
+    """VERDICT r14 #1: a merge batch past _BLOOM_PRUNE_MAX_KEYS (the
+    normal delta size at 100 TB) no longer abandons bloom pruning --
+    the probe runs executor-side and files_probed stays << files_total.
+    Staging: files hold contiguous v ranges but the MERGE KEY is an
+    md5 of v, so every file is range-blind on the key; the 12.5k-key
+    batch (all from one v range = one file) can only be pruned by the
+    blooms.  Sizing contract: a file survives a B-key batch unless
+    ALL B absent keys are refuted, so batch pruning needs per-probe
+    fpp << 1/B -- 32 bits/key with k=22 gives ~2e-7 (vs the 1%
+    point-lookup default, which a 12.5k-key batch would false-hit on
+    every file); per-file sizing makes that affordable exactly where
+    the file is big enough to matter."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _BLOOM_PRUNE_MAX_KEYS,
+    )
+
+    n, nf = 200_000, 16
+    df = spark.range(n).selectExpr(
+        "md5(CAST(id AS STRING)) AS k", "id AS v"
+    ).repartitionByRange(nf, "v")
+    t = CowTable.create(
+        spark, str(tmp_path / "big"), df, bloom_col="k",
+        bloom_bits_per_key=32, bloom_k=22,
+    )
+    assert len(t.files()) == nf
+    batch_n = 12_500
+    assert batch_n > _BLOOM_PRUNE_MAX_KEYS
+    upd = spark.range(batch_n).selectExpr(
+        "md5(CAST(id AS STRING)) AS k", "id + 1000000000 AS v"
+    )
+    doc = t.merge(upd, "k")
+    assert doc["bloom_probe"] == "distributed"
+    assert doc["files_probed"] <= 3  # 1 true file + rare fp
+    assert doc["files_rewritten"] <= 3
+    assert t.read().filter(F.col("v") >= 1_000_000_000).count() == batch_n
+    assert t.read().count() == n
+
+
+def test_bloom_probe_paths_agree(spark, tmp_path):
+    """Forced driver vs forced distributed probing of the SAME small
+    batch prune to the same candidate set and converge to the same
+    table content (the distributed path is an execution strategy, not
+    a semantics change)."""
+    df = _keyed_df(spark, n=6000)
+    upd = df.filter(F.col("v").isin([7, 1717, 5005])).withColumn(
+        "v", F.col("v") + 1_000_000
+    )
+    docs = {}
+    for mode in ("driver", "distributed"):
+        t = CowTable.create(
+            spark, str(tmp_path / mode), df.repartition(12), bloom_col="k"
+        )
+        docs[mode] = t.merge(upd, "k", bloom_probe=mode)
+        docs[mode + "_rows"] = _rows(t.read())
+    assert docs["driver"]["bloom_probe"] == "driver"
+    assert docs["distributed"]["bloom_probe"] == "distributed"
+    assert (
+        docs["driver"]["files_probed"] == docs["distributed"]["files_probed"]
+    )
+    assert docs["driver_rows"] == docs["distributed_rows"]
+
+
+def test_read_point_large_inlist_routes_distributed(spark, tmp_path):
+    """VERDICT r14 #5: an IN-list past _BLOOM_PRUNE_MAX_KEYS switches
+    read_point to the merge-style path -- envelope range prune,
+    executor-side bloom probe, broadcast semi-join (no O(files*probes)
+    driver loop, no 10k-literal isin).  With generously-sized filters
+    an all-absent 10k+ list scans ZERO files; a mixed list returns
+    exactly the present rows."""
+    df = _keyed_df(spark, n=6000)
+    t = CowTable.create(
+        spark, str(tmp_path / "bl"), df.repartition(12),
+        bloom_col="k", bloom_bits=1 << 20,
+    )
+    import hashlib
+
+    # absent keys that are themselves md5 hexes: inside every file's
+    # [min, max], so the envelope prune passes them ALL and any
+    # skipping below is the distributed bloom probe's.
+    absent = [
+        hashlib.md5(f"absent-{i}".encode()).hexdigest()
+        for i in range(10_500)
+    ]
+    out = t.read_point("k", absent)
+    assert out.count() == 0
+    assert t.last_scan["files_scanned"] == 0
+    assert t.last_scan["files_skipped_bloom"] == 12
+    present = [r["k"] for r in df.limit(600).collect()]
+    mixed = present + absent
+    out2 = t.read_point("k", mixed)
+    assert out2.count() == 600
+    assert t.last_scan["files_total"] == 12
+
+
+def test_zorder_sampled_boundaries_beat_linear_on_skew(spark, tmp_path):
+    """VERDICT r14 #2: linear min/max quantization collapses under a
+    long-tail outlier -- a handful of a=1e18 rows stretch the span so
+    ALL other rows land in bucket 0, the column contributes nothing
+    to the Morton code, every file's a-range stays full-width, and a
+    selective a-probe scans everything.  Equi-depth sampled
+    boundaries (percentile_approx band edges) ignore the outlier's
+    leverage: buckets follow the data mass, per-file a-ranges
+    tighten, and the same probe skips most files.  Both layouts
+    return identical rows -- skipping is never semantics."""
+    n = 40_000
+    base = spark.range(n).selectExpr(
+        # uniform mass in [0, 1e6] plus 4 extreme-tail rows at 1e18
+        "CASE WHEN id < 4 THEN CAST(1e18 AS BIGINT) "
+        "ELSE (id * 25) % 1000000 END AS a",
+        "(id * 7919) % 100003 AS b",
+        "id AS v",
+    )
+    probe = {"a": (100_000, 150_000)}  # ~5% of the mass
+    skipped = {}
+    rows = {}
+    for mode in ("linear", "sampled"):
+        t = CowTable.create(
+            spark, str(tmp_path / mode), base.repartition(16)
+        )
+        t.compact(
+            target_rows=n // 12, cluster_by=["a", "b"],
+            zorder_boundaries=mode,
+        )
+        out = t.read_ranges(probe)
+        rows[mode] = _rows(out.select("v", "a", "b"))
+        skipped[mode] = t.last_scan["files_skipped"]
+    assert rows["linear"] == rows["sampled"]  # identical answers
+    assert skipped["linear"] == 0  # the collapse the verdict predicted
+    assert skipped["sampled"] >= 4  # sampled edges keep skipping alive
+
+
+def test_zorder_string_column_participates(spark, tmp_path):
+    """ADVICE r14: a string cluster column used to cast('double') to
+    NULL -> constant bucket 0 -> zero clustering contribution,
+    silently.  The codepoint-prefix quantization keeps lexicographic
+    locality, so per-file min/max tighten on the STRING dimension and
+    a string range probe skips files."""
+    n = 30_000
+    base = spark.range(n).selectExpr(
+        "concat(chr(97 + CAST(id % 26 AS INT)), "
+        "chr(97 + CAST((id * 17) % 26 AS INT)), "
+        "CAST(id AS STRING)) AS s",
+        "(id * 31) % 9973 AS b",
+        "id AS v",
+    )
+    t = CowTable.create(spark, str(tmp_path / "s"), base.repartition(16))
+    t.compact(target_rows=n // 12, cluster_by=["s", "b"])
+    out = t.read_ranges({"s": ("aa", "c")})
+    got = _rows(out.select("v"))
+    assert t.last_scan["files_skipped"] > 0
+    want = _rows(
+        base.filter((F.col("s") >= "aa") & (F.col("s") <= "c")).select("v")
+    )
+    assert got == want
+
+
+def test_compact_zorder_rebase_survives_foreign_merge(spark, tmp_path):
+    """VERDICT r14 #6: a foreign MERGE lands between compact's plan
+    and its commit.  Compaction's rebase is re-plan-from-new-head, so
+    the retry must (a) actually fire, (b) land, (c) carry the foreign
+    row into the compacted layout, and (d) still produce a Z-ordered
+    layout whose skipping assertions hold."""
+    n = 20_000
+    base = spark.range(n).selectExpr(
+        "(id * 13) % 100000 AS a", "(id * 7) % 9973 AS b", "id AS v"
+    )
+    t = CowTable.create(spark, str(tmp_path / "z"), base.repartition(16))
+    # foreign KEY is new; its cluster-column values stay inside the
+    # existing ranges (an outlier would stretch linear quantization --
+    # that failure mode has its own test above).
+    foreign = spark.createDataFrame(
+        [(50_000, 5_000, 99_999_999)], "a long, b long, v long"
+    )
+    orig_commit = CowTable._commit
+    fired = {}
+
+    def racing_commit(self, version, files, op, stats):
+        if op == "compact" and not fired:
+            fired["stolen_version"] = version
+            CowTable._commit = orig_commit  # unpatch before foreign op
+            CowTable(spark, t.path).merge(foreign, "v")
+        return orig_commit(self, version, files, op, stats)
+
+    CowTable._commit = racing_commit
+    try:
+        doc = t.compact(
+            target_rows=n // 12, cluster_by=["a", "b"], retries=2
+        )
+    finally:
+        CowTable._commit = orig_commit
+    assert fired  # the race happened
+    assert doc["version"] == fired["stolen_version"] + 1  # rebase landed
+    # the foreign row rode through the rebased compaction
+    assert t.read().filter(F.col("v") == 99_999_999).count() == 1
+    assert t.read().count() == n + 1
+    # the rebased layout still Z-orders: both dimensions prune
+    t.read_ranges({"a": (0, 9_999)}).count()
+    assert t.last_scan["files_skipped"] > 0
+    t.read_ranges({"b": (0, 997)}).count()
+    assert t.last_scan["files_skipped"] > 0
