@@ -126,6 +126,9 @@ EXTENDED = [
     # Round-14 additions.
     "m17_cow_zorder_skipping",
     "m18_cow_bloom_point_lookup",
+    # Round-15 additions.
+    "m19_cow_zorder_sampled_skew",
+    "m20_cow_bloom_merge_prune",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
@@ -1008,6 +1011,20 @@ def main() -> int:
     ext_timings, _, _, ext_inputs = _time_queries(
         spark, qs, sf_dir, n_passes=1, names=EXTENDED
     )
+    # CowTable skipping VALUE (VERDICT r14 #4): the m17-m20 ext walls
+    # are staging-dominated (create + compact + reads), so the prune
+    # evidence their runs just produced (files_total/scanned/
+    # skipped(+bloom), merge files_probed + probe path) rides in its
+    # own block, the way v8 logs its candidate fraction.
+    try:
+        from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_updates import (
+            LAST_COW_EVIDENCE,
+        )
+
+        cow_evidence = dict(LAST_COW_EVIDENCE)
+    except Exception as e:
+        print(f"# cow evidence failed: {e}", file=sys.stderr)
+        cow_evidence = {}
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -1021,6 +1038,7 @@ def main() -> int:
         "input": inputs,
         "ext": ext_timings,
         "ext_input": ext_inputs,
+        "cow": cow_evidence,
         "sf": sf,
         "code_rev": _code_rev(),
         "ts": int(time.time()),

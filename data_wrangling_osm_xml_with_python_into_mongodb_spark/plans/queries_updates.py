@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 
 from .queries import _t, register
 
+# Scan/prune evidence of the last run of each CowTable skipping query
+# (m17/m18/m19/m20), keyed by query/probe -- files_total/scanned/
+# skipped(+bloom) and merge prune stats.  bench.py snapshots this
+# after its ext pass so the SKIPPING VALUE (not just the op wall,
+# which is staging-dominated) rides with every bench run, the way v8
+# logs its candidate fraction (VERDICT r14 #4).  Best-effort — never
+# part of query semantics.
+LAST_COW_EVIDENCE: dict = {}
+
 
 @register(
     "m1_update_set_priority",
@@ -465,6 +474,7 @@ def q_cow_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert table.last_scan["files_skipped"] > 0, (
         "z-order layout failed to prune on the trailing dimension"
     )
+    LAST_COW_EVIDENCE["m17_trailing_dim"] = dict(table.last_scan)
     pruned = table.read_ranges({
         "o_odate": (datetime.date(1996, 1, 1), datetime.date(1996, 12, 31)),
         "o_custkey": (0, 299),
@@ -472,6 +482,7 @@ def q_cow_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert table.last_scan["files_skipped"] > 0, (
         "z-order layout failed to prune the 2-dim box"
     )
+    LAST_COW_EVIDENCE["m17_box"] = dict(table.last_scan)
     return pruned.groupBy(
         F.date_format("o_odate", "yyyy-MM").alias("month")
     ).agg(
@@ -531,6 +542,7 @@ def q_cow_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert (
         table.last_scan["files_scanned"] < table.last_scan["files_total"]
     ), "point lookup scanned every file"
+    LAST_COW_EVIDENCE["m18_point_lookup"] = dict(table.last_scan)
     return out.select(
         "doc_id", "lang", "n_chars", F.md5(F.col("text")).alias("text_md5")
     )
@@ -599,6 +611,7 @@ def q_cow_zorder_sampled_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert table.last_scan["files_skipped"] > 0, (
         "sampled z-order boundaries failed to prune under skew"
     )
+    LAST_COW_EVIDENCE["m19_skew_decile"] = dict(table.last_scan)
     pruned = table.read_ranges({"a": (0, 299)})
     return pruned.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -670,6 +683,13 @@ def q_cow_bloom_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert doc["files_probed"] <= 6, (
         f"bloom merge prune ineffective: probed {doc['files_probed']} of 24"
     )
+    LAST_COW_EVIDENCE["m20_merge_prune"] = {
+        k: doc[k]
+        for k in (
+            "bloom_probe", "files_probed", "files_kept",
+            "files_rewritten", "files_written",
+        )
+    }
     return table.read().groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),

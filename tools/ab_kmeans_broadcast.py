@@ -32,6 +32,14 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 KS = (8, 64, 512)
+# Production-coarse-quantizer row (VERDICT r14 #3): broadcast ONLY --
+# literal at K=4096 means 4096*64 = 262k plan nodes per distance tree,
+# already proven hopeless at 512 -- and on an UPSAMPLED corpus (the
+# sf0.1 embeddings table is 2k vectors; 64 deterministic perturbed
+# replicas give 128k, ~31 points/cluster, so the K-row centroid update
+# and the broadcast-assignment scan both do real work).
+BIG_KS = (4096,)
+BIG_K_REPLICAS = 64
 CAP_S = 300.0  # per (K, strategy) wall budget; over-cap variants skip
 
 
@@ -42,21 +50,39 @@ def main() -> int:
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import queries_vectors as qv
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
 
+    from pyspark.sql import functions as F
+
     spark = get_spark(app_name="ab_kmeans_broadcast")
     emb = qv._integerized_emb(spark, sf_dir)
     n_vecs = emb.count()  # also warms the scan
+
+    # Upsampled corpus for the K=4096 row: replica r shifts every
+    # component by r (deterministic, integer-exact, spread over the
+    # value range) -- same schema, 64x the rows.
+    big = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BIG_K_REPLICAS - 1))).alias("r"),
+        "vec_id", "v",
+    ).select(
+        (F.col("vec_id") * BIG_K_REPLICAS + F.col("r")).alias("vec_id"),
+        F.expr("transform(v, x -> x + r * 37)").alias("v"),
+    )
+    n_big = big.count()
 
     walls: dict[tuple[int, str], list[float]] = {}
     skipped: set[tuple[int, str]] = set()
     analysis: dict[tuple[int, str], float] = {}
     for p in range(n_passes):
-        for k in KS:
-            for strat in ("literal", "broadcast"):
+        for k in KS + BIG_KS:
+            strats = (
+                ("broadcast",) if k in BIG_KS else ("literal", "broadcast")
+            )
+            corpus = big if k in BIG_KS else emb
+            for strat in strats:
                 key = (k, strat)
                 if key in skipped:
                     continue
                 t0 = time.time()
-                df = qv._kmeans_train(emb, k, 2, strategy=strat)
+                df = qv._kmeans_train(corpus, k, 2, strategy=strat)
                 rows = df.count()
                 dt = time.time() - t0
                 walls.setdefault(key, []).append(dt)
@@ -108,6 +134,8 @@ def main() -> int:
     out = {
         "sf_dir": sf_dir,
         "n_vecs": int(n_vecs),
+        "n_vecs_bigk": int(n_big),
+        "big_ks_broadcast_only": list(BIG_KS),
         "n_passes": n_passes,
         "results": [
             {
