@@ -815,7 +815,8 @@ def _run_block(block: str, sf_dir: str) -> int:
             km, _, km_tm, km_input = _time_queries(
                 spark, qs, sf1_dir, n_passes=2,
                 names=["v10_kmeans_ivf_training",
-                       "v11_kmeans_broadcast_training"],
+                       "v11_kmeans_broadcast_training",
+                       "v12_kmeans_einsum_training"],
             )
         except Exception as e:
             print(f"# kmeans sf1 block failed: {e}", file=sys.stderr)

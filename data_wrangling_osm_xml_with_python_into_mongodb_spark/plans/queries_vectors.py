@@ -1086,27 +1086,13 @@ def _kmeans_argmin_bcast() -> F.Column:
     )
 
 
-def _kmeans_train_broadcast(emb: DataFrame, k: int, iters: int) -> DataFrame:
-    """Lloyd training with centroids as a BROADCAST one-row frame: the
-    K-row (cid, v) centroid table collapses to a single
-    array<struct<cid,v>> row that rides to every task via a broadcast
-    cross join (K*dim ints of DATA, not plan nodes), so the plan stays
-    O(1) in K -- the strategy that scales to production coarse-
-    quantizer K (4096+), where the literal plan blows analyzer/codegen
-    budgets.  Assignment per row is transform+array_min over the
-    broadcast array (still zero shuffle for the corpus); the centroid
-    update is the same map-combined K*dim (cid, d) grid, but folded
-    back into a K-row DataFrame DISTRIBUTED-side -- no driver
-    roundtrip -- with the dead-cluster guard as a LEFT JOIN back to
-    the previous centroids (coalesce keeps a dead cluster's centroid,
-    mirroring the oracle's c1 CTE).  Each iteration's K-row centroid
-    frame is localCheckpoint'ed: K rows, truncates what would
-    otherwise be an exponentially nesting lineage across iterations."""
-    # Seed cids via collect_list + posexplode, not a row_number window:
-    # the K seed rows collapse to one sorted array (struct order =
-    # vec_id order) and the explode position IS the cid -- same result,
-    # no global-window single-partition plan node.
-    cents = (
+def _kmeans_seed(emb: DataFrame, k: int) -> DataFrame:
+    """K seed centroids (cid, v) from the K lowest vec_ids.  Seed cids
+    via collect_list + posexplode, not a row_number window: the K seed
+    rows collapse to one sorted array (struct order = vec_id order)
+    and the explode position IS the cid -- same result, no
+    global-window single-partition plan node."""
+    return (
         emb.orderBy("vec_id")
         .limit(k)
         .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("s"))
@@ -1115,48 +1101,154 @@ def _kmeans_train_broadcast(emb: DataFrame, k: int, iters: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+
+def _kmeans_update(assigned: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd centroid update from an assigned (vec_id, v, cid)
+    frame: the map-combined K*dim (cid, d) partial-sum grid, folded
+    back into a K-row DataFrame DISTRIBUTED-side -- no driver
+    roundtrip -- with the dead-cluster guard as a LEFT JOIN back to
+    the previous centroids (coalesce keeps a dead cluster's centroid,
+    mirroring the oracle's c1 CTE).  floor(sum/count): bigint/bigint
+    is IEEE double division in both engines (exact for these
+    magnitudes), floor of it is bit-identical -- the same contract
+    the literal path's driver math.floor keeps.  The K-row result is
+    localCheckpoint'ed: truncates what would otherwise be an
+    exponentially nesting lineage across iterations."""
+    grid = (
+        assigned.select("cid", F.posexplode("v").alias("d", "vd"))
+        .groupBy("cid", "d")
+        .agg(
+            F.floor(F.sum("vd") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("cd")
+        )
+    )
+    new = (
+        grid.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cd"))).alias("p"))
+        .select("cid", F.transform("p", lambda x: x["cd"]).alias("v"))
+    )
+    return (
+        cents.alias("prev")
+        .join(new.alias("nw"), "cid", "left")
+        .select(
+            "cid",
+            F.coalesce(F.col("nw.v"), F.col("prev.v")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _kmeans_train_broadcast(emb: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd training with centroids as a BROADCAST one-row frame: the
+    K-row (cid, v) centroid table collapses to a single
+    array<struct<cid,v>> row that rides to every task via a broadcast
+    cross join (K*dim ints of DATA, not plan nodes), so the plan stays
+    O(1) in K -- no driver roundtrip anywhere, unlike the literal
+    strategy (and unlike einsum's K-row metadata collect).  Assignment
+    per row is transform+array_min over the broadcast array (still
+    zero shuffle for the corpus); update/seed shared with the other
+    strategies (:func:`_kmeans_seed`, :func:`_kmeans_update`).
+
+    Scale note (r15 A/B, PERF.md): the PLAN is O(1) in K but the
+    assignment ARITHMETIC is O(N*K*dim) interpreted per element by
+    the zip_with/aggregate HOFs -- measured 828 s at K=4096 over 128k
+    vectors.  Past K~512, dispatch to ``strategy='einsum'``
+    (:func:`_kmeans_train_einsum`), which runs the identical integer
+    math through BLAS."""
+
     def one_row(cdf: DataFrame) -> DataFrame:
         return cdf.agg(
             F.array_sort(F.collect_list(F.struct("cid", "v"))).alias("cents")
         )
 
+    cents = _kmeans_seed(emb, k)
     for _ in range(iters - 1):
         assigned = (
             emb.crossJoin(F.broadcast(one_row(cents)))
             .withColumn("m", _kmeans_argmin_bcast())
             .select("vec_id", "v", F.col("m.cid").alias("cid"))
         )
-        # floor(sum/count): bigint/bigint is IEEE double division in
-        # both engines (exact for these magnitudes), floor of it is
-        # bit-identical -- the same contract the literal path's driver
-        # math.floor keeps.
-        grid = (
-            assigned.select("cid", F.posexplode("v").alias("d", "vd"))
-            .groupBy("cid", "d")
-            .agg(
-                F.floor(F.sum("vd") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("cd")
-            )
-        )
-        new = (
-            grid.groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "cd"))).alias("p"))
-            .select(
-                "cid", F.transform("p", lambda x: x["cd"]).alias("v")
-            )
-        )
-        cents = (
-            cents.alias("prev")
-            .join(new.alias("nw"), "cid", "left")
-            .select(
-                "cid",
-                F.coalesce(F.col("nw.v"), F.col("prev.v")).alias("v"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        cents = _kmeans_update(assigned, cents)
     final = emb.crossJoin(F.broadcast(one_row(cents))).withColumn(
         "m", _kmeans_argmin_bcast()
+    )
+    return _kmeans_summary(final)
+
+
+def _einsum_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched einsum kernel:
+    the K-row centroid frame collects to the driver (K x dim ints --
+    metadata-plane, same class as merge's key-envelope collects),
+    ships as a Spark broadcast variable, and each Arrow batch scores
+    N x K distances via the expansion ||x||^2 - 2 x.C^T + ||C||^2 in
+    float64 BLAS.  EXACT by construction: components are
+    floor(x*1000) integers (|v| < 2^26), so every product and the
+    dim-64 sums stay below 2^53 -- float64 represents them exactly
+    and the argmin compares the same integers the zip_with fold
+    produces, bit for bit (pinned by the einsum==broadcast pytest).
+    Ties break to the SMALLEST cid: centroids are ordered by cid and
+    np.argmin keeps the first minimum -- the literal/broadcast/oracle
+    tie rule.  Emits (vec_id, v, cid, dist)."""
+    rows = cents.orderBy("cid").collect()
+    cids = [int(r["cid"]) for r in rows]
+    cvecs = [list(r["v"]) for r in rows]
+    bc = emb.sparkSession.sparkContext.broadcast((cids, cvecs))
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cid_l, c_l = bc.value
+        C = np.asarray(c_l, dtype=np.float64)
+        cidv = np.asarray(cid_l, dtype=np.int64)
+        C2 = (C * C).sum(axis=1)
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            v = b.column(b.schema.get_field_index("v"))
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.float64).reshape(n, -1)
+            X2 = (X * X).sum(axis=1)
+            D = X2[:, None] - 2.0 * (X @ C.T) + C2[None, :]
+            j = D.argmin(axis=1)
+            yield pa.record_batch(
+                [
+                    b.column(b.schema.get_field_index("vec_id")),
+                    v,
+                    pa.array(cidv[j]),
+                    pa.array(D[np.arange(n), j].astype(np.int64)),
+                ],
+                names=["vec_id", "v", "cid", "dist"],
+            )
+
+    return emb.select("vec_id", "v").mapInArrow(
+        assign, "vec_id bigint, v array<bigint>, cid bigint, dist bigint"
+    )
+
+
+def _kmeans_train_einsum(emb: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd training with BLAS assignment (:func:`_einsum_assign`):
+    the strategy for PRODUCTION coarse-quantizer K.  The broadcast
+    strategy's plan is O(1) in K but its per-element HOF arithmetic
+    is not -- the r15 A/B measured K=4096 x 128k vectors x 64 dims at
+    828 s wall (33.5G multiply-adds through interpreted zip_with);
+    the same integers through one dgemm per Arrow batch collapse that
+    to seconds.  Seed, centroid update (map-combined K*dim grid,
+    LEFT-JOIN dead-cluster guard), and tie rules are SHARED with the
+    other strategies -- all three produce bit-identical output
+    (pytest-pinned), so the dispatch is purely an execution-strategy
+    choice.  Cost shape at 100 TB: one column-pruned corpus scan per
+    iteration, zero corpus shuffle for assignment, K-row driver
+    metadata per iteration, K*dim*tasks partial rows in the update
+    shuffle."""
+    cents = _kmeans_seed(emb, k)
+    for _ in range(iters - 1):
+        assigned = _einsum_assign(emb, cents).select("vec_id", "v", "cid")
+        cents = _kmeans_update(assigned, cents)
+    final = _einsum_assign(emb, cents).withColumn(
+        "m", F.struct(F.col("dist").alias("dist"), F.col("cid").alias("cid"))
     )
     return _kmeans_summary(final)
 
@@ -1164,20 +1256,28 @@ def _kmeans_train_broadcast(emb: DataFrame, k: int, iters: int) -> DataFrame:
 def _kmeans_train(
     emb: DataFrame, k: int, iters: int, strategy: str | None = None
 ) -> DataFrame:
-    """Dispatch Lloyd training: DEFAULT is the broadcast-centroid
-    strategy at every K -- the A/B found no crossover (broadcast 2.9x
-    faster at K=8 rising to 66x at K=512; see the note at
-    KMEANS_LITERAL_MAX_K and PERF.md round 14).  The literal-argmin
-    trainer stays opt-in (``strategy='literal'``, viable only up to
-    ~KMEANS_LITERAL_MAX_K) as the zero-join plan v10 registers for
-    the contrast.  Both compute identical integers -- pinned by
+    """Dispatch Lloyd training: DEFAULT is broadcast centroids up to
+    K=512 (the r14 A/B found no literal-wins regime: broadcast 2.9x
+    faster at K=8 rising to 66x at K=512) and the BLAS einsum kernel
+    above (the r15 A/B found the HOF arithmetic, not the plan, is
+    what stops scaling: 828 s at K=4096 vs seconds through dgemm --
+    PERF.md).  The literal-argmin trainer stays opt-in
+    (``strategy='literal'``, viable only up to ~KMEANS_LITERAL_MAX_K)
+    as the zero-join plan v10 registers for the contrast.  All three
+    compute identical integers -- pinned by
     tests/test_vectors_quant.py."""
     if strategy is None:
-        strategy = "broadcast"
+        # Broadcast wins at every K the HOF arithmetic can carry; past
+        # that the O(N*K*dim) per-element interpretation dominates and
+        # the BLAS kernel takes over (r15 A/B: 828 s -> seconds at
+        # K=4096).  Identical integers either way.
+        strategy = "broadcast" if k <= 512 else "einsum"
     if strategy == "literal":
         return _kmeans_train_literal(emb, k, iters)
     if strategy == "broadcast":
         return _kmeans_train_broadcast(emb, k, iters)
+    if strategy == "einsum":
+        return _kmeans_train_einsum(emb, k, iters)
     raise ValueError(f"unknown k-means strategy {strategy!r}")
 
 
@@ -1222,3 +1322,28 @@ def q_kmeans_ivf_training(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_broadcast_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _integerized_emb(spark, sf_dir)
     return _kmeans_train(emb, KMEANS_BROADCAST_K, KMEANS_ITERS)
+
+
+@register(
+    "v12_kmeans_einsum_training",
+    "The SAME Lloyd trainer through the BLAS einsum assignment "
+    "(strategy='einsum', the production-K path): each Arrow batch "
+    "scores N x K squared-L2 distances as one float64 dgemm via the "
+    "||x||^2 - 2 x.C^T + ||C||^2 expansion -- exact by construction "
+    "(floor(x*1000) integers keep every term below 2^53) and "
+    "bit-identical to the broadcast/literal strategies (same oracle "
+    "as v11, same K=64; equality pytest-pinned).  The r15 A/B is the "
+    "reason this path exists: the broadcast plan is O(1) in K but "
+    "its zip_with arithmetic is interpreted per element -- 828 s at "
+    "K=4096 x 128k vectors, vs seconds through dgemm -- so the "
+    "dispatcher auto-switches to einsum above K=512.  Seed and "
+    "centroid update (map-combined K*dim grid, LEFT-JOIN dead-"
+    "cluster guard) are shared code with v11.",
+    _kmeans_oracle_sql(KMEANS_BROADCAST_K),
+    tags=("vector", "clustering"),
+)
+def q_kmeans_einsum_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _integerized_emb(spark, sf_dir)
+    return _kmeans_train(
+        emb, KMEANS_BROADCAST_K, KMEANS_ITERS, strategy="einsum"
+    )

@@ -96,7 +96,12 @@ def test_kmeans_literal_eq_broadcast(spark):
     emb = qv._integerized_emb(spark, "/root/testdata/sf0.001")
     lit = qv._kmeans_train(emb, 8, 2, strategy="literal")
     bc = qv._kmeans_train(emb, 8, 2, strategy="broadcast")
+    es = qv._kmeans_train(emb, 8, 2, strategy="einsum")
     assert _kmeans_rows(lit) == _kmeans_rows(bc)
+    # r15: the BLAS einsum assignment computes the SAME integers
+    # (float64 is exact below 2^53; argmin first-hit == struct-min
+    # cid tie-break), so the K>512 dispatch is execution-only too.
+    assert _kmeans_rows(es) == _kmeans_rows(bc)
 
 
 def test_kmeans_dead_cluster_guard_fires_identically(spark):
@@ -132,7 +137,9 @@ def test_kmeans_dead_cluster_guard_fires_identically(spark):
     )
     lit = _kmeans_rows(qv._kmeans_train(iv, 2, 2, strategy="literal"))
     bc = _kmeans_rows(qv._kmeans_train(iv, 2, 2, strategy="broadcast"))
+    es = _kmeans_rows(qv._kmeans_train(iv, 2, 2, strategy="einsum"))
     assert lit == bc
+    assert es == bc  # dead-cluster guard + tie rule identical via BLAS
     # The guard is observable in the OUTPUT here: cluster 1 died in
     # iteration 1 (zero members), kept its seed centroid [0,0], and
     # then WON BACK the two origin points in the final assignment

@@ -46,6 +46,13 @@ CAP_S = 300.0  # per (K, strategy) wall budget; over-cap variants skip
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # Which strategies run at BIG_KS (argv[3], comma-separated).
+    # literal is excluded by design (262k plan nodes, proven hopeless
+    # at 512); broadcast's one 828 s datapoint is already on record,
+    # so re-runs typically measure einsum alone.
+    big_strats = tuple(
+        (sys.argv[3] if len(sys.argv) > 3 else "broadcast,einsum").split(",")
+    )
 
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import queries_vectors as qv
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.session import get_spark
@@ -74,7 +81,9 @@ def main() -> int:
     for p in range(n_passes):
         for k in KS + BIG_KS:
             strats = (
-                ("broadcast",) if k in BIG_KS else ("literal", "broadcast")
+                big_strats
+                if k in BIG_KS
+                else ("literal", "broadcast", "einsum")
             )
             corpus = big if k in BIG_KS else emb
             for strat in strats:
