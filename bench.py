@@ -129,6 +129,7 @@ EXTENDED = [
     # Round-15 additions.
     "m19_cow_zorder_sampled_skew",
     "m20_cow_bloom_merge_prune",
+    "m21_cow_deletion_vectors",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
@@ -1012,11 +1013,12 @@ def main() -> int:
     ext_timings, _, _, ext_inputs = _time_queries(
         spark, qs, sf_dir, n_passes=1, names=EXTENDED
     )
-    # CowTable skipping VALUE (VERDICT r14 #4): the m17-m20 ext walls
+    # CowTable skipping VALUE (VERDICT r14 #4): the m17-m21 ext walls
     # are staging-dominated (create + compact + reads), so the prune
     # evidence their runs just produced (files_total/scanned/
-    # skipped(+bloom), merge files_probed + probe path) rides in its
-    # own block, the way v8 logs its candidate fraction.
+    # skipped(+bloom), merge files_probed + probe path, m21's
+    # deletion-vector zero-rewrite stats) rides in its own block, the
+    # way v8 logs its candidate fraction.
     try:
         from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_updates import (
             LAST_COW_EVIDENCE,

@@ -694,3 +694,81 @@ def q_cow_bloom_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "m21_cow_deletion_vectors",
+    "Merge-on-read mutations through deletion vectors "
+    "(sources/cow_table.delete mode='dv' + merge strategy='mor' -- "
+    "the Delta/Iceberg deletion-vector mechanism): the table is keyed "
+    "by md5(o_orderkey), so a scattered delete (every 97th order) and "
+    "a scattered upsert (every 101st, price bumped) each touch EVERY "
+    "file -- the exact regime where copy-on-write rewrites the whole "
+    "table to change a fraction of a percent of its rows.  Neither op "
+    "rewrites a data file (asserted in-query: the delete writes ZERO "
+    "files and leaves the file list byte-identical; the mor upsert "
+    "rewrites zero and only appends the batch): matched rows are "
+    "marked dead by parquet row position in a commit sidecar, readers "
+    "filter them via _metadata.row_index (an anti-join against a "
+    "dead-positions frame sized by the DELTA, broadcast, paid only by "
+    "files that have vectors), and compact() materializes the vectors "
+    "later.  A key hit by both ops ends as the upserted row (deletes "
+    "apply before merge, pinned cross-checked by the oracle's "
+    "re-derivation).  At 100 TB this is the difference between a "
+    "GDPR-style scattered delete rewriting terabytes and writing "
+    "kilobytes of sidecar.",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(CASE WHEN o_orderkey % 101 = 0
+                          THEN o_totalprice + 50000.0
+                          ELSE o_totalprice END), 2) AS total
+    FROM orders
+    WHERE o_orderkey % 101 = 0 OR o_orderkey % 97 <> 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("update", "scan", "sink"),
+)
+def q_cow_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staging (md5-keyed orders) is test scaffolding; the
+    operators under test are CowTable.delete(mode='dv'),
+    merge(strategy='mor'), _read_files' positional dead-row filter,
+    and _maintain_dv's sidecar lifecycle (sources/cow_table.py)."""
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+    )
+    work = tempfile.mkdtemp(prefix="m21_cow_")
+    table = CowTable.create(spark, f"{work}/orders", orders.repartition(12))
+    files_before = list(table.files())
+
+    dels = orders.filter(F.col("o_orderkey") % 97 == 0).select("k")
+    ddoc = table.delete("k", deletes=dels)
+    assert ddoc["files_written"] == 0 and ddoc["files_rewritten"] == 0, (
+        "dv delete touched the data plane"
+    )
+    assert table.files() == files_before, "dv delete changed the file list"
+    assert ddoc["rows_dv_deleted"] > 0, "dv delete matched nothing"
+
+    src = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(50000.0)
+    )
+    mdoc = table.merge(src, "k", strategy="mor")
+    assert mdoc["files_rewritten"] == 0, "mor merge rewrote a data file"
+
+    LAST_COW_EVIDENCE["m21_deletion_vectors"] = {
+        "files_total": len(files_before),
+        "delete_files_probed": ddoc["files_probed"],
+        "rows_dv_deleted": ddoc["rows_dv_deleted"],
+        "delete_dv_files_updated": ddoc["dv_files_updated"],
+        "mor_rows_dv_deleted": mdoc["rows_dv_deleted"],
+        "mor_files_written": mdoc["files_written"],
+    }
+    return table.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -38,6 +38,14 @@ so the engine's upsert path runs end-to-end in any environment:
 * :meth:`compact` bin-packs small files into ~``target_rows`` files
   (the ``OPTIMIZE`` analogue): a pure rewrite commit that fixes the
   small-files problem incremental MERGE commits accumulate;
+* :meth:`delete` and ``merge(strategy="mor")`` are the MERGE-ON-READ
+  half of the format (Delta/Iceberg deletion vectors): matched rows
+  are marked dead BY ROW POSITION in a commit sidecar instead of
+  rewriting their files -- O(batch) metadata where copy-on-write
+  would rewrite terabytes of scattered-key files at 100 TB.  Every
+  reader filters dead positions via the parquet row index
+  (``_metadata.row_index``); :meth:`compact` materializes the
+  vectors so the read-side anti-join never accrues unboundedly;
 * :meth:`vacuum` deletes files no retained snapshot references (the
   ``VACUUM`` analogue), with a grace window shielding in-flight
   writers' not-yet-committed files; commit metadata is never
@@ -415,6 +423,76 @@ def _probe_to_py(v, tzi):
     return v
 
 
+# -- deletion vectors (merge-on-read) --------------------------------
+#
+# Copy-on-write rewrites every file containing a matched key; at
+# 100 TB a delta-sized DELETE or upsert whose keys are SPREAD (hash
+# keys: every file holds a few) rewrites terabytes to change
+# kilobytes.  Deletion vectors are the Delta/Iceberg answer -- the
+# merge-on-read half of the format: a commit can mark individual ROW
+# POSITIONS of existing files dead in a sidecar bitmap instead of
+# rewriting the files; every reader filters dead positions out via the
+# parquet row index (Spark's ``_metadata.row_index``), and compaction
+# MATERIALIZES the vectors (rewrites the files without their dead
+# rows) so read overhead never accrues unboundedly.  Like blooms and
+# checkpoints, the sidecar is commit-referenced derived metadata:
+# token-named, written before the commit link, GC'd by vacuum.
+#
+# Scale contract: a deletion vector is DRIVER-COORDINATED metadata
+# sized by the DEAD ROW COUNT of one commit (delta-sized by
+# definition), never by table size -- exactly Delta's model, where DV
+# bitmaps flow through the driver into sidecar files.  Bulk deletes
+# (past _DV_COLLECT_MAX positions) must use the copy-on-write path,
+# which rewrites files instead of accumulating a table-sized bitmap.
+
+# Sidecar entries store a plain sorted position list below this many
+# dead rows (compact JSON for the common tiny-delete case), a hex
+# bitmap above (61 bytes per 250 rows of file span instead of ~7 per
+# position).
+_DV_POS_LIST_MAX = 1024
+# Hard cap on dead positions a single DV operation may collect to the
+# driver.  Past this the delete is bulk-sized and copy-on-write is the
+# right mechanism (same guidance as Delta: DVs for small scattered
+# deltas, file rewrite for bulk).
+_DV_COLLECT_MAX = 2_000_000
+# Positions frames below this build as a local createDataFrame; above,
+# they parallelize so one giant literal never lands in the plan.
+_DV_INLINE_POS_MAX = 100_000
+
+
+def _dv_bits(entry: dict) -> int:
+    """Decode a sidecar entry to an int bitmap (bit p set = row p of
+    the file is dead)."""
+    if "bits" in entry:
+        return int(entry["bits"], 16)
+    bits = 0
+    for p in entry.get("pos", ()):
+        bits |= 1 << int(p)
+    return bits
+
+
+def _dv_entry(bits: int) -> dict:
+    """Encode an int bitmap as a sidecar entry: ``{"dead": n, "pos":
+    [...]}`` for small vectors, ``{"dead": n, "bits": hex}`` past
+    ``_DV_POS_LIST_MAX`` dead rows."""
+    n = bits.bit_count()
+    if n <= _DV_POS_LIST_MAX:
+        return {"dead": n, "pos": _dv_positions(bits)}
+    return {"dead": n, "bits": f"{bits:x}"}
+
+
+def _dv_positions(bits: int) -> list[int]:
+    """Sorted set-bit indices of an int bitmap (the dead row
+    positions).  O(dead rows), not O(file rows): strips one lowest set
+    bit per iteration."""
+    out: list[int] = []
+    while bits:
+        lsb = bits & -bits
+        out.append(lsb.bit_length() - 1)
+        bits ^= lsb
+    return out
+
+
 def _zvalue_expr(
     df: DataFrame, cols: list[str], boundaries: str = "linear"
 ) -> F.Column:
@@ -666,8 +744,80 @@ class CowTable:
         os.replace(tmp, os.path.join(_log_dir(self.path), name))
         return {**stats, "bloom_conf": conf, "bloom_sidecar": name}
 
+    def _dv_doc(self, doc: dict) -> dict | None:
+        """The deletion-vector sidecar a commit doc references, or
+        None.  Derived metadata: unreadable/absent means no dead rows
+        are known, which is only ever correct because a commit that
+        CREATED dead rows always links its sidecar before the commit
+        itself (same write order as blooms/checkpoints)."""
+        name = doc.get("dv_sidecar")
+        if not name:
+            return None
+        try:
+            with open(os.path.join(_log_dir(self.path), name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _dv_map(self, doc: dict) -> dict:
+        """basename -> sidecar entry of every file with dead rows in
+        the snapshot ``doc`` describes; {} when none."""
+        dv = self._dv_doc(doc)
+        if not dv:
+            return {}
+        return {
+            b: e
+            for b, e in dv.get("files", {}).items()
+            if int(e.get("dead", 0)) > 0
+        }
+
+    def _maintain_dv(self, version: int, files: list[str], stats: dict) -> dict:
+        """Carry the table's deletion vectors through a commit: carried
+        files keep their parent entries (files are immutable, so a
+        dead position stays dead until the file itself is rewritten),
+        files that left the snapshot drop theirs (a rewrite
+        MATERIALIZED the vector -- the new files physically lack the
+        dead rows), and ``stats["dv_updates"]`` (basename -> int
+        bitmap of NEWLY dead positions, popped here) ORs into the
+        carried entries.  Same sidecar protocol as blooms: token-named
+        ``NNNNNNNN-<token>.dv.json`` written before the commit link,
+        reused by pointer when nothing changed, vacuum-GC'd."""
+        updates: dict = stats.pop("dv_updates", None) or {}
+        pdoc: dict = {}
+        if version > 0:
+            try:
+                pdoc = self._commit_doc(version - 1)
+            except (OSError, ValueError):
+                pdoc = {}
+        parent = self._dv_map(pdoc)
+        base = {os.path.basename(f) for f in files}
+        filemap: dict = {}
+        for b in base:
+            bits = _dv_bits(parent[b]) if b in parent else 0
+            if b in updates:
+                bits |= int(updates[b])
+            if bits:
+                filemap[b] = _dv_entry(bits)
+        if not filemap:
+            return stats
+        if filemap == parent and pdoc.get("dv_sidecar"):
+            # byte-identical map (pure carry, or updates that only
+            # re-marked already-dead rows): reuse the parent's sidecar
+            # by pointer, like blooms on an unchanged file set.
+            return {**stats, "dv_sidecar": pdoc["dv_sidecar"]}
+        name = f"{version:08d}-{uuid.uuid4().hex[:8]}.dv.json"
+        os.makedirs(_log_dir(self.path), exist_ok=True)
+        tmp = os.path.join(_log_dir(self.path), f"_tmp_dv_{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump({"files": filemap}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(_log_dir(self.path), name))
+        return {**stats, "dv_sidecar": name}
+
     def _commit(self, version: int, files: list[str], op: str, stats: dict) -> dict:
         stats = self._maintain_bloom(version, files, stats)
+        stats = self._maintain_dv(version, files, stats)
         doc = {
             "version": version,
             "op": op,
@@ -1085,18 +1235,116 @@ class CowTable:
             )
         return self.spark.read.parquet(files[0]).schema
 
+    def _read_files(
+        self,
+        files: list[str],
+        schema,
+        dv_map: dict | None = None,
+        file_col: str | None = None,
+        pos_col: str | None = None,
+    ) -> DataFrame:
+        """Snapshot-correct read of an explicit file list: rows marked
+        dead by the snapshot's deletion vectors are filtered out by
+        their parquet row position (``_metadata.row_index``).  Files
+        WITHOUT a vector take the plain read path -- a table that
+        never used merge-on-read pays zero overhead, plan-for-plan.
+        Files WITH one anti-join against a positions frame sized by
+        the DEAD ROW COUNT (delta-sized by the _DV_COLLECT_MAX
+        contract), broadcast so the join never shuffles the data side.
+        ``file_col``/``pos_col`` optionally expose the file basename /
+        row position to callers that need them (merge's affected-file
+        scan, the DV writers themselves)."""
+        base_expr = F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        )
+        extras = [c for c in (file_col, pos_col) if c]
+        names = [f.name for f in schema.fields]
+
+        def with_extras(df: DataFrame) -> DataFrame:
+            if file_col:
+                df = df.withColumn(file_col, base_expr)
+            if pos_col:
+                df = df.withColumn(pos_col, F.col("_metadata.row_index"))
+            return df.select(*names, *extras)
+
+        if not files:
+            out_schema = self.spark.createDataFrame([], schema)
+            if file_col:
+                out_schema = out_schema.withColumn(
+                    file_col, F.lit(None).cast("string")
+                )
+            if pos_col:
+                out_schema = out_schema.withColumn(
+                    pos_col, F.lit(None).cast("long")
+                )
+            return out_schema
+        dvm = {
+            b: e
+            for b, e in (dv_map or {}).items()
+            if int(e.get("dead", 0)) > 0
+        }
+        dv_files = [f for f in files if os.path.basename(f) in dvm]
+        plain = [f for f in files if os.path.basename(f) not in dvm]
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(
+                with_extras(self.spark.read.schema(schema).parquet(*plain))
+            )
+        if dv_files:
+            from pyspark.sql.types import (
+                LongType, StringType, StructField, StructType,
+            )
+
+            pos_rows = [
+                (b, p)
+                for b in sorted(os.path.basename(f) for f in dv_files)
+                for p in _dv_positions(_dv_bits(dvm[b]))
+            ]
+            pos_schema = StructType([
+                StructField("__dv_file", StringType()),
+                StructField("__dv_pos", LongType()),
+            ])
+            if len(pos_rows) > _DV_INLINE_POS_MAX:
+                rdd = self.spark.sparkContext.parallelize(pos_rows)
+                pos_df = self.spark.createDataFrame(rdd, pos_schema)
+            else:
+                pos_df = self.spark.createDataFrame(pos_rows, pos_schema)
+            df = (
+                self.spark.read.schema(schema).parquet(*dv_files)
+                .withColumn("__dv_file", base_expr)
+                .withColumn("__dv_pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(pos_df),
+                    ["__dv_file", "__dv_pos"],
+                    "left_anti",
+                )
+            )
+            if file_col:
+                df = df.withColumn(file_col, F.col("__dv_file"))
+            if pos_col:
+                df = df.withColumn(pos_col, F.col("__dv_pos"))
+            parts.append(df.select(*names, *extras))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read under the RECORDED schema: files written
         before a schema evolution lack the newer columns, and an
         explicit read schema makes parquet fill them with NULLs
         deterministically (footer-sniffed schemas would depend on
-        which file got sampled)."""
+        which file got sampled).  Rows marked dead by the snapshot's
+        deletion vectors (merge-on-read commits: :meth:`delete`,
+        ``merge(strategy='mor')``) are filtered out by row position;
+        snapshots without vectors read exactly as before."""
         v = self.version() if version is None else version
+        doc = self._commit_doc(v) if v >= 0 else {}
         files = self.files(v)
         schema = self._snapshot_schema(v)
         if not files:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        return self._read_files(files, schema, self._dv_map(doc))
 
     def read_range(
         self,
@@ -1134,7 +1382,8 @@ class CowTable:
         ``self.last_scan``."""
         v = self.version() if version is None else version
         files = self.files(v)
-        stats = self._commit_doc(v).get("file_stats", {})
+        doc = self._commit_doc(v)
+        stats = doc.get("file_stats", {})
         enc = {
             col: (
                 _enc_stat(lo) if lo is not None else None,
@@ -1163,10 +1412,9 @@ class CowTable:
             "files_scanned": len(scan),
             "files_skipped": len(files) - len(scan),
         }
-        if scan:
-            df = self.spark.read.schema(self._snapshot_schema(v)).parquet(*scan)
-        else:
-            df = self.spark.createDataFrame([], self._snapshot_schema(v))
+        df = self._read_files(
+            scan, self._snapshot_schema(v), self._dv_map(doc)
+        )
         for col, (lo, hi) in preds.items():
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
@@ -1223,7 +1471,9 @@ class CowTable:
         if bloom is not None and bloom.get("col") != col:
             bloom = None  # index covers a different column
         if len(vals) > _BLOOM_PRUNE_MAX_KEYS:
-            return self._read_point_large(col, vals, v, files, stats, bloom)
+            return self._read_point_large(
+                col, vals, v, files, stats, bloom, self._dv_map(doc)
+            )
         enc_vals = [_enc_stat(x) for x in vals]
         hashes: list = []
         for x in vals:
@@ -1262,17 +1512,16 @@ class CowTable:
             "files_skipped": len(files) - len(scan),
             "files_skipped_bloom": skipped_bloom,
         }
-        if scan:
-            df = self.spark.read.schema(self._snapshot_schema(v)).parquet(*scan)
-        else:
-            df = self.spark.createDataFrame([], self._snapshot_schema(v))
+        df = self._read_files(
+            scan, self._snapshot_schema(v), self._dv_map(doc)
+        )
         if len(vals) == 1:
             return df.filter(F.col(col) == F.lit(vals[0]))
         return df.filter(F.col(col).isin(vals))
 
     def _read_point_large(
         self, col: str, vals: list, v: int, files: list[str],
-        stats: dict, bloom: dict | None,
+        stats: dict, bloom: dict | None, dv_map: dict | None = None,
     ) -> DataFrame:
         """:meth:`read_point` past ``_BLOOM_PRUNE_MAX_KEYS`` probes:
         range-prunes by the batch's [min, max] ENVELOPE only (one
@@ -1318,10 +1567,7 @@ class CowTable:
             "files_skipped": len(files) - len(scan),
             "files_skipped_bloom": len(scan0) - len(scan),
         }
-        if scan:
-            df = self.spark.read.schema(schema).parquet(*scan)
-        else:
-            df = self.spark.createDataFrame([], schema)
+        df = self._read_files(scan, schema, dv_map)
         return df.join(
             F.broadcast(probe_df.withColumnRenamed("_mk", "__probe_k")),
             df[col] == F.col("__probe_k"),
@@ -1489,16 +1735,32 @@ class CowTable:
     ) -> dict:
         base_version = self.version()
         files = self.files(base_version)
-        fstats = self._commit_doc(base_version).get("file_stats", {})
+        base_doc = self._commit_doc(base_version)
+        fstats = base_doc.get("file_stats", {})
         missing = [f for f in files if os.path.basename(f) not in fstats]
         if missing:  # pre-stats-tracking commit: harvest in bulk
             fstats = {**fstats, **self._harvest_file_stats(missing)}
+        dvm = self._dv_map(base_doc)
 
         def _rows(f: str) -> int:
             return fstats[os.path.basename(f)]["rows"]
 
-        small = [f for f in files if _rows(f) < target_rows]
-        if len(small) < 2:
+        # Deletion-vector MATERIALIZATION rides the rewrite: any file
+        # with dead rows joins the rewrite set regardless of size (its
+        # replacement physically lacks them and _maintain_dv drops the
+        # entry with the file), so merge-on-read read overhead is
+        # reclaimed by the same maintenance op that fixes small files.
+        small = [
+            f
+            for f in files
+            if _rows(f) < target_rows or os.path.basename(f) in dvm
+        ]
+        dv_materialized = sum(
+            int(dvm[os.path.basename(f)]["dead"])
+            for f in small
+            if os.path.basename(f) in dvm
+        )
+        if len(small) < 2 and not dv_materialized:
             if not (refresh_stats and files):
                 return {
                     "op": "compact", "noop": True, "version": base_version,
@@ -1521,13 +1783,17 @@ class CowTable:
                 },
             )
         kept = [f for f in files if f not in small]
+        # Gross rows (dead included): sizing only -- a slight
+        # overcount of nout costs one extra small file, never rows.
         total = sum(_rows(f) for f in small)
         nout = max(1, -(-total // target_rows))
         # Explicit snapshot schema: small files may straddle a schema
         # evolution; the rewrite unifies them on the current layout.
-        merged = self.spark.read.schema(
-            self._snapshot_schema(base_version)
-        ).parquet(*small)
+        # DV-aware read: the rewrite carries only LIVE rows, which is
+        # what materializes the deletion vectors.
+        merged = self._read_files(
+            small, self._snapshot_schema(base_version), dvm
+        )
         zcols = (
             list(cluster_by)
             if isinstance(cluster_by, (list, tuple))
@@ -1570,6 +1836,11 @@ class CowTable:
                     "files_kept": len(kept),
                     "files_written": len(new_files),
                     "rows_compacted": total,
+                    **(
+                        {"dv_materialized": dv_materialized}
+                        if dv_materialized
+                        else {}
+                    ),
                     "txn": self._next_txn(base_version, None),
                     "file_stats": {
                         **(
@@ -1748,30 +2019,37 @@ class CowTable:
                             pass
         except Exception:
             pass
-        # Bloom-sidecar GC: keep every sidecar a RETAINED commit
-        # references (a no-new-files commit points at its parent's, so
-        # the referenced set, not version arithmetic, is the keep
-        # rule); everything else is either a losing racer's orphan or
-        # an expired snapshot's index -- derived metadata, deleted
-        # once past the same grace window that shields an in-flight
-        # writer's just-written sidecar whose commit has not linked
-        # yet.  Best-effort like every metadata-plane op.
-        blooms_deleted = 0
+        # Bloom- and deletion-vector-sidecar GC: keep every sidecar a
+        # RETAINED commit references (a no-new-files commit points at
+        # its parent's, so the referenced set, not version arithmetic,
+        # is the keep rule); everything else is either a losing
+        # racer's orphan or an expired snapshot's index -- derived
+        # metadata, deleted once past the same grace window that
+        # shields an in-flight writer's just-written sidecar whose
+        # commit has not linked yet.  Best-effort like every
+        # metadata-plane op.
+        blooms_deleted = dvs_deleted = 0
         try:
             ld = _log_dir(self.path)
-            keep = {
-                self._commit_doc(v).get("bloom_sidecar")
-                for v in range(lo, latest + 1)
-            }
+            keep = set()
+            for v in range(lo, latest + 1):
+                doc = self._commit_doc(v)
+                keep.add(doc.get("bloom_sidecar"))
+                keep.add(doc.get("dv_sidecar"))
             for n in os.listdir(ld):
-                if not n.endswith(".bloom.json") or n in keep:
+                is_bloom = n.endswith(".bloom.json")
+                is_dv = n.endswith(".dv.json")
+                if not (is_bloom or is_dv) or n in keep:
                     continue
                 p = os.path.join(ld, n)
                 try:
                     if now - os.path.getmtime(p) < orphan_grace_s:
                         continue
                     os.unlink(p)
-                    blooms_deleted += 1
+                    if is_bloom:
+                        blooms_deleted += 1
+                    else:
+                        dvs_deleted += 1
                 except FileNotFoundError:
                     pass
         except Exception:
@@ -1783,6 +2061,7 @@ class CowTable:
             "orphans_in_grace": orphans_kept,
             "checkpoints_deleted": ckpts_deleted,
             "blooms_deleted": blooms_deleted,
+            "dvs_deleted": dvs_deleted,
         }
 
     def merge(
@@ -1794,6 +2073,7 @@ class CowTable:
         meta: dict | None = None,
         evolve_schema: bool = False,
         bloom_probe: str | None = None,
+        strategy: str = "cow",
     ) -> dict:
         """``MERGE INTO`` this table: matched keys take the source row
         wholesale, unmatched source rows insert (operators/audits.
@@ -1848,7 +2128,29 @@ class CowTable:
         sizing collect entirely), ``"driver"`` pins the driver path
         and degrades to NO bloom prune past the cap rather than
         collecting an unbounded key set.  The path taken is recorded
-        in the commit doc as ``bloom_probe``."""
+        in the commit doc as ``bloom_probe``.
+
+        ``strategy``: ``"cow"`` (default) rewrites every file
+        containing a matched-or-deleted key -- the read-optimized
+        layout.  ``"mor"`` (merge-on-read, Delta's deletion-vector
+        MERGE) rewrites NOTHING: matched/deleted rows are marked dead
+        by row position in the commit's deletion-vector sidecar, and
+        the source rows land as new files.  Same end state row-for-row
+        on a unique-key table (pinned in pytest); write cost drops
+        from O(bytes of every matched file) to O(batch + dead-row
+        positions), which is the difference at 100 TB when a delta's
+        keys are SPREAD (hash keys: every file matched, cow rewrites
+        the table).  Readers filter dead positions via the parquet row
+        index; :meth:`compact` materializes the vectors so read
+        overhead never accrues unboundedly.  One semantics edge,
+        deliberately different: a DUPLICATE-key target row set
+        collapses to the single source row under mor (all its
+        positions die), while cow's full-outer join fans the source
+        row out per matched target row -- merge-maintained tables are
+        unique-keyed, so the paths agree everywhere the contract
+        holds.  Positions are driver-coordinated metadata bounded by
+        ``_DV_COLLECT_MAX`` dead rows per commit; bulk mutations past
+        that must use cow (the same guidance Delta gives)."""
         # Delete keys: the common (incremental-maintenance) batch is
         # delta-sized, so collect it ONCE and inline as an isin()
         # literal -- reused for the touch set, the filter predicate,
@@ -1860,6 +2162,10 @@ class CowTable:
         # batch stays a DataFrame (pinned once -- the attempts traverse
         # it repeatedly) and the filter becomes an anti-join instead;
         # the limit()+collect probe reads at most MAX+1 keys to decide.
+        if strategy not in ("cow", "mor"):
+            raise ValueError(
+                f"strategy must be 'cow' or 'mor', got {strategy!r}"
+            )
         dk_vals: list = []
         dk_df: DataFrame | None = None
         if deletes is not None:
@@ -1879,7 +2185,7 @@ class CowTable:
             try:
                 return self._merge_attempt(
                     source, key, dk_vals, dk_df, meta, evolve_schema,
-                    bloom_probe,
+                    bloom_probe, strategy,
                 )
             except ConcurrentMergeConflictError:
                 raise
@@ -1894,6 +2200,7 @@ class CowTable:
         meta: dict | None = None,
         evolve_schema: bool = False,
         bloom_probe: str | None = None,
+        strategy: str = "cow",
     ) -> dict:
         """One optimistic attempt of :meth:`merge` against the current
         head.  On a lost commit race, classifies the failure: if the
@@ -1916,17 +2223,44 @@ class CowTable:
                 dk_df.withColumnRenamed("_dk", "_mk")
             ).distinct()
 
-        # File-level prune BEFORE the affected-file scan (Delta-style
-        # skipping applied to the MERGE condition): every touch key
-        # lies inside [min, max] of the batch's keys (one tiny agg
-        # over the batch-sized key set), so a file whose commit-log
-        # key range does not intersect that envelope provably contains
-        # no touch key -- it is kept by reference WITHOUT being read.
-        # On a range-clustered layout (compact cluster_by) this turns
-        # the per-merge candidate scan from O(table) to O(touched
-        # range); on a hash layout every file intersects and nothing
-        # is lost but the tiny agg.  Files without usable stats are
-        # always candidates -- pruning is never a semantics change.
+        candidates, bloom_mode = self._candidate_files(
+            touch_keys, key, base_version, bloom_probe
+        )
+        finish = (
+            self._finish_merge_mor
+            if strategy == "mor"
+            else self._finish_merge_attempt
+        )
+        return finish(
+            source, key, dk_vals, dk_df, meta, evolve_schema,
+            base_version, snapshot_files, touch_keys, candidates,
+            bloom_mode,
+        )
+
+    def _candidate_files(
+        self,
+        touch_keys: DataFrame,
+        key: str,
+        base_version: int,
+        bloom_probe: str | None = None,
+    ) -> tuple[list[str], str | None]:
+        """Files of snapshot ``base_version`` that MAY contain a key of
+        ``touch_keys`` -- the shared skipping front-end of every keyed
+        mutation (:meth:`merge` both strategies, :meth:`delete`).
+        Returns ``(candidate files, bloom probe mode or None)``.
+
+        File-level prune BEFORE any data scan (Delta-style skipping
+        applied to the MERGE condition): every touch key lies inside
+        [min, max] of the batch's keys (one tiny agg over the
+        batch-sized key set), so a file whose commit-log key range
+        does not intersect that envelope provably contains no touch
+        key -- it is kept by reference WITHOUT being read.  On a
+        range-clustered layout (compact cluster_by) this turns the
+        per-mutation candidate scan from O(table) to O(touched
+        range); on a hash layout every file intersects and nothing is
+        lost but the tiny agg.  Files without usable stats are always
+        candidates -- pruning is never a semantics change."""
+        snapshot_files = self.files(base_version)
         candidates = snapshot_files
         b = touch_keys.agg(
             F.min("_mk").alias("lo"), F.max("_mk").alias("hi")
@@ -2024,23 +2358,38 @@ class CowTable:
                             bloom_mode = "driver"
             except TypeError:
                 pass
+        return candidates, bloom_mode
 
+    def _finish_merge_attempt(
+        self, source: DataFrame, key: str, dk_vals: list,
+        dk_df: DataFrame | None, meta: dict | None, evolve_schema: bool,
+        base_version: int, snapshot_files: list[str],
+        touch_keys: DataFrame, candidates: list[str],
+        bloom_mode: str | None,
+    ) -> dict:
+        """Copy-on-write back half of :meth:`_merge_attempt`: find the
+        affected files among ``candidates``, re-merge exactly their
+        live rows with the source, rewrite them, carry the rest."""
         snap_schema = self._snapshot_schema(base_version)
+        dv_map = self._dv_map(self._commit_doc(base_version))
         if candidates:
-            tagged = self.spark.read.schema(snap_schema).parquet(
-                *candidates
-            ).withColumn("_file", F.input_file_name())
+            # DV-aware candidate scan: rows already dead by a
+            # merge-on-read commit are filtered BEFORE matching, so a
+            # deleted row can neither mark its file affected nor be
+            # resurrected by the rewrite below.
+            tagged = self._read_files(
+                candidates, snap_schema, dv_map, file_col="_file"
+            )
             # Driver-sized collect: distinct FILE NAMES containing
             # matched keys (bounded by the file count, never row
-            # count).  Matching on basename sidesteps
-            # input_file_name's URI form.
+            # count).
             affected_rows = tagged.join(
                 touch_keys,
                 tagged[key] == F.col("_mk"),
                 "left_semi",
             )
             affected_base = {
-                os.path.basename(r["_file"])
+                r["_file"]
                 for r in affected_rows.select("_file").distinct().collect()
             }
         else:
@@ -2058,12 +2407,11 @@ class CowTable:
         # only live in rewritten files (they are touch keys), so the
         # filter below removes every copy (NULL-keyed target rows pass:
         # NULL never equals a delete key).
-        if rewritten:
-            affected_df = self.spark.read.schema(snap_schema).parquet(
-                *rewritten
-            )
-        else:
-            affected_df = self.spark.createDataFrame([], snap_schema)
+        # DV-aware: a rewritten file's live rows are its physical rows
+        # MINUS its deletion vector -- materialized here for free (the
+        # new file simply lacks them, and _maintain_dv drops the entry
+        # with the file).
+        affected_df = self._read_files(rewritten, snap_schema, dv_map)
         if evolve_schema:
             have = set(affected_df.columns)
             for fld in source.schema.fields:
@@ -2162,5 +2510,300 @@ class CowTable:
                     f"merge also targets (e.g. "
                     f"{os.path.basename(sorted(clash)[0])}); possible "
                     "write-write key overlap -- not rebasing"
+                ) from None
+            raise
+
+    def _dv_positions_for(
+        self,
+        candidates: list[str],
+        schema,
+        dv_map: dict,
+        key: str,
+        touch_keys: DataFrame,
+    ) -> tuple[dict, int]:
+        """Dead-position bitmaps for every LIVE row of ``candidates``
+        whose ``key`` appears in ``touch_keys``: ``({basename: int
+        bitmap}, rows matched)``.  Already-dead rows are filtered
+        first (idempotent re-deletes mark nothing and count nothing).
+        The per-file position lists aggregate executor-side; only the
+        O(files) grouped rows come back, each sized by ITS dead-row
+        count, guarded by ``_DV_COLLECT_MAX`` -- a mutation past that
+        is bulk-sized and must use the copy-on-write strategy, which
+        this error says verbatim."""
+        if not candidates:
+            return {}, 0
+        live = self._read_files(
+            candidates, schema, dv_map, file_col="__dvf", pos_col="__dvp"
+        )
+        matched = live.join(
+            touch_keys, live[key] == F.col("_mk"), "left_semi"
+        ).select("__dvf", "__dvp")
+        n = matched.count()
+        if n > _DV_COLLECT_MAX:
+            raise ValueError(
+                f"{n} matched rows exceed the deletion-vector cap "
+                f"({_DV_COLLECT_MAX}): this mutation is bulk-sized -- "
+                "use strategy='cow' / mode='cow' (file rewrite) instead"
+            )
+        updates: dict = {}
+        if n:
+            for r in (
+                matched.groupBy("__dvf")
+                .agg(F.collect_list("__dvp").alias("ps"))
+                .collect()
+            ):
+                bits = 0
+                for p in r["ps"]:
+                    bits |= 1 << int(p)
+                updates[r["__dvf"]] = bits
+        return updates, n
+
+    def _finish_merge_mor(
+        self, source: DataFrame, key: str, dk_vals: list,
+        dk_df: DataFrame | None, meta: dict | None, evolve_schema: bool,
+        base_version: int, snapshot_files: list[str],
+        touch_keys: DataFrame, candidates: list[str],
+        bloom_mode: str | None,
+    ) -> dict:
+        """Merge-on-read back half of :meth:`_merge_attempt`: instead
+        of rewriting affected files, their matched/deleted LIVE rows
+        become dead positions in the deletion-vector sidecar and every
+        source row lands in new files -- zero data files rewritten.
+        Deletes are implicit: a delete key is a touch key, so its
+        positions die, and (matching cow's contract) a key in both
+        ``deletes`` and ``source`` ends up as the source row."""
+        snap_schema = self._snapshot_schema(base_version)
+        dv_map = self._dv_map(self._commit_doc(base_version))
+        dv_updates, rows_matched = self._dv_positions_for(
+            candidates, snap_schema, dv_map, key, touch_keys
+        )
+        # Same projection contract as cow: strict mode demands every
+        # table column (deterministic error, names included); evolve
+        # mode NULL-fills both directions and appends source-only
+        # columns to the schema.  Snapshot columns cast to their
+        # recorded types -- the coercion cow gets implicitly from its
+        # full-outer CASE projection.
+        src_cols = set(source.columns)
+        missing = [f for f in snap_schema.fields if f.name not in src_cols]
+        if missing and not evolve_schema:
+            raise ValueError(
+                f"merge source is missing table column(s) "
+                f"{[f.name for f in missing]} of {self.path} (snapshot "
+                f"v{base_version}); pass evolve_schema=True to NULL-fill, "
+                "or align the source"
+            )
+        src_proj = source
+        for fld in missing:
+            src_proj = src_proj.withColumn(
+                fld.name, F.lit(None).cast(fld.dataType)
+            )
+        out_cols = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in snap_schema.fields
+        ]
+        if evolve_schema:
+            snap_names = {f.name for f in snap_schema.fields}
+            out_cols += [
+                F.col(f.name)
+                for f in source.schema.fields
+                if f.name not in snap_names
+            ]
+        out_df = src_proj.select(*out_cols)
+        new_version = base_version + 1
+        new_files, new_stats, out_dir = self._write_data_files(
+            out_df, new_version
+        )
+        try:
+            return self._commit(
+                new_version,
+                snapshot_files + new_files,
+                "merge",
+                {
+                    "parent": base_version,
+                    "strategy": "mor",
+                    "files_kept": len(snapshot_files),
+                    "files_rewritten": 0,
+                    "files_written": len(new_files),
+                    "files_probed": len(candidates),
+                    "dv_files_updated": len(dv_updates),
+                    "rows_dv_deleted": rows_matched,
+                    **(
+                        {"bloom_probe": bloom_mode}
+                        if bloom_mode is not None
+                        else {}
+                    ),
+                    "delete_keys": (
+                        dk_df.count() if dk_df is not None else len(dk_vals)
+                    ),
+                    **({"app_meta": meta} if meta is not None else {}),
+                    "txn": self._next_txn(base_version, meta),
+                    "file_stats": {
+                        **self._carried_stats(base_version, snapshot_files),
+                        **new_stats,
+                    },
+                    "schema": out_df.schema.jsonValue(),
+                    "dv_updates": dv_updates,
+                },
+            )
+        except ConcurrentWriteError:
+            import shutil
+
+            shutil.rmtree(out_dir, ignore_errors=True)
+            # A winner that REMOVED a file we marked positions in
+            # rewrote it -- our positions describe a dead file and its
+            # keys may overlap ours: surface, don't rebase.  Winners
+            # that only added/rewrote other files rebase fine (the
+            # retry recomputes everything from the new head).
+            head = self.version()
+            removed = {
+                os.path.basename(f)
+                for f in set(self.files(base_version)) - set(self.files(head))
+            }
+            clash = removed & set(dv_updates)
+            if clash:
+                raise ConcurrentMergeConflictError(
+                    f"concurrent commit rewrote {len(clash)} file(s) this "
+                    f"mor-merge marked rows dead in (e.g. "
+                    f"{sorted(clash)[0]}); possible write-write key "
+                    "overlap -- not rebasing"
+                ) from None
+            raise
+
+    def delete(
+        self,
+        key: str,
+        values=None,
+        deletes: DataFrame | None = None,
+        mode: str = "dv",
+        retries: int = 0,
+        meta: dict | None = None,
+        bloom_probe: str | None = None,
+    ) -> dict:
+        """``DELETE FROM ... WHERE key IN (...)``: remove every row
+        whose ``key`` is in ``values`` (a scalar or list) or in
+        ``deletes`` (any frame carrying a ``key`` column).
+
+        ``mode="dv"`` (default, merge-on-read): NO data file is
+        rewritten -- matched rows are marked dead by row position in
+        the commit's deletion-vector sidecar, an O(batch + positions)
+        metadata commit.  At 100 TB a GDPR-style scattered delete (a
+        few thousand keys spread across thousands of files) costs
+        kilobytes of sidecar instead of rewriting terabytes; the
+        candidate scan itself is range+bloom pruned like merge's
+        (:meth:`_candidate_files`).  Dead rows stay physically present
+        until :meth:`compact` materializes the vectors; every reader
+        filters them by position meanwhile.  Bounded by
+        ``_DV_COLLECT_MAX`` positions per commit -- bulk deletes must
+        use ``mode="cow"``.
+
+        ``mode="cow"``: delegate to :meth:`merge` with an empty source
+        (rewrite the matched files without the rows -- the
+        read-optimized form).
+
+        ``retries``/``meta``/``bloom_probe``: as :meth:`merge`;
+        rebase conflicts classify the same way (a concurrent rewrite
+        of a file this delete marked dead raises
+        :class:`ConcurrentMergeConflictError`)."""
+        if mode not in ("dv", "cow"):
+            raise ValueError(f"mode must be 'dv' or 'cow', got {mode!r}")
+        if (values is None) == (deletes is None):
+            raise ValueError("pass exactly one of values= or deletes=")
+        head = self.version()
+        if head < 0:
+            raise FileNotFoundError(f"no CowTable at {self.path}")
+        snap_schema = self._snapshot_schema(head)
+        if values is not None:
+            vals = (
+                list(values)
+                if isinstance(values, (list, tuple, set))
+                else [values]
+            )
+            ktype = snap_schema[key].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            deletes = self.spark.createDataFrame(
+                [(v,) for v in vals],
+                StructType([StructField(key, ktype)]),
+            )
+        if mode == "cow":
+            empty = self.spark.createDataFrame([], snap_schema)
+            return self.merge(
+                empty, key, deletes=deletes, retries=retries, meta=meta,
+                bloom_probe=bloom_probe,
+            )
+        dk = (
+            deletes.select(F.col(key).alias("_mk"))
+            .filter(F.col("_mk").isNotNull())
+            .distinct()
+        )
+        attempt = 0
+        while True:
+            try:
+                return self._delete_dv_attempt(key, dk, meta, bloom_probe)
+            except ConcurrentMergeConflictError:
+                raise
+            except ConcurrentWriteError:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+
+    def _delete_dv_attempt(
+        self, key: str, touch_keys: DataFrame, meta: dict | None,
+        bloom_probe: str | None,
+    ) -> dict:
+        """One optimistic attempt of a deletion-vector delete: prune
+        candidates, harvest matched live positions, commit the SAME
+        file list with an updated sidecar -- nothing is written to the
+        data plane at all (files_written = 0)."""
+        base_version = self.version()
+        snapshot_files = self.files(base_version)
+        candidates, bloom_mode = self._candidate_files(
+            touch_keys, key, base_version, bloom_probe
+        )
+        snap_schema = self._snapshot_schema(base_version)
+        dv_map = self._dv_map(self._commit_doc(base_version))
+        dv_updates, rows_deleted = self._dv_positions_for(
+            candidates, snap_schema, dv_map, key, touch_keys
+        )
+        try:
+            return self._commit(
+                base_version + 1,
+                snapshot_files,
+                "delete",
+                {
+                    "parent": base_version,
+                    "strategy": "dv",
+                    "files_kept": len(snapshot_files),
+                    "files_rewritten": 0,
+                    "files_written": 0,
+                    "files_probed": len(candidates),
+                    "dv_files_updated": len(dv_updates),
+                    "rows_dv_deleted": rows_deleted,
+                    **(
+                        {"bloom_probe": bloom_mode}
+                        if bloom_mode is not None
+                        else {}
+                    ),
+                    **({"app_meta": meta} if meta is not None else {}),
+                    "txn": self._next_txn(base_version, meta),
+                    "file_stats": self._carried_stats(
+                        base_version, snapshot_files
+                    ),
+                    "schema": snap_schema.jsonValue(),
+                    "dv_updates": dv_updates,
+                },
+            )
+        except ConcurrentWriteError:
+            head = self.version()
+            removed = {
+                os.path.basename(f)
+                for f in set(self.files(base_version)) - set(self.files(head))
+            }
+            clash = removed & set(dv_updates)
+            if clash:
+                raise ConcurrentMergeConflictError(
+                    f"concurrent commit rewrote {len(clash)} file(s) this "
+                    f"delete marked rows dead in (e.g. {sorted(clash)[0]}); "
+                    "possible write-write key overlap -- not rebasing"
                 ) from None
             raise
