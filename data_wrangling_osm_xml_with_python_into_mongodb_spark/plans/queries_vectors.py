@@ -1347,3 +1347,183 @@ def q_kmeans_einsum_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_train(
         emb, KMEANS_BROADCAST_K, KMEANS_ITERS, strategy="einsum"
     )
+
+
+# --- v13: IVF-PQ combined search (FAISS's IVFADC production shape) ---
+# v4/v8 prune candidates by IVF cell but score RAW vectors; v9 scores
+# compressed PQ codes but over the WHOLE corpus.  Production ANN at
+# 100 TB composes both: probe the nprobe nearest cells, then rank by
+# asymmetric distance against the 4-byte code rows of just those
+# cells -- the raw vectors never move at query time AND most cells are
+# never touched.
+
+_IVFPQ_NQ = 3  # query vectors (vec_id < 3)
+_IVFPQ_NPROBE = 2
+_IVFPQ_TOPK = 5
+
+
+def _ivfpq_sql() -> str:
+    """Oracle: v9's integer-grid codes (carrying each vector's cell
+    label) + v4's centroid/cosine cell assignment at nprobe=2 + the
+    per-query ADC table, scored only inside probed cells."""
+    sub = f"(SELECT unnest(range({_PQ_S})) AS s)"
+    d8 = (
+        "CAST(list_sum(list_transform(range(8), i -> "
+        "({x}[ss.s * 8 + i + 1] - a.av[ss.s * 8 + i + 1]) "
+        "* ({x}[ss.s * 8 + i + 1] - a.av[ss.s * 8 + i + 1]))) AS BIGINT)"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[], x ->
+               CAST(floor(x * {_PQ_SCALE}.0) AS BIGINT)) AS iv
+      FROM embeddings
+    ),
+    anchors AS (SELECT vec_id AS c, iv AS av FROM emb WHERE vec_id < {_PQ_C}),
+    pairs AS (
+      SELECT e.vec_id, e.label, a.c, ss.s, {d8.format(x='e.iv')} AS dist
+      FROM emb e CROSS JOIN anchors a CROSS JOIN {sub} ss
+    ),
+    mind AS (SELECT vec_id, s, min(dist) AS md FROM pairs GROUP BY 1, 2),
+    codes AS (
+      SELECT p.vec_id, p.label, p.s, min(p.c) AS code
+      FROM pairs p
+      JOIN mind m ON p.vec_id = m.vec_id AND p.s = m.s AND p.dist = m.md
+      GROUP BY p.vec_id, p.label, p.s
+    ),
+    centroids AS ({_centroids_sql()}),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x ->
+               CAST(floor(x * {_PQ_SCALE}.0) AS BIGINT)) AS iv
+      FROM embeddings WHERE vec_id < {_IVFPQ_NQ}
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, label FROM (
+        SELECT q.vec_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {V.cosine_sql('q.v', 'c.cvec')} DESC, c.label ASC
+               ) AS rn
+        FROM q CROSS JOIN centroids c
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    adc_tab AS (
+      SELECT q.vec_id AS query_id, a.c, ss.s, {d8.format(x='q.iv')} AS qdist
+      FROM q CROSS JOIN anchors a CROSS JOIN {sub} ss
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(sum(t.qdist) AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN probes p ON p.label = c.label AND c.vec_id <> p.query_id
+      JOIN adc_tab t
+        ON t.query_id = p.query_id AND t.s = c.s AND t.c = c.code
+      GROUP BY p.query_id, c.vec_id
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+    ) <= {_IVFPQ_TOPK}
+    """
+
+
+@register(
+    "v13_ivf_pq_search",
+    "IVF-PQ combined search (the IVFADC shape production ANN engines "
+    "run): each query probes its nprobe=2 nearest IVF cells (cosine "
+    "against the per-label centroids, v4's assignment), then ranks "
+    "ONLY those cells' vectors by asymmetric distance over their "
+    "8x4-bit PQ codes (v9's integer-grid codebook) -- top-5 by "
+    "exact-integer ADC.  The two prunings compose: the cell probe "
+    "touches nprobe/|cells| of the corpus and the ADC scoring reads "
+    "4-byte code rows plus a broadcast 128-entry lookup table instead "
+    "of 256-byte raw vectors, which is how a trillion-vector index "
+    "answers queries from RAM.  Codebook, centroids, probe map, and "
+    "per-query ADC tables are all broadcast one-row/tiny frames; the "
+    "only corpus-sized work is the code build (one map-combined "
+    "min-struct agg, the stored index at steady state) and the probed "
+    "cells' code scan.  All distances exact integer arithmetic on the "
+    "floor(x*2^20) grid -- assignment ties and ADC scores pinned "
+    "bit-for-bit across engines.",
+    _ivfpq_sql(),
+    tags=("vector", "ivf", "quantization", "search", "topk"),
+)
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _spread(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_PQ_SCALE}.0D) AS BIGINT))"
+        ).alias("iv"),
+        V.as_double(F.col("embedding")).alias("v"),
+    )
+    anchors = emb.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.col("iv").alias("av")
+    )
+    dists8 = (
+        f"transform(sequence(0, {_PQ_S - 1}), s -> "
+        f"aggregate(sequence(0, 7), 0L, (acc, i) -> "
+        f"acc + (iv[s * 8 + i] - av[s * 8 + i])"
+        f" * (iv[s * 8 + i] - av[s * 8 + i])))"
+    )
+    # Index build (the stored state at steady state): per-(vector,
+    # subspace) nearest codebook entry.  16x broadcast fanout collapsed
+    # by the min-struct partial agg before any exchange -- v9's shape,
+    # label carried for the cell-local probe below.
+    codes = (
+        emb.crossJoin(F.broadcast(anchors))
+        .select(
+            "vec_id", "label", "c",
+            F.posexplode(F.expr(dists8)).alias("s", "dist"),
+        )
+        .groupBy("vec_id", "label", "s")
+        .agg(F.min(F.struct("dist", "c")).getField("c").alias("code"))
+    )
+    centroids = _centroid_agg(emb.select("label", "v"), "label")
+    q = emb.filter(F.col("vec_id") < _IVFPQ_NQ).select("vec_id", "v", "iv")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", V.cosine("v", "cvec", dim=EMBED_DIM))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "label")
+    )
+    # Per-query ADC lookup table: 3 x 16 x 8 rows, broadcast.
+    adc_tab = (
+        q.crossJoin(F.broadcast(anchors))
+        .select(
+            F.col("vec_id").alias("aq"),
+            F.col("c").alias("ac"),
+            F.posexplode(F.expr(dists8)).alias("as_", "qdist"),
+        )
+    )
+    # Probe: the broadcast (query, label) map prunes the code scan to
+    # the probed cells; scoring is 8 lookup-table additions per
+    # surviving code row -- no raw vector is touched at query time.
+    cand = codes.join(
+        F.broadcast(probes),
+        (codes["label"] == probes["label"])
+        & (codes["vec_id"] != probes["query_id"]),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "s", "code")
+    scored = (
+        cand.join(
+            F.broadcast(adc_tab),
+            (cand["query_id"] == adc_tab["aq"])
+            & (cand["s"] == adc_tab["as_"])
+            & (cand["code"] == adc_tab["ac"]),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qdist").cast("bigint").alias("adc_dist"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _IVFPQ_TOPK)
+        .drop("rn")
+    )

@@ -162,3 +162,64 @@ def test_kmeans_dead_cluster_guard_fires_identically(spark):
     assert sorted(
         (int(a), int(b), int(c), int(d)) for a, b, c, d in oracle
     ) == lit
+
+
+def test_ivfpq_search_invariants(spark):
+    """IVF-PQ (v13) invariants the oracle's hash can't articulate:
+    the candidate set is genuinely CELL-PRUNED (every neighbor's
+    label is one of its query's nprobe probed cells -- recomputed
+    here from the same centroid/cosine assignment), results are
+    exactly top-k per query by ascending integer ADC with the
+    vec_id tiebreak, and a probed-cell member that ties an anchor
+    encodes consistently (ADC >= 0 always)."""
+    from pyspark.sql import Window
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.functions import (
+        vectors as V,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans import (
+        queries_vectors as qv,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = qv.q_ivf_pq_search(spark, sf).collect()
+    assert len(out) == qv._IVFPQ_NQ * qv._IVFPQ_TOPK
+    assert all(r["adc_dist"] >= 0 for r in out)
+
+    # per-query: k rows, sorted by (adc_dist, neighbor_id)
+    byq: dict = {}
+    for r in out:
+        byq.setdefault(r["query_id"], []).append(r)
+    assert set(byq) == set(range(qv._IVFPQ_NQ))
+    for q, rows in byq.items():
+        assert len(rows) == qv._IVFPQ_TOPK
+        key = [(r["adc_dist"], r["neighbor_id"]) for r in rows]
+        assert key == sorted(key)
+
+    # recompute the probe map independently and check cell pruning
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    cents = qv._centroid_agg(emb.select("label", "v"), "label")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("label")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < qv._IVFPQ_NQ)
+        .select("vec_id", "v")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", V.cosine("v", "cvec", dim=qv.EMBED_DIM))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= qv._IVFPQ_NPROBE)
+        .select("vec_id", "label")
+        .collect()
+    )
+    allowed: dict = {}
+    for r in probes:
+        allowed.setdefault(r["vec_id"], set()).add(r["label"])
+    nlabel = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        assert nlabel[r["neighbor_id"]] in allowed[r["query_id"]], (
+            f"neighbor {r['neighbor_id']} outside probed cells of "
+            f"query {r['query_id']}"
+        )
