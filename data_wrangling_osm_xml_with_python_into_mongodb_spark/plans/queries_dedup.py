@@ -631,9 +631,10 @@ _N_BANDS = 4  # 4 rows per band
 _PERMS = perm_params(_N_PERM)
 
 
-def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id -> 16 minhash columns mh0..mh15 (portable arithmetic)."""
-    sh = _shingles_df(spark, sf_dir)
+def _minhash_sig_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) -> doc_id + 16 minhash columns mh0..mh15
+    (portable arithmetic); shared by dd3 (raw corpus) and dd14
+    (derived store+batch relation)."""
     x = (md5_int64(F.col("shingle")) % HASH_PRIME).alias("x")
     hashed = sh.select("doc_id", x)
     aggs = [
@@ -643,7 +644,12 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id -> 16 minhash columns mh0..mh15 (portable arithmetic)."""
+    return _minhash_sig_from(_shingles_df(spark, sf_dir))
+
+
+def _minhash_sig_sql(shingles_sql: str = _SHINGLES_SQL) -> str:
     x = md5_int64_sql("shingle")
     mins = ",\n             ".join(
         f"min((({x} % {HASH_PRIME}) * {a} + {b}) % {HASH_PRIME}) AS mh{i}"
@@ -652,7 +658,7 @@ def _minhash_sig_sql() -> str:
     return f"""
       SELECT doc_id,
              {mins}
-      FROM ({_SHINGLES_SQL})
+      FROM ({shingles_sql})
       GROUP BY doc_id
     """
 
@@ -1346,4 +1352,197 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("na", "nb").cast("bigint").alias("n_small"),
         )
         .filter(10 * F.col("n_common") >= 9 * F.col("n_small"))
+    )
+
+
+# --- dd14: incremental NEAR-dup dedup against a persisted LSH index --
+# dd12 is the incremental ingest gate for EXACT duplicates; near-dups
+# (mutated copies, boilerplate variants) sail through a fingerprint
+# index.  The production pipeline keeps the corpus's MinHash band
+# buckets as a second persisted index and checks each ingest batch
+# against it -- O(batch) new signatures joined to the bucket index,
+# never re-signing the corpus.
+
+_DD14_STORE_MAX = 250  # doc_id < this = the already-ingested store
+
+
+def _dd14_sql() -> str:
+    K = _DD14_STORE_MAX
+    allx_shingles = _SHINGLES_SQL.replace("FROM documents", "FROM allx")
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {_band_sql(i)} AS bucket, {i} AS band_idx FROM sig"
+        for i in range(_N_BANDS)
+    )
+    return f"""
+    WITH store0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {K}
+    ),
+    batch0 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= {K}
+    ),
+    allx AS (
+      SELECT doc_id, text FROM store0
+      UNION ALL
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 7 = 0 THEN s.text
+                  WHEN b.doc_id % 7 = 1 THEN s.text || ' qq zz'
+                  ELSE b.text END AS text
+      FROM batch0 b
+      LEFT JOIN store0 s ON s.doc_id = b.doc_id % 50
+    ),
+    sig AS ({_minhash_sig_sql(allx_shingles)}),
+    bands AS ({bands_union}),
+    store_idx AS (
+      SELECT band_idx, bucket, count(*) AS df
+      FROM bands WHERE doc_id < {K}
+      GROUP BY band_idx, bucket
+      HAVING count(*) <= {PAIR_DF_CAP}
+    ),
+    batch_bands AS (SELECT * FROM bands WHERE doc_id >= {K}),
+    store_hit AS (
+      SELECT DISTINCT bb.doc_id
+      FROM batch_bands bb
+      JOIN store_idx si
+        ON bb.band_idx = si.band_idx AND bb.bucket = si.bucket
+    ),
+    batch_first AS (
+      SELECT band_idx, bucket, min(doc_id) AS first_id
+      FROM batch_bands
+      GROUP BY band_idx, bucket
+      HAVING count(*) BETWEEN 2 AND {PAIR_DF_CAP}
+    ),
+    batch_hit AS (
+      SELECT DISTINCT bb.doc_id
+      FROM batch_bands bb
+      JOIN batch_first bf
+        ON bb.band_idx = bf.band_idx AND bb.bucket = bf.bucket
+      WHERE bb.doc_id > bf.first_id
+    )
+    SELECT status, planted, count(*) AS n_docs FROM (
+      SELECT b.doc_id,
+             CASE WHEN sh.doc_id IS NOT NULL THEN 'near_dup_of_store'
+                  WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+                  ELSE 'new' END AS status,
+             CASE b.doc_id % 7 WHEN 0 THEN 'exact_copy'
+                               WHEN 1 THEN 'mutated_copy'
+                               ELSE 'organic' END AS planted
+      FROM batch0 b
+      LEFT JOIN store_hit sh ON sh.doc_id = b.doc_id
+      LEFT JOIN batch_hit bh ON bh.doc_id = b.doc_id
+    )
+    GROUP BY status, planted
+    """
+
+
+@register(
+    "dd14_incremental_lsh_dedup",
+    "INCREMENTAL near-dup dedup -- the LSH analogue of dd12's exact "
+    "gate: an ingest batch is MinHash-signed (16 portable "
+    "permutations, 4 bands x 4 rows, dd3's scheme) and its band "
+    "buckets are joined against the PERSISTED bucket index of "
+    "everything already ingested, so the corpus is never re-signed -- "
+    "per batch the work is O(batch signatures) + one bucket-keyed "
+    "join.  Planted from doc_id arithmetic: every 7th batch doc is an "
+    "exact copy of a store doc (every band collides), every 7th+1 a "
+    "MUTATED copy (two tokens appended -- high Jaccard, collides on "
+    "most docs; the honest LSH miss rate is part of the contract and "
+    "both engines compute the identical collision set).  Store hits "
+    "outrank in-batch hits; hot buckets past the dd2/dd3 df cap are "
+    "dropped on BOTH index and batch side (no near-dup signal, "
+    "bounded pair expansion).  Output: batch docs by (status, "
+    "planted class).",
+    _dd14_sql(),
+    tags=("dedup", "lsh", "pipeline", "join"),
+)
+def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the store side stands in for the MATERIALIZED
+    band-bucket index a recurring ingest maintains (derived in-query
+    here; at 100 TB it lives bucketed on (band_idx, bucket) and the
+    batch's bucket probe is an exchange-free lookup or a broadcast of
+    the BATCH side -- the index never shuffles).  The batch is signed
+    once (one shingle explode + one min-agg), and every join key is
+    (band_idx, bucket) -- no all-pairs anywhere; the df cap bounds
+    bucket fanout exactly as in dd2/dd3."""
+    K = _DD14_STORE_MAX
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    store = docs.filter(F.col("doc_id") < K).select("doc_id", "text")
+    batch0 = docs.filter(F.col("doc_id") >= K).select("doc_id", "text")
+    src = store.select(
+        F.col("doc_id").alias("_sid"), F.col("text").alias("_stext")
+    )
+    batch = (
+        batch0.join(F.broadcast(src), batch0["doc_id"] % 50 == src["_sid"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.col("_stext"))
+            .when(
+                F.col("doc_id") % 7 == 1,
+                F.concat(F.col("_stext"), F.lit(" qq zz")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    allx = store.unionByName(batch)
+    sh = allx.select(
+        "doc_id",
+        F.explode(TX.word_shingles_arrow(F.col("text"), 3)).alias("shingle"),
+    )
+    sig = _minhash_sig_from(sh)
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("band_idx"), e.alias("bucket"))
+            for i, e in enumerate(_band_exprs_spark())
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_idx", "b.bucket"
+    )
+    store_idx = (
+        bands.filter(F.col("doc_id") < K)
+        .groupBy("band_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= PAIR_DF_CAP)
+        .select("band_idx", "bucket")
+    )
+    batch_bands = bands.filter(F.col("doc_id") >= K)
+    store_hit = (
+        batch_bands.join(store_idx, ["band_idx", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_s", F.lit(True))
+    )
+    batch_first = (
+        batch_bands.groupBy("band_idx", "bucket")
+        .agg(
+            F.min("doc_id").alias("first_id"),
+            F.count(F.lit(1)).alias("df"),
+        )
+        .filter((F.col("df") >= 2) & (F.col("df") <= PAIR_DF_CAP))
+        .select("band_idx", "bucket", "first_id")
+    )
+    batch_hit = (
+        batch_bands.join(batch_first, ["band_idx", "bucket"])
+        .filter(F.col("doc_id") > F.col("first_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_b", F.lit(True))
+    )
+    status = (
+        F.when(F.col("_s"), F.lit("near_dup_of_store"))
+        .when(F.col("_b"), F.lit("near_dup_in_batch"))
+        .otherwise(F.lit("new"))
+    )
+    planted = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("exact_copy"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("mutated_copy"))
+        .otherwise(F.lit("organic"))
+    )
+    return (
+        batch0.select("doc_id")
+        .join(store_hit, "doc_id", "left")
+        .join(batch_hit, "doc_id", "left")
+        .select(status.alias("status"), planted.alias("planted"))
+        .groupBy("status", "planted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
