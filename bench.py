@@ -130,6 +130,9 @@ EXTENDED = [
     "m19_cow_zorder_sampled_skew",
     "m20_cow_bloom_merge_prune",
     "m21_cow_deletion_vectors",
+    "m22_cow_change_feed",
+    "v13_ivf_pq_search",
+    "dd14_incremental_lsh_dedup",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")

@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 from .queries import _t, register
 
 # Scan/prune evidence of the last run of each CowTable skipping query
-# (m17/m18/m19/m20), keyed by query/probe -- files_total/scanned/
-# skipped(+bloom) and merge prune stats.  bench.py snapshots this
+# (m17-m22), keyed by query/probe -- files_total/scanned/
+# skipped(+bloom), merge prune stats, deletion-vector zero-rewrite
+# stats, and change-feed file counts.  bench.py snapshots this
 # after its ext pass so the SKIPPING VALUE (not just the op wall,
 # which is staging-dominated) rides with every bench run, the way v8
 # logs its candidate fraction (VERDICT r14 #4).  Best-effort — never
@@ -771,4 +772,115 @@ def q_cow_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "m22_cow_change_feed",
+    "CHANGE DATA FEED over merge-on-read mutations "
+    "(sources/cow_table.read_changes -- Delta's table_changes "
+    "surface): a change_feed=True table records each mutation "
+    "commit's row-level change set (insert / update_preimage / "
+    "update_postimage / delete) in commit-referenced change files at "
+    "write time; an incremental consumer (downstream index, replica, "
+    "audit) tails O(changes) per poll instead of diffing snapshots.  "
+    "Staged: one CoW MERGE (every 101st order's price bumped = "
+    "update pre+post pairs, every 97th deleted -- a key in both "
+    "frames feeds as an update, the merge contract -- and synthetic "
+    "orders inserted for every 103rd) followed by a deletion-vector "
+    "DELETE (every 89th surviving order), whose pre-images must "
+    "reflect the FIRST commit's updates -- the feed is "
+    "state-dependent, not predicate replay.  The oracle re-derives "
+    "every change row from orders arithmetic.  The result aggregates "
+    "the feed per (commit, change type) with value sums, so a "
+    "misclassified or stale-valued row breaks the hash.",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    v1_pre AS (SELECT * FROM base WHERE o_orderkey % 101 = 0),
+    v1_del AS (
+      SELECT * FROM base
+      WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
+    ),
+    v1_ins AS (SELECT * FROM base WHERE o_orderkey % 103 = 0),
+    v2_del AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0
+                  THEN o_totalprice + 50000.0
+                  ELSE o_totalprice END AS price
+      FROM base
+      WHERE o_orderkey % 89 = 0
+        AND NOT (o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0)
+    )
+    SELECT * FROM (
+      SELECT 1 AS commit_version, 'update_preimage' AS change_type,
+             count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+      FROM v1_pre
+      UNION ALL
+      SELECT 1, 'update_postimage', count(*),
+             round(sum(o_totalprice + 50000.0), 2)
+      FROM v1_pre
+      UNION ALL
+      SELECT 1, 'delete', count(*), round(sum(o_totalprice), 2)
+      FROM v1_del
+      UNION ALL
+      SELECT 1, 'insert', count(*), round(sum(o_totalprice), 2)
+      FROM v1_ins
+      UNION ALL
+      SELECT 2, 'delete', count(*), round(sum(price), 2)
+      FROM v2_del
+    )
+    """,
+    tags=("update", "scan", "sink", "cdc"),
+)
+def q_cow_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staging (md5-keyed orders) is test scaffolding; the
+    operators under test are the change-set builder
+    (CowTable._change_set), the per-path feed writers (cow merge, dv
+    delete), and read_changes (sources/cow_table.py)."""
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+    )
+    work = tempfile.mkdtemp(prefix="m22_cow_")
+    table = CowTable.create(
+        spark, f"{work}/orders", orders.repartition(12), change_feed=True
+    )
+    updates = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(50000.0)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        F.md5((F.col("o_orderkey") + 20000000).cast("string")).alias("k"),
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "o_orderpriority", "o_totalprice",
+    )
+    dels = orders.filter(F.col("o_orderkey") % 97 == 0).select("k")
+    mdoc = table.merge(updates.unionByName(inserts), "k", deletes=dels)
+    assert mdoc.get("change_files"), "cow merge recorded no change files"
+
+    dels2 = orders.filter(F.col("o_orderkey") % 89 == 0).select("k")
+    ddoc = table.delete("k", deletes=dels2)
+    assert ddoc.get("change_files"), "dv delete recorded no change files"
+    assert ddoc["files_written"] == 0, "dv delete touched the data plane"
+
+    LAST_COW_EVIDENCE["m22_change_feed"] = {
+        "merge_change_files": len(mdoc["change_files"]),
+        "delete_change_files": len(ddoc["change_files"]),
+        "delete_rows_dv_deleted": ddoc["rows_dv_deleted"],
+    }
+    return (
+        table.read_changes(1)
+        .groupBy(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
     )

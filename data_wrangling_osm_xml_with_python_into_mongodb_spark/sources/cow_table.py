@@ -46,6 +46,12 @@ so the engine's upsert path runs end-to-end in any environment:
   reader filters dead positions via the parquet row index
   (``_metadata.row_index``); :meth:`compact` materializes the
   vectors so the read-side anti-join never accrues unboundedly;
+* :meth:`read_changes` is the CHANGE DATA FEED (Delta's
+  ``table_changes``): tables created with ``change_feed=True`` record
+  each mutation commit's row-level change set (``insert`` /
+  ``update_preimage`` / ``update_postimage`` / ``delete``) in
+  commit-referenced change files, so incremental consumers tail
+  O(changes) per poll instead of diffing snapshots;
 * :meth:`vacuum` deletes files no retained snapshot references (the
   ``VACUUM`` analogue), with a grace window shielding in-flight
   writers' not-yet-committed files; commit metadata is never
@@ -815,7 +821,41 @@ class CowTable:
         os.replace(tmp, os.path.join(_log_dir(self.path), name))
         return {**stats, "dv_sidecar": name}
 
+    def _change_feed_enabled(self, version: int) -> bool:
+        """Whether the change feed is on as of ``version``: the flag is
+        set at create (or by a later commit) and carried forward by
+        every commit like the txn map -- one head read answers."""
+        if version < 0:
+            return False
+        try:
+            return bool(self._commit_doc(version).get("change_feed"))
+        except (OSError, ValueError):
+            return False
+
+    def _write_change_files(self, df: DataFrame, version: int) -> list[str]:
+        """Write a commit's row-level change set (table columns +
+        ``_change_type``) under ``<path>/changes/v<N>-<token>/`` --
+        same racing-writer token discipline as data files; readers
+        only open the paths the commit doc lists."""
+        out = os.path.join(
+            self.path, "changes", f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
+        df.write.mode("error").parquet(out)
+        return [
+            os.path.join(out, n)
+            for n in os.listdir(out)
+            if n.endswith(".parquet")
+        ]
+
     def _commit(self, version: int, files: list[str], op: str, stats: dict) -> dict:
+        # Carry the change-feed flag forward (txn-map style) so one
+        # head read answers _change_feed_enabled at any age.
+        if "change_feed" not in stats and version > 0:
+            try:
+                if self._commit_doc(version - 1).get("change_feed"):
+                    stats["change_feed"] = True
+            except (OSError, ValueError):
+                pass
         stats = self._maintain_bloom(version, files, stats)
         stats = self._maintain_dv(version, files, stats)
         doc = {
@@ -1166,6 +1206,7 @@ class CowTable:
         bloom_bits: int = _BLOOM_BITS_DEFAULT,
         bloom_k: int = _BLOOM_K_DEFAULT,
         bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
+        change_feed: bool = False,
     ) -> "CowTable":
         """``bloom_col`` opts the table into a per-file Bloom key index
         (Delta's bloom filter index analogue) maintained by every
@@ -1186,6 +1227,12 @@ class CowTable:
             "schema": df.schema.jsonValue(),
             "txn": {},
         }
+        if change_feed:
+            # Row-level change tracking (Delta's enableChangeDataFeed):
+            # every subsequent mutation commit writes its change set;
+            # read_changes() replays them.  The flag rides every commit
+            # doc forward.
+            stats["change_feed"] = True
         if bloom_col is not None:
             dt = dict(df.dtypes).get(bloom_col)
             if dt is None or dt not in _BLOOM_SUPPORTED_DTYPES:
@@ -2019,6 +2066,47 @@ class CowTable:
                             pass
         except Exception:
             pass
+        # Change-feed GC: change files are referenced only by their own
+        # commit, so the keep rule is simply "referenced by a RETAINED
+        # commit"; an expired commit's change files delete immediately
+        # (its snapshot is already unreadable), and unreferenced files
+        # at retained versions (losing racers / in-flight writers) get
+        # the same grace window as orphaned data files.
+        changes_deleted = 0
+        chg_root = os.path.join(self.path, "changes")
+        if os.path.isdir(chg_root):
+            ref_chg = set()
+            for v in range(lo, latest + 1):
+                for f in self._commit_doc(v).get("change_files", []) or []:
+                    ref_chg.add(os.path.abspath(f))
+            for d in sorted(os.listdir(chg_root)):
+                vdir = os.path.join(chg_root, d)
+                if not os.path.isdir(vdir):
+                    continue
+                m = _re.match(r"v(\d+)-", d)
+                dir_v = int(m.group(1)) if m else -1
+                live = 0
+                for n in os.listdir(vdir):
+                    if not n.endswith(".parquet"):
+                        continue
+                    f = os.path.abspath(os.path.join(vdir, n))
+                    if f in ref_chg:
+                        live += 1
+                        continue
+                    if dir_v >= lo:
+                        try:
+                            if now - os.path.getmtime(f) < orphan_grace_s:
+                                live += 1
+                                continue
+                        except FileNotFoundError:
+                            continue
+                    try:
+                        os.unlink(f)
+                        changes_deleted += 1
+                    except FileNotFoundError:
+                        pass
+                if live == 0:
+                    shutil.rmtree(vdir, ignore_errors=True)
         # Bloom- and deletion-vector-sidecar GC: keep every sidecar a
         # RETAINED commit references (a no-new-files commit points at
         # its parent's, so the referenced set, not version arithmetic,
@@ -2062,6 +2150,7 @@ class CowTable:
             "checkpoints_deleted": ckpts_deleted,
             "blooms_deleted": blooms_deleted,
             "dvs_deleted": dvs_deleted,
+            "changes_deleted": changes_deleted,
         }
 
     def merge(
@@ -2419,6 +2508,7 @@ class CowTable:
                     affected_df = affected_df.withColumn(
                         fld.name, F.lit(None).cast(fld.dataType)
                     )
+        pre_image = affected_df  # pre-delete-filter slice, for the feed
         if dk_vals:
             affected_df = affected_df.filter(
                 F.col(key).isNull() | ~F.col(key).isin(dk_vals)
@@ -2458,6 +2548,15 @@ class CowTable:
         merged = merge_upsert(affected_df, src_proj.select(affected_df.columns), key)
 
         new_version = base_version + 1
+        chg_files: list[str] = []
+        if self._change_feed_enabled(base_version):
+            chg_files = self._write_change_files(
+                self._change_set(
+                    pre_image, src_proj.select(affected_df.columns), key,
+                    dk_vals, dk_df,
+                ),
+                new_version,
+            )
         new_files, new_stats, out_dir = self._write_data_files(
             merged, new_version
         )
@@ -2471,6 +2570,9 @@ class CowTable:
                     "files_kept": len(kept),
                     "files_rewritten": len(rewritten),
                     "files_written": len(new_files),
+                    **(
+                        {"change_files": chg_files} if chg_files else {}
+                    ),
                     # skipping-on-merge evidence: candidate files the
                     # match scan actually READ (vs len(files) total),
                     # and which bloom-probe path pruned them.
@@ -2493,11 +2595,15 @@ class CowTable:
                 },
             )
         except ConcurrentWriteError:
-            # Loser cleanup: its data dir was never referenced by any
-            # commit, so removing it cannot affect readers.
+            # Loser cleanup: its data/change dirs were never referenced
+            # by any commit, so removing them cannot affect readers.
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
+            if chg_files:
+                shutil.rmtree(
+                    os.path.dirname(chg_files[0]), ignore_errors=True
+                )
             # Classify for the rebase loop: overlap between what we
             # meant to rewrite and what the winner(s) removed means
             # possibly the same keys -- not safely rebasable.
@@ -2610,6 +2716,16 @@ class CowTable:
             ]
         out_df = src_proj.select(*out_cols)
         new_version = base_version + 1
+        chg_files: list[str] = []
+        if self._change_feed_enabled(base_version):
+            live = self._read_files(candidates, snap_schema, dv_map)
+            pre = live.join(
+                touch_keys, live[key] == F.col("_mk"), "left_semi"
+            )
+            chg_files = self._write_change_files(
+                self._change_set(pre, out_df, key, dk_vals, dk_df),
+                new_version,
+            )
         new_files, new_stats, out_dir = self._write_data_files(
             out_df, new_version
         )
@@ -2627,6 +2743,9 @@ class CowTable:
                     "files_probed": len(candidates),
                     "dv_files_updated": len(dv_updates),
                     "rows_dv_deleted": rows_matched,
+                    **(
+                        {"change_files": chg_files} if chg_files else {}
+                    ),
                     **(
                         {"bloom_probe": bloom_mode}
                         if bloom_mode is not None
@@ -2649,6 +2768,10 @@ class CowTable:
             import shutil
 
             shutil.rmtree(out_dir, ignore_errors=True)
+            if chg_files:
+                shutil.rmtree(
+                    os.path.dirname(chg_files[0]), ignore_errors=True
+                )
             # A winner that REMOVED a file we marked positions in
             # rewrote it -- our positions describe a dead file and its
             # keys may overlap ours: surface, don't rebase.  Winners
@@ -2668,6 +2791,132 @@ class CowTable:
                     "overlap -- not rebasing"
                 ) from None
             raise
+
+    def _change_set(
+        self,
+        pre: DataFrame,
+        src_proj: DataFrame | None,
+        key: str,
+        dk_vals: list,
+        dk_df: DataFrame | None,
+    ) -> DataFrame:
+        """The row-level change set of one mutation commit (Delta CDF
+        row types): ``pre`` is the affected slice's LIVE pre-image
+        rows, ``src_proj`` the source projected onto the output
+        layout (None for a pure delete).
+
+        * pre row whose key is a source key  -> ``update_preimage``
+        * pre row whose key is a delete key (and not a source key --
+          delete-then-upsert ends as an update) -> ``delete``
+        * source row whose key exists in the affected slice
+          -> ``update_postimage`` (matched keys only ever live there)
+        * any other source row -> ``insert`` (NULL keys always insert)
+
+        Untouched rows of rewritten files classify into none of these
+        and drop out -- a copy-on-write rewrite is not a logical
+        change."""
+        ct = "_change_type"
+        parts: list[DataFrame] = []
+        if src_proj is not None:
+            sk = src_proj.select(F.col(key).alias("_ck")).distinct()
+            parts.append(
+                pre.join(sk, pre[key] == F.col("_ck"), "left_semi")
+                .withColumn(ct, F.lit("update_preimage"))
+            )
+            pre_del = None
+            if dk_vals:
+                pre_del = pre.filter(F.col(key).isin(dk_vals))
+            elif dk_df is not None:
+                pre_del = pre.join(
+                    dk_df.withColumnRenamed("_dk", key), key, "left_semi"
+                )
+            if pre_del is not None:
+                parts.append(
+                    pre_del.join(sk, pre_del[key] == F.col("_ck"), "left_anti")
+                    .withColumn(ct, F.lit("delete"))
+                )
+            tk = pre.select(F.col(key).alias("_ck")).distinct()
+            parts.append(
+                src_proj.join(tk, src_proj[key] == F.col("_ck"), "left_semi")
+                .withColumn(ct, F.lit("update_postimage"))
+            )
+            parts.append(
+                src_proj.join(tk, src_proj[key] == F.col("_ck"), "left_anti")
+                .withColumn(ct, F.lit("insert"))
+            )
+        else:
+            parts.append(pre.withColumn(ct, F.lit("delete")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level changes between snapshots -- Delta's
+        ``table_changes`` surface: the union of the change files of
+        every commit in ``[from_version, to_version]`` (default: head),
+        each row carrying ``_change_type`` (``insert`` /
+        ``update_preimage`` / ``update_postimage`` / ``delete``) and
+        ``_commit_version``.  This is what an incremental consumer
+        (downstream index, replication, audit) tails instead of
+        diffing snapshots -- O(changes), not O(table), per poll.
+
+        Change data is written AT COMMIT TIME by mutation commits when
+        the feed is enabled (``create(change_feed=True)``); the
+        initial ``create`` commit's rows read back as ``insert``
+        straight from its data files (an append-only commit needs no
+        separate change files -- Delta's own optimization).
+        Compaction/vacuum are layout ops: no logical change, nothing
+        in the feed.  A mutation commit in range from BEFORE the feed
+        was enabled raises -- the changes cannot be reconstructed."""
+        head = self.version()
+        to_v = head if to_version is None else to_version
+        if from_version < 0 or to_v > head or from_version > to_v:
+            raise ValueError(
+                f"invalid change range [{from_version}, {to_v}] "
+                f"(head is {head})"
+            )
+        parts: list[DataFrame] = []
+        for v in range(from_version, to_v + 1):
+            doc = self._commit_doc(v)
+            cf = doc.get("change_files")
+            if cf:
+                parts.append(
+                    self.spark.read.parquet(*cf)
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                continue
+            if doc["op"] == "create":
+                df = self._read_files(
+                    doc["files"], self._snapshot_schema(v), self._dv_map(doc)
+                )
+                parts.append(
+                    df.withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+                continue
+            if doc["op"] in ("merge", "delete") and not doc.get(
+                "change_feed"
+            ):
+                raise ValueError(
+                    f"version {v} of {self.path} mutated rows before the "
+                    "change feed was enabled; changes from it cannot be "
+                    "reconstructed (enable with create(change_feed=True))"
+                )
+            # compact / vacuum-era / metadata commits: no logical change
+        if not parts:
+            schema = self._snapshot_schema(to_v)
+            return (
+                self.spark.createDataFrame([], schema)
+                .withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_commit_version", F.lit(None).cast("long"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def delete(
         self,
@@ -2765,6 +3014,16 @@ class CowTable:
         dv_updates, rows_deleted = self._dv_positions_for(
             candidates, snap_schema, dv_map, key, touch_keys
         )
+        chg_files: list[str] = []
+        if self._change_feed_enabled(base_version):
+            live = self._read_files(candidates, snap_schema, dv_map)
+            pre = live.join(
+                touch_keys, live[key] == F.col("_mk"), "left_semi"
+            )
+            chg_files = self._write_change_files(
+                self._change_set(pre, None, key, [], None),
+                base_version + 1,
+            )
         try:
             return self._commit(
                 base_version + 1,
@@ -2780,6 +3039,9 @@ class CowTable:
                     "dv_files_updated": len(dv_updates),
                     "rows_dv_deleted": rows_deleted,
                     **(
+                        {"change_files": chg_files} if chg_files else {}
+                    ),
+                    **(
                         {"bloom_probe": bloom_mode}
                         if bloom_mode is not None
                         else {}
@@ -2794,6 +3056,12 @@ class CowTable:
                 },
             )
         except ConcurrentWriteError:
+            if chg_files:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.dirname(chg_files[0]), ignore_errors=True
+                )
             head = self.version()
             removed = {
                 os.path.basename(f)
