@@ -131,6 +131,7 @@ EXTENDED = [
     "m20_cow_bloom_merge_prune",
     "m21_cow_deletion_vectors",
     "m22_cow_change_feed",
+    "m23_cow_change_feed_streamed",
     "v13_ivf_pq_search",
     "dd14_incremental_lsh_dedup",
 ]

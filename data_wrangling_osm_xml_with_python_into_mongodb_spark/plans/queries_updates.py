@@ -884,3 +884,116 @@ def q_cow_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "m23_cow_change_feed_streamed",
+    "The m22 change feed consumed as a STRUCTURED STREAMING source "
+    "(streaming/change_feed.stream_changes -- Delta's 'CDF as a "
+    "stream' analogue): the same two mutation commits land on the "
+    "table, then a file-source stream over the commit-referenced "
+    "change files drains them with trigger=availableNow into a "
+    "parquet sink via foreachBatch, and the RESULT is aggregated "
+    "from what the STREAM delivered -- so the oracle gate pins the "
+    "streaming delivery path itself (exactly-once file delivery "
+    "through Spark's source checkpoint), not just the batch reader.  "
+    "Same oracle as m22: every streamed row re-derived from orders "
+    "arithmetic; a dropped or duplicated micro-batch row breaks the "
+    "count and sum hashes.",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    ),
+    v1_pre AS (SELECT * FROM base WHERE o_orderkey % 101 = 0),
+    v1_del AS (
+      SELECT * FROM base
+      WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0
+    ),
+    v1_ins AS (SELECT * FROM base WHERE o_orderkey % 103 = 0),
+    v2_del AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0
+                  THEN o_totalprice + 50000.0
+                  ELSE o_totalprice END AS price
+      FROM base
+      WHERE o_orderkey % 89 = 0
+        AND NOT (o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0)
+    )
+    SELECT * FROM (
+      SELECT 1 AS commit_version, 'update_preimage' AS change_type,
+             count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+      FROM v1_pre
+      UNION ALL
+      SELECT 1, 'update_postimage', count(*),
+             round(sum(o_totalprice + 50000.0), 2)
+      FROM v1_pre
+      UNION ALL
+      SELECT 1, 'delete', count(*), round(sum(o_totalprice), 2)
+      FROM v1_del
+      UNION ALL
+      SELECT 1, 'insert', count(*), round(sum(o_totalprice), 2)
+      FROM v1_ins
+      UNION ALL
+      SELECT 2, 'delete', count(*), round(sum(price), 2)
+      FROM v2_del
+    )
+    """,
+    tags=("update", "scan", "sink", "cdc", "streaming"),
+)
+def q_cow_change_feed_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staging is m22's; the operator under test is
+    streaming/change_feed.stream_changes + the write-side change-file
+    protocol under a live file-source checkpoint."""
+    import tempfile
+
+    from ..sources.cow_table import CowTable
+    from ..streaming.change_feed import stream_changes
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("k"),
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+    )
+    work = tempfile.mkdtemp(prefix="m23_cow_")
+    table = CowTable.create(
+        spark, f"{work}/orders", orders.repartition(12), change_feed=True
+    )
+    updates = orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(50000.0)
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        F.md5((F.col("o_orderkey") + 20000000).cast("string")).alias("k"),
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "o_orderpriority", "o_totalprice",
+    )
+    table.merge(
+        updates.unionByName(inserts),
+        "k",
+        deletes=orders.filter(F.col("o_orderkey") % 97 == 0).select("k"),
+    )
+    table.delete(
+        "k", deletes=orders.filter(F.col("o_orderkey") % 89 == 0).select("k")
+    )
+
+    sink = f"{work}/delivered"
+
+    def absorb(batch_df, _bid):
+        batch_df.select(
+            "o_totalprice", "_change_type", "_commit_version"
+        ).write.mode("append").parquet(sink)
+
+    q = (
+        stream_changes(spark, f"{work}/orders")
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    delivered = spark.read.parquet(sink)
+    return delivered.groupBy(
+        F.col("_commit_version").cast("int").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -1,0 +1,140 @@
+"""Streaming the CowTable change data feed (streaming/change_feed.py):
+a file-source stream over the commit-referenced change files gives a
+downstream consumer the table's row-level mutations live.  Pinned:
+
+* stream == batch: draining the stream yields exactly the rows
+  ``read_changes(1, head)`` returns, types and versions included;
+* incrementality: a second drain over the same checkpoint delivers
+  ONLY commits that landed in between;
+* committed-only validation: a losing racer's orphaned change dir is
+  dropped by ``committed_changes`` while real rows survive;
+* the feed-disabled table is rejected at stream construction.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (  # noqa: E402
+    CowTable,
+)
+from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.change_feed import (  # noqa: E402
+    committed_changes,
+    stream_changes,
+)
+
+
+def _mk(spark, tmp_path, feed=True):
+    df = (
+        spark.range(20)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .repartition(2)
+    )
+    return CowTable.create(
+        spark, str(tmp_path / "t"), df, change_feed=feed
+    )
+
+
+def _drain(spark, t, tmp_path, sink: list):
+    """Run the stream availableNow against a persistent checkpoint,
+    appending (k, v, _change_type, _commit_version) rows to sink."""
+
+    def absorb(batch_df, _bid):
+        for r in (
+            batch_df.select("k", "v", "_change_type", "_commit_version")
+            .collect()
+        ):
+            sink.append(tuple(r))
+
+    q = (
+        stream_changes(spark, t.path)
+        .writeStream.foreachBatch(absorb)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_matches_batch_and_is_incremental(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(
+        spark.createDataFrame([(5, 555), (100, 1000)], "k long, v long"),
+        "k",
+        deletes=spark.createDataFrame([(7,)], "k long"),
+    )
+    t.merge(
+        spark.createDataFrame([(6, 666)], "k long, v long"),
+        "k",
+        strategy="mor",
+    )
+    got: list = []
+    _drain(spark, t, tmp_path, got)
+    want = sorted(
+        tuple(r)
+        for r in t.read_changes(1)
+        .select("k", "v", "_change_type", "_commit_version")
+        .collect()
+    )
+    assert sorted(got) == want and len(want) == 6
+
+    # incremental: only the new commit's rows arrive on the next drain
+    got2: list = []
+    t.delete("k", values=[3, 11])
+    _drain(spark, t, tmp_path, got2)
+    assert sorted(got2) == [
+        (3, 30, "delete", 3),
+        (11, 110, "delete", 3),
+    ]
+
+
+def test_committed_changes_drops_orphan_racer_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(spark.createDataFrame([(1, -1)], "k long, v long"), "k")
+    # stage a losing racer's orphan: a change dir no commit references
+    orphan = os.path.join(t.path, "changes", "v1-deadbeef")
+    spark.createDataFrame(
+        [(999, 999, "insert")], "k long, v long, _change_type string"
+    ).coalesce(1).write.parquet(orphan)
+
+    raw_rows: list = []
+    kept_rows: list = []
+
+    def absorb(batch_df, _bid):
+        raw_rows.extend(
+            tuple(r) for r in batch_df.select("k", "_change_type").collect()
+        )
+        kept_rows.extend(
+            tuple(r)
+            for r in committed_changes(batch_df, t)
+            .select("k", "_change_type")
+            .collect()
+        )
+
+    q = (
+        stream_changes(spark, t.path)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert (999, "insert") in raw_rows  # the stream DID win the race
+    assert (999, "insert") not in kept_rows  # ...and validation drops it
+    assert (1, "update_preimage") in kept_rows
+    assert (1, "update_postimage") in kept_rows
+
+
+def test_stream_requires_feed_enabled(spark, tmp_path):
+    t = _mk(spark, tmp_path, feed=False)
+    with pytest.raises(ValueError, match="change feed"):
+        stream_changes(spark, t.path)
