@@ -1016,3 +1016,100 @@ def q_ref_docs_stream_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("refers")).alias("refers"),
         F.col("refer_count").cast("long").alias("refer_count"),
     )
+
+
+@register(
+    "m24_ref_docs_cdf_maintained",
+    "The capped ref_docs index maintained FROM THE CORPUS TABLE'S OWN "
+    "CHANGE FEED (streaming/change_feed + operators/shape."
+    "apply_ref_docs_delta_capped) -- incremental view maintenance "
+    "with NO external CDC feed and NO pre-image corpus read: the "
+    "documents CowTable is created with change_feed=True, the m15 "
+    "insert/delete batch lands as two MERGE commits (one copy-on-"
+    "write, one merge-on-read through deletion vectors -- both paths "
+    "emit the identical feed), and the streamed change rows "
+    "THEMSELVES carry the removed docs (delete/update_preimage) and "
+    "added docs (insert/update_postimage) the delta maintainer "
+    "needs.  m15 resolves pre-images by time-traveling the corpus "
+    "per batch; here the feed makes that read unnecessary -- the "
+    "classic reason warehouses attach IVM to CDF.  A planted set of "
+    "UNCHANGED re-merged docs exercises the update pair end-to-end "
+    "(remove+add of identical rows, net zero in the index).  Oracle: "
+    "the maintained index must equal the capped full rebuild over "
+    "(base - deletes) + inserts -- the exact m10/m15 oracle.",
+    _M10_ORACLE,
+    tags=("mview", "incremental", "osm", "streaming", "cdc", "sink"),
+)
+def q_ref_docs_cdf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging (CowTable create + two merges + parquet drain sink) is
+    test scaffolding; the operators under test are the change-feed
+    write/stream protocol and the feed-driven capped delta
+    maintainer."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.shape import apply_ref_docs_delta_capped, build_ref_docs
+    from ..sources.cow_table import CowTable
+    from ..streaming.change_feed import stream_changes
+
+    raw = spark.read.schema(RAW_ELEMENT_SCHEMA).parquet(FIXTURE_PARQUET)
+    docs = shape_documents(raw).select(
+        "_id", "doc_type", "node_refs", "members"
+    )
+    id_l = F.col("_id").cast("long")
+    base = docs.filter(id_l % 7 != 0)
+    inserted = docs.filter(id_l % 7 == 0)
+    deleted = base.filter(id_l % 11 == 0)
+    # survives both commits AND is re-merged byte-identically: the
+    # feed emits an update_preimage/update_postimage pair per doc,
+    # which the maintainer must cancel exactly.
+    unchanged = base.filter((id_l % 11 != 0) & (id_l % 13 == 1))
+
+    work = tempfile.mkdtemp(prefix="m24_cdf_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    corpus = CowTable.create(
+        spark, f"{work}/docs", base, change_feed=True
+    )
+    corpus.merge(
+        inserted.filter(id_l % 2 == 0),
+        "_id",
+        deletes=deleted.filter(id_l % 2 == 0),
+    )
+    corpus.merge(
+        inserted.filter(id_l % 2 == 1).unionByName(unchanged),
+        "_id",
+        deletes=deleted.filter(id_l % 2 == 1),
+        strategy="mor",
+    )
+
+    sink = f"{work}/delivered"
+
+    def absorb(batch_df, _bid):
+        batch_df.drop("_change_file", "_commit_version").write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        stream_changes(spark, corpus.path)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(sink)
+    adds = feed.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type")
+    removes = feed.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).drop("_change_type")
+    maintained = apply_ref_docs_delta_capped(
+        build_ref_docs(base, cap=1), adds, removes, corpus.read(), cap=1
+    )
+    return maintained.select(
+        "_id",
+        F.concat_ws("|", F.col("refers")).alias("refers"),
+        F.col("refer_count").cast("long").alias("refer_count"),
+    )
