@@ -1538,10 +1538,16 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 7 == 1, F.lit("mutated_copy"))
         .otherwise(F.lit("organic"))
     )
+    # Hit frames are bounded by the BATCH's doc count (distinct
+    # doc_ids of batch bands), so they broadcast at any corpus size;
+    # the (band_idx, bucket) joins above stay shuffle joins on
+    # purpose -- co-partitioned with the aggregates that produced
+    # their inputs (exchange reuse), and the store side is
+    # corpus-sized at scale, so broadcasting there would be wrong.
     return (
         batch0.select("doc_id")
-        .join(store_hit, "doc_id", "left")
-        .join(batch_hit, "doc_id", "left")
+        .join(F.broadcast(store_hit), "doc_id", "left")
+        .join(F.broadcast(batch_hit), "doc_id", "left")
         .select(status.alias("status"), planted.alias("planted"))
         .groupBy("status", "planted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
