@@ -836,11 +836,22 @@ class CowTable:
         """Write a commit's row-level change set (table columns +
         ``_change_type``) under ``<path>/changes/v<N>-<token>/`` --
         same racing-writer token discipline as data files; readers
-        only open the paths the commit doc lists."""
+        only open the paths the commit doc lists.
+
+        The change set is delta-sized by contract, but its plan
+        inherits the SOURCE's partitioning (a 200-partition merge
+        source would scatter a 1k-row change set over 200 near-empty
+        files, taxing every read_changes/stream poll with file-open
+        overhead) -- so the write coalesces to at most 8 output
+        files.  coalesce, not repartition: no shuffle, just fewer
+        write tasks; 8 keeps bulk change sets parallel enough while
+        bounding the per-commit file count a tailing consumer pays
+        for."""
         out = os.path.join(
             self.path, "changes", f"v{version}-{uuid.uuid4().hex[:8]}"
         )
-        df.write.mode("error").parquet(out)
+        # coalesce never INCREASES partitions, so 8 is a pure cap.
+        df.coalesce(8).write.mode("error").parquet(out)
         return [
             os.path.join(out, n)
             for n in os.listdir(out)
