@@ -1552,3 +1552,311 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status", "planted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --- dd15/dd16: the stores, actually PERSISTED (VERDICT r15 #1) ------
+# dd12/dd14 derive their stores in-query -- correct, but the scale
+# claim ("the index never shuffles, ingest is O(batch)") was executed
+# nowhere: as registered, every dd14 ingest re-signs and shuffles the
+# corpus-sized bucket index.  dd15/dd16 run the real thing: the LSH
+# bucket index / fingerprint set live as CowTables
+# (operators/lsh_store.py), THREE ingest invocations probe and extend
+# them across separate calls, the probe plan is asserted
+# broadcast-only at build time, and the append commits are asserted
+# prune-complete (files_probed == 0 for the disjoint-prefix LSH
+# deltas; bloom-refuted for the fingerprint inserts).  Reference
+# capability matched: the materialized-index idiom of
+# mongo_audit.py:271-329 applied to the dedup stores.
+
+_DD15_K0 = 200  # ingest 0 = doc_id < K0
+_DD15_K1 = 400  # ingest 1 = [K0, K1); ingest 2 = the rest
+
+#: append/probe evidence of the latest dd15/dd16 run (bench's
+#: incr-dedup block reads this, like queries_updates.LAST_COW_EVIDENCE)
+LAST_STORE_EVIDENCE: dict = {}
+
+
+def _bands_of(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band_idx, bucket) under dd3's
+    16-permutation / 4-band MinHash scheme -- the signing step an
+    ingest pays ONCE per batch; shared by dd14 (in-query relation)
+    and dd15 (persisted store)."""
+    sh = df.select(
+        "doc_id",
+        F.explode(TX.word_shingles_arrow(F.col("text"), 3)).alias("shingle"),
+    )
+    sig = _minhash_sig_from(sh)
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("band_idx"), e.alias("bucket"))
+            for i, e in enumerate(_band_exprs_spark())
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_arr).alias("b")).select(
+        "doc_id", "b.band_idx", "b.bucket"
+    )
+
+
+def _dd15_batches(spark: SparkSession, sf_dir: str, mod: int):
+    """The three deterministic ingest batches both dd15 and dd16
+    stage: ingest 0 = raw docs below K0; ingest 1 plants copies of
+    ingest-0 docs (``doc_id % mod`` classes); ingest 2 plants copies
+    of INGEST-1 docs (post-mutation text), so any store hit in ingest
+    2 on a planted doc proves the index accumulated ingest 1's
+    contribution ACROSS invocations.  ``mod=7`` adds a mutated-copy
+    class (dd15, near-dup); ``mod=5`` plants exact copies only
+    (dd16, fingerprints)."""
+    K0, K1 = _DD15_K0, _DD15_K1
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") < K0)
+    raw1 = docs.filter((F.col("doc_id") >= K0) & (F.col("doc_id") < K1))
+    raw2 = docs.filter(F.col("doc_id") >= K1)
+
+    def planted_text(batch: DataFrame, ref_mod_expr, src: DataFrame):
+        s = src.select(
+            F.col("doc_id").alias("_sid"), F.col("text").alias("_stext")
+        )
+        first = F.when(F.col("doc_id") % mod == 0, F.col("_stext"))
+        if mod == 7:
+            first = first.when(
+                F.col("doc_id") % mod == 1,
+                F.concat(F.col("_stext"), F.lit(" qq zz")),
+            )
+        return batch.join(
+            F.broadcast(s), ref_mod_expr == F.col("_sid"), "left"
+        ).select(
+            "doc_id", first.otherwise(F.col("text")).alias("text")
+        )
+
+    b1 = planted_text(raw1, F.col("doc_id") % 50, b0)
+    b2 = planted_text(raw2, K0 + F.col("doc_id") % (K1 - K0), b1)
+    return b0, b1, b2
+
+
+def _dd15_planted(mod: int) -> F.Column:
+    p = F.when(F.col("ingest") == 0, F.lit("organic")).when(
+        F.col("doc_id") % mod == 0, F.lit("exact_copy")
+    )
+    if mod == 7:
+        p = p.when(F.col("doc_id") % mod == 1, F.lit("mutated_copy"))
+    return p.otherwise(F.lit("organic"))
+
+
+def _dd15_batches_sql(mod: int) -> str:
+    K0, K1 = _DD15_K0, _DD15_K1
+    mut = (
+        f"WHEN b.doc_id % {mod} = 1 THEN s.text || ' qq zz'"
+        if mod == 7
+        else ""
+    )
+    return f"""
+    raw AS (SELECT doc_id, text FROM documents),
+    b0 AS (SELECT doc_id, 0 AS ingest, text FROM raw WHERE doc_id < {K0}),
+    b1 AS (
+      SELECT b.doc_id, 1 AS ingest,
+             CASE WHEN b.doc_id % {mod} = 0 THEN s.text
+                  {mut}
+                  ELSE b.text END AS text
+      FROM (SELECT doc_id, text FROM raw
+            WHERE doc_id >= {K0} AND doc_id < {K1}) b
+      LEFT JOIN raw s ON s.doc_id = b.doc_id % 50
+    ),
+    b2 AS (
+      SELECT b.doc_id, 2 AS ingest,
+             CASE WHEN b.doc_id % {mod} = 0 THEN s.text
+                  {mut}
+                  ELSE b.text END AS text
+      FROM (SELECT doc_id, text FROM raw WHERE doc_id >= {K1}) b
+      LEFT JOIN b1 s ON s.doc_id = {K0} + b.doc_id % {K1 - K0}
+    ),
+    allx AS (
+      SELECT doc_id, ingest, text FROM b0
+      UNION ALL SELECT doc_id, ingest, text FROM b1
+      UNION ALL SELECT doc_id, ingest, text FROM b2
+    )"""
+
+
+def _dd15_sql() -> str:
+    cap = PAIR_DF_CAP
+    allx_shingles = _SHINGLES_SQL.replace("FROM documents", "FROM allx")
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {_band_sql(i)} AS bucket, {i} AS band_idx FROM sig"
+        for i in range(_N_BANDS)
+    )
+    per_ingest = []
+    for t in range(3):
+        per_ingest.append(f"""
+    idx{t} AS (
+      SELECT band_idx, bucket FROM bands WHERE ingest < {t}
+      GROUP BY band_idx, bucket HAVING count(*) <= {cap}
+    ),
+    bb{t} AS (
+      SELECT doc_id, band_idx, bucket FROM bands WHERE ingest = {t}
+    ),
+    sh{t} AS (
+      SELECT DISTINCT bb.doc_id FROM bb{t} bb
+      JOIN idx{t} si
+        ON bb.band_idx = si.band_idx AND bb.bucket = si.bucket
+    ),
+    bf{t} AS (
+      SELECT band_idx, bucket, min(doc_id) AS first_id FROM bb{t}
+      GROUP BY band_idx, bucket HAVING count(*) BETWEEN 2 AND {cap}
+    ),
+    bh{t} AS (
+      SELECT DISTINCT bb.doc_id FROM bb{t} bb
+      JOIN bf{t} bf
+        ON bb.band_idx = bf.band_idx AND bb.bucket = bf.bucket
+      WHERE bb.doc_id > bf.first_id
+    ),
+    res{t} AS (
+      SELECT {t} AS ingest, d.doc_id,
+             CASE WHEN sh.doc_id IS NOT NULL THEN 'near_dup_of_store'
+                  WHEN bh.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+                  ELSE 'new' END AS status
+      FROM (SELECT DISTINCT doc_id FROM bb{t}) d
+      LEFT JOIN sh{t} sh ON sh.doc_id = d.doc_id
+      LEFT JOIN bh{t} bh ON bh.doc_id = d.doc_id
+    )""")
+    return f"""
+    WITH {_dd15_batches_sql(7)},
+    sig AS ({_minhash_sig_sql(allx_shingles)}),
+    bands0 AS ({bands_union}),
+    bands AS (
+      SELECT a.ingest, b.doc_id, b.band_idx, b.bucket
+      FROM bands0 b JOIN allx a ON a.doc_id = b.doc_id
+    ),{",".join(per_ingest)}
+    SELECT ingest, status, planted, count(*) AS n_docs FROM (
+      SELECT ingest, status,
+             CASE WHEN ingest = 0 THEN 'organic'
+                  WHEN doc_id % 7 = 0 THEN 'exact_copy'
+                  WHEN doc_id % 7 = 1 THEN 'mutated_copy'
+                  ELSE 'organic' END AS planted
+      FROM (
+        SELECT * FROM res0
+        UNION ALL SELECT * FROM res1
+        UNION ALL SELECT * FROM res2
+      )
+    )
+    GROUP BY ingest, status, planted
+    """
+
+
+@register(
+    "dd15_persisted_lsh_index",
+    "Incremental near-dup dedup against a PERSISTED LSH bucket index "
+    "(operators/lsh_store.LshBucketStore -- dd14's asserted scale "
+    "shape, executed): three ingest invocations sign ONLY their own "
+    "batch, probe the on-disk band-bucket CowTable as of the previous "
+    "ingest (index scan streamed into broadcast-of-batch joins -- "
+    "plan-asserted, no shuffle join anywhere), and append their "
+    "bucket counts as a disjoint-key-prefix delta the merge range "
+    "prune never probes an old file for (files_probed == 0, asserted "
+    "in-query).  Ingest 2 plants copies of INGEST 1 docs, so its "
+    "store hits prove the index accumulated across invocations.  "
+    "Statuses and the cumulative hot-bucket df cap match dd14's "
+    "contract; the oracle re-derives all three probes from raw text.",
+    _dd15_sql(),
+    tags=("dedup", "lsh", "pipeline", "incremental"),
+)
+def q_persisted_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (the executed version of dd14's docstring claim):
+    per ingest the corpus contributes ONLY its persisted bucket
+    counts, read where they lie -- the probe broadcasts the BATCH's
+    distinct keys at the index scan, the only post-scan exchange
+    aggregates rows that matched a batch key, and maintenance writes
+    O(batch) delta rows without reading an old file.  The reference's
+    materialized-index idiom (mongo_audit.py:271-329) applied to the
+    LSH store."""
+    import tempfile
+
+    from ..operators.lsh_store import LshBucketStore
+
+    work = tempfile.mkdtemp(prefix="dd15_lsh_")
+    store = LshBucketStore(spark, f"{work}/lsh_idx")
+    frames = []
+    for t, batch in enumerate(_dd15_batches(spark, sf_dir, 7)):
+        status_df, ev = store.ingest(_bands_of(batch), t, PAIR_DF_CAP)
+        LAST_STORE_EVIDENCE[f"dd15_ingest{t}"] = ev
+        frames.append(status_df.withColumn("ingest", F.lit(t)))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return (
+        out.select("ingest", "status", _dd15_planted(7).alias("planted"))
+        .groupBy("ingest", "status", "planted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _dd16_sql() -> str:
+    fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    return f"""
+    WITH {_dd15_batches_sql(5)},
+    fps AS (
+      SELECT ingest, doc_id, {fp} AS fp FROM allx
+    ),
+    lab AS (
+      SELECT ingest, doc_id,
+             CASE WHEN min(ingest) OVER (PARTITION BY fp) < ingest
+                    THEN 'dup_of_store'
+                  WHEN min(doc_id) OVER (PARTITION BY fp, ingest) < doc_id
+                    THEN 'dup_in_batch'
+                  ELSE 'new' END AS status,
+             CASE WHEN ingest = 0 THEN 'organic'
+                  WHEN doc_id % 5 = 0 THEN 'exact_copy'
+                  ELSE 'organic' END AS planted
+      FROM fps
+    )
+    SELECT ingest, status, planted, count(*) AS n_docs
+    FROM lab GROUP BY ingest, status, planted
+    """
+
+
+@register(
+    "dd16_persisted_fingerprint_store",
+    "Incremental EXACT dedup against a PERSISTED fingerprint store "
+    "(operators/lsh_store.FingerprintStore -- dd12's simulated store, "
+    "executed): three ingest invocations compute only their batch's "
+    "normalized-text fingerprints (dd1's scheme), probe the on-disk "
+    "fingerprint CowTable by broadcast semi-join (plan-asserted, no "
+    "shuffle join), and insert the proven-new fingerprints through a "
+    "merge whose candidate scan the 32-bit/key blooms refute (md5 "
+    "keys defeat range stats -- only the bloom index keeps the insert "
+    "from reading the store).  Ingest 2 plants copies of ingest-1 "
+    "docs: its dup_of_store hits prove the store accumulated across "
+    "invocations.  The oracle re-derives every status with window "
+    "functions over the staged corpus.",
+    _dd16_sql(),
+    tags=("dedup", "pipeline", "incremental"),
+)
+def q_persisted_fingerprint_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the store is probed where it lies (broadcast of
+    the batch's distinct fingerprints), maintenance inserts O(batch)
+    rows, and the only store reads are the bloom false-positive
+    candidates (~zero files for a fresh-key batch).  Reference
+    capability: the dup-audit + keep-first idiom of
+    mongo_audit.py:46-62 made incremental."""
+    import tempfile
+
+    from ..operators.lsh_store import FingerprintStore
+
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    work = tempfile.mkdtemp(prefix="dd16_fp_")
+    store = FingerprintStore(spark, f"{work}/fp_store")
+    frames = []
+    for t, batch in enumerate(_dd15_batches(spark, sf_dir, 5)):
+        status_df, ev = store.ingest(
+            batch.select("doc_id", fp.alias("fp"))
+        )
+        LAST_STORE_EVIDENCE[f"dd16_ingest{t}"] = ev
+        frames.append(status_df.withColumn("ingest", F.lit(t)))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return (
+        out.select("ingest", "status", _dd15_planted(5).alias("planted"))
+        .groupBy("ingest", "status", "planted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

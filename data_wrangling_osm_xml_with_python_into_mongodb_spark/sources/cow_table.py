@@ -464,6 +464,19 @@ _DV_COLLECT_MAX = 2_000_000
 # Positions frames below this build as a local createDataFrame; above,
 # they parallelize so one giant literal never lands in the plan.
 _DV_INLINE_POS_MAX = 100_000
+# Accumulation guardrail (VERDICT r15 "What's missing" #3): the
+# per-commit cap above bounds one DELTA, but vectors accumulate across
+# commits and every snapshot read re-materializes ALL accumulated
+# positions on the driver -- a delete-heavy table could drift past the
+# per-commit contract without any single commit violating it.  A
+# DV-adding commit whose post-commit SNAPSHOT total would exceed the
+# cap (per-table ``dv_max_dead`` override, else _DV_COLLECT_MAX) is
+# therefore REFUSED with the remedy in the message (compact() to
+# materialize, or mode='cow' for the bulk path); past the warn
+# fraction it still commits but warns.  Pure carries and
+# vector-dropping rewrites (compact) never trip the guard -- compact
+# is always a valid escape.
+_DV_WARN_FRACTION = 0.5
 
 
 def _dv_bits(entry: dict) -> int:
@@ -804,6 +817,35 @@ class CowTable:
                 bits |= int(updates[b])
             if bits:
                 filemap[b] = _dv_entry(bits)
+        if updates:
+            # Guard the SNAPSHOT's accumulated dead total, not just
+            # this commit's delta (constants block above): only
+            # commits that ADD dead positions can trip it, so compact
+            # (which drops vectors by rewriting their files) and pure
+            # carries always go through.
+            total = sum(int(e.get("dead", 0)) for e in filemap.values())
+            cap = int(stats.get("dv_max_dead") or _DV_COLLECT_MAX)
+            if total > cap:
+                raise ValueError(
+                    f"accumulated DV dead positions ({total}) would "
+                    f"exceed the table's cap ({cap}) at {self.path}: "
+                    "compact() to materialize the vectors, or use the "
+                    "copy-on-write path (mode='cow' / strategy='cow') "
+                    "for bulk mutations"
+                )
+            if total >= _DV_WARN_FRACTION * cap:
+                import warnings
+
+                warnings.warn(
+                    f"CowTable {self.path}: accumulated DV dead "
+                    f"positions ({total}) at or past "
+                    f"{int(_DV_WARN_FRACTION * 100)}% of the cap "
+                    f"({cap}) -- compact() soon to keep snapshot "
+                    "reads delta-sized",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            stats = {**stats, "dv_dead_total": total}
         if not filemap:
             return stats
         if filemap == parent and pdoc.get("dv_sidecar"):
@@ -859,12 +901,17 @@ class CowTable:
         ]
 
     def _commit(self, version: int, files: list[str], op: str, stats: dict) -> dict:
-        # Carry the change-feed flag forward (txn-map style) so one
-        # head read answers _change_feed_enabled at any age.
-        if "change_feed" not in stats and version > 0:
+        # Carry the change-feed flag and the per-table DV cap forward
+        # (txn-map style) so one head read answers at any age.
+        if version > 0 and (
+            "change_feed" not in stats or "dv_max_dead" not in stats
+        ):
             try:
-                if self._commit_doc(version - 1).get("change_feed"):
+                p = self._commit_doc(version - 1)
+                if "change_feed" not in stats and p.get("change_feed"):
                     stats["change_feed"] = True
+                if "dv_max_dead" not in stats and p.get("dv_max_dead"):
+                    stats["dv_max_dead"] = int(p["dv_max_dead"])
             except (OSError, ValueError):
                 pass
         stats = self._maintain_bloom(version, files, stats)
@@ -1218,6 +1265,7 @@ class CowTable:
         bloom_k: int = _BLOOM_K_DEFAULT,
         bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
         change_feed: bool = False,
+        dv_max_dead: int | None = None,
     ) -> "CowTable":
         """``bloom_col`` opts the table into a per-file Bloom key index
         (Delta's bloom filter index analogue) maintained by every
@@ -1244,6 +1292,11 @@ class CowTable:
             # read_changes() replays them.  The flag rides every commit
             # doc forward.
             stats["change_feed"] = True
+        if dv_max_dead is not None:
+            # Per-table override of the accumulated-DV guardrail cap
+            # (_DV_WARN_FRACTION block above); carried forward by
+            # every commit like change_feed.
+            stats["dv_max_dead"] = int(dv_max_dead)
         if bloom_col is not None:
             dt = dict(df.dtypes).get(bloom_col)
             if dt is None or dt not in _BLOOM_SUPPORTED_DTYPES:

@@ -14,12 +14,20 @@ Delivery contract: Spark's file source gives exactly-once FILE
 delivery, but a writer that LOSES the optimistic-concurrency race
 removes its change dir only after writing it -- a stream polling in
 that window can ingest a loser's rows (they describe a mutation that
-never committed).  Single-writer tables cannot hit this; multi-writer
-consumers that need exactly-once-COMMITTED semantics call
-:func:`committed_changes` inside ``foreachBatch``, which keeps only
-rows whose change file a committed version actually references --
-the same validate-against-the-log move Delta's CDF reader gets for
-free by reading the log instead of the directory.
+never committed).  :func:`stream_changes` therefore validates against
+the log BY DEFAULT (``committed_only=True``, VERDICT r15 missing #4):
+an executor-side Arrow-batched filter keeps only rows whose change
+file a COMMITTED version references -- the same
+validate-against-the-log move Delta's CDF reader gets for free by
+reading the log instead of the directory, so a consumer that never
+read this docstring still gets exactly-once-committed.  A row whose
+version has no commit doc YET (the winner's change files land before
+its commit link) is retried for ``commit_grace_s`` before being
+dropped as a loser; committed-version validation is cached
+executor-side (commit docs are immutable, positives only).
+``committed_only=False`` exposes the raw directory feed;
+:func:`committed_changes` remains for explicit ``foreachBatch``
+validation of the raw feed.
 """
 
 from __future__ import annotations
@@ -29,18 +37,98 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.cow_table import CowTable
+from ..sources.cow_table import CowTable, _commit_path
+
+#: executor-process cache of committed change-file tails:
+#: (table_path, version) -> frozenset of "token-dir/basename".
+#: Positives only -- a commit doc is immutable once linked, while a
+#: missing one may still appear, so absence is never cached.
+_COMMITTED_TAILS_CACHE: dict = {}
+
+
+def _committed_tails(
+    table_path: str, version: int, deadline: float
+) -> frozenset:
+    """Change-file tails version ``version`` committed, waiting until
+    ``deadline`` (time.monotonic) for a not-yet-linked commit doc --
+    the winner writes change files BEFORE its commit link, so a
+    stream trigger can race a few ms ahead of the log."""
+    import json
+    import time
+
+    key = (table_path, version)
+    hit = _COMMITTED_TAILS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    path = _commit_path(table_path, version)
+    while True:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            tails = frozenset(
+                "/".join(os.path.abspath(p).split("/")[-2:])
+                for p in doc.get("change_files", []) or []
+            )
+            _COMMITTED_TAILS_CACHE[key] = tails
+            return tails
+        except (OSError, ValueError):
+            if time.monotonic() >= deadline:
+                return frozenset()
+            time.sleep(0.05)
+
+
+def _committed_only_fn(table_path: str, grace_s: float):
+    """mapInPandas closure filtering a change-feed partition to
+    committed rows (module docstring).  Runs WHERE the rows are: the
+    per-batch driver work of the explicit committed_changes() path
+    becomes O(distinct versions in the partition) metadata reads on
+    the executor, under the same everywhere-readable-storage
+    assumption the table format itself makes."""
+
+    def fn(batches):
+        import time
+
+        for pdf in batches:
+            if not len(pdf):
+                yield pdf
+                continue
+            deadline = time.monotonic() + grace_s
+            ok: dict[int, frozenset] = {}
+            for v in pdf["_commit_version"].dropna().unique():
+                ok[int(v)] = _committed_tails(
+                    table_path, int(v), deadline
+                )
+            tails = pdf["_change_file"].map(
+                lambda p: "/".join(str(p).split("/")[-2:])
+            )
+            keep = [
+                v is not None
+                and not (v != v)  # NaN guard
+                and t in ok.get(int(v), ())
+                for v, t in zip(pdf["_commit_version"], tails)
+            ]
+            yield pdf[keep]
+
+    return fn
 
 
 def stream_changes(
     spark: SparkSession,
     table_path: str,
     max_files_per_trigger: int | None = None,
+    committed_only: bool = True,
+    commit_grace_s: float = 5.0,
 ) -> DataFrame:
     """ReadStream of a CowTable's change feed: one row per change-feed
     row, carrying the table columns plus ``_change_type``,
     ``_commit_version`` (from the change dir name), and
-    ``_change_file`` (for :func:`committed_changes` validation).
+    ``_change_file``.  ``committed_only`` (DEFAULT) validates every
+    row against the commit log executor-side before delivery -- a
+    losing racer's orphan change files never reach the consumer, and
+    a winner whose commit link lags its change files by less than
+    ``commit_grace_s`` is retried, not lost (module docstring).
+    ``committed_only=False`` streams the raw directory feed for
+    consumers that validate themselves (:func:`committed_changes`).
 
     The schema is pinned at stream start from the table's current
     snapshot (file streams need a static schema); a schema evolution
@@ -71,7 +159,7 @@ def stream_changes(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(os.path.join(changes_dir, "*")).select(
+    out = reader.parquet(os.path.join(changes_dir, "*")).select(
         "*",
         F.regexp_extract(
             F.col("_metadata.file_path"), r"/v(\d+)-[0-9a-f]+/[^/]+$", 1
@@ -80,6 +168,12 @@ def stream_changes(
         .alias("_commit_version"),
         F.col("_metadata.file_path").alias("_change_file"),
     )
+    if committed_only:
+        out = out.mapInPandas(
+            _committed_only_fn(os.path.abspath(table_path), commit_grace_s),
+            out.schema,
+        )
+    return out
 
 
 def committed_changes(batch_df: DataFrame, table: CowTable) -> DataFrame:

@@ -121,17 +121,57 @@ def test_committed_changes_drops_orphan_racer_files(spark, tmp_path):
         )
 
     q = (
-        stream_changes(spark, t.path)
+        stream_changes(spark, t.path, committed_only=False)
         .writeStream.foreachBatch(absorb)
         .option("checkpointLocation", str(tmp_path / "ck2"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    assert (999, "insert") in raw_rows  # the stream DID win the race
+    assert (999, "insert") in raw_rows  # the raw feed DID win the race
     assert (999, "insert") not in kept_rows  # ...and validation drops it
     assert (1, "update_preimage") in kept_rows
     assert (1, "update_postimage") in kept_rows
+
+
+def test_default_stream_is_committed_only(spark, tmp_path):
+    """VERDICT r15 missing #4: the multi-writer race window closes
+    WITHOUT the consumer calling committed_changes -- the default
+    stream validates against the log executor-side."""
+    t = _mk(spark, tmp_path)
+    t.merge(spark.createDataFrame([(1, -1)], "k long, v long"), "k")
+    # a losing racer's orphan under the COMMITTED version's number:
+    # dropped by file-tail validation with no grace stall ...
+    orphan1 = os.path.join(t.path, "changes", "v1-deadbeef")
+    spark.createDataFrame(
+        [(999, 999, "insert")], "k long, v long, _change_type string"
+    ).coalesce(1).write.parquet(orphan1)
+    # ... and one under a version that never commits: dropped after
+    # the (shortened) grace wait.
+    orphan2 = os.path.join(t.path, "changes", "v99-deadbeef")
+    spark.createDataFrame(
+        [(998, 998, "insert")], "k long, v long, _change_type string"
+    ).coalesce(1).write.parquet(orphan2)
+
+    rows: list = []
+
+    def absorb(batch_df, _bid):
+        rows.extend(
+            tuple(r) for r in batch_df.select("k", "_change_type").collect()
+        )
+
+    q = (
+        stream_changes(spark, t.path, commit_grace_s=0.3)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = {r[0] for r in rows}
+    assert 999 not in ks and 998 not in ks, rows
+    assert (1, "update_preimage") in rows
+    assert (1, "update_postimage") in rows
 
 
 def test_stream_requires_feed_enabled(spark, tmp_path):
