@@ -745,6 +745,98 @@ def _m15_stream_stats(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dict:
+    """Store-size contrast for the PERSISTED incremental-dedup index
+    (VERDICT r15 next #6): the same ingest batch probed and appended
+    against a 1-delta and an 8-delta LshBucketStore.  The append
+    curve must be flat (disjoint-prefix delta log: files_probed == 0
+    regardless of store size -- O(batch) maintenance, the design's
+    headline); the probe pays one columnar scan of the counts-only
+    index (no shuffle, batch side broadcast), so its curve shows the
+    honest scan-growth of an 8x index next to the flat append.
+    Deterministic arithmetic texts, no RNG."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        LshBucketStore,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_dedup import (
+        PAIR_DF_CAP,
+        _bands_of,
+    )
+
+    work = tempfile.mkdtemp(prefix="incr_dedup_")
+    try:
+        def text_of(idc):
+            # 20 Murmur3-mixed tokens over a 50k vocab (deterministic
+            # across runs; bench staging needs no oracle).  Linear
+            # id*a + j*b schemes make every doc a window on ONE
+            # periodic token stream -- everything near-dups everything
+            # (measured: 100% probe hits) -- so the token must mix id
+            # and position non-linearly; collisions then come only
+            # from the PLANTED copies.
+            return F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(19)),
+                    lambda j: F.format_string(
+                        "t%06d", F.pmod(F.hash(idc, j), F.lit(50_000))
+                    ),
+                ),
+                " ",
+            )
+
+        def docs(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id").alias("doc_id"), text_of(F.col("id")).alias("text")
+            )
+
+        # every 50th batch doc is an exact copy of a store doc (both
+        # store sizes contain ids [0, n_delta)): a stable ~2% hit rate
+        # so the probe's semi-join carries real matches.
+        batch = spark.range(10_000_000, 10_000_000 + n_batch).select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("id") % 50 == 0, text_of(F.col("id") % n_delta)
+            ).otherwise(text_of(F.col("id"))).alias("text"),
+        )
+        out = {}
+        for label, deltas in (("store_1x", 1), ("store_8x", 8)):
+            st = LshBucketStore(spark, f"{work}/{label}")
+            for d in range(deltas):
+                st.append(_bands_of(docs(d * n_delta, (d + 1) * n_delta)), d)
+            idx_rows = sum(
+                s["rows"]
+                for s in st.table._commit_doc(st.table.version())[
+                    "file_stats"
+                ].values()
+            )
+            probe_s, hit_n = 1e9, -1
+            for _ in range(3):
+                t0 = time.time()
+                hit_n = st.probe(_bands_of(batch), PAIR_DF_CAP).count()
+                probe_s = min(probe_s, time.time() - t0)
+            append_s, adoc = 1e9, {}
+            for i in range(3):
+                t0 = time.time()
+                adoc = st.append(_bands_of(batch), 100 + i)
+                append_s = min(append_s, time.time() - t0)
+            out[label] = {
+                "deltas": deltas,
+                "index_rows": int(idx_rows),
+                "probe_s": round(probe_s, 3),
+                "probe_hits": int(hit_n),
+                "append_s": round(append_s, 3),
+                "append_files_probed": adoc.get("files_probed", -1),
+                "append_files_rewritten": adoc.get("files_rewritten", -1),
+            }
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _run_block(block: str, sf_dir: str) -> int:
     """Child-process entry for the best-effort sf1/skew blocks: own
     SparkSession (own JVM), one JSON line on stdout.
@@ -887,6 +979,8 @@ def _run_block(block: str, sf_dir: str) -> int:
             except Exception as e:
                 print(f"# m15 upsert n={n} failed: {e}", file=sys.stderr)
         print(json.dumps(out))
+    elif block == "incr_dedup":
+        print(json.dumps(_incr_dedup_stats(spark)))
     elif block == "etl":
         # Parent passes the already-parsed sf; the basename fallback
         # only serves a direct `--block etl` invocation, and defaults
@@ -1087,7 +1181,7 @@ def main() -> int:
     # caller's own timeout.
     deadline = time.time() + 30 * 60
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        for block in ("sf1", "skew", "m15"):
+        for block in ("sf1", "skew", "m15", "incr_dedup"):
             budget = deadline - time.time()
             if budget < 120:
                 print(f"# {block} block skipped: deadline", file=sys.stderr)

@@ -715,9 +715,15 @@ def q_cow_bloom_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "files that have vectors), and compact() materializes the vectors "
     "later.  A key hit by both ops ends as the upserted row (deletes "
     "apply before merge, pinned cross-checked by the oracle's "
-    "re-derivation).  At 100 TB this is the difference between a "
-    "GDPR-style scattered delete rewriting terabytes and writing "
-    "kilobytes of sidecar.",
+    "re-derivation).  A third, POINT delete (the 5 smallest surviving "
+    "orders -- the GDPR delete-these-users regime) composes DVs with "
+    "the per-file Bloom index: its candidate scan probes only the "
+    "files the blooms cannot refute (files_probed < files_total, "
+    "asserted in-query -- the r15 nit that scattered staging probes "
+    "12/12 by construction).  At 100 TB this is the difference "
+    "between a scattered delete rewriting terabytes and writing "
+    "kilobytes of sidecar -- and between reading every file to find "
+    "5 keys and reading the handful that can hold them.",
     """
     SELECT o_orderpriority,
            count(*) AS n_orders,
@@ -725,7 +731,12 @@ def q_cow_bloom_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                           THEN o_totalprice + 50000.0
                           ELSE o_totalprice END), 2) AS total
     FROM orders
-    WHERE o_orderkey % 101 = 0 OR o_orderkey % 97 <> 0
+    WHERE (o_orderkey % 101 = 0 OR o_orderkey % 97 <> 0)
+      AND o_orderkey NOT IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 97 <> 0 AND o_orderkey % 101 <> 0
+        ORDER BY o_orderkey LIMIT 5
+      )
     GROUP BY o_orderpriority
     """,
     tags=("update", "scan", "sink"),
@@ -744,7 +755,10 @@ def q_cow_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice",
     )
     work = tempfile.mkdtemp(prefix="m21_cow_")
-    table = CowTable.create(spark, f"{work}/orders", orders.repartition(12))
+    table = CowTable.create(
+        spark, f"{work}/orders", orders.repartition(12),
+        bloom_col="k", bloom_bits_per_key=32, bloom_k=22,
+    )
     files_before = list(table.files())
 
     dels = orders.filter(F.col("o_orderkey") % 97 == 0).select("k")
@@ -761,6 +775,27 @@ def q_cow_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     mdoc = table.merge(src, "k", strategy="mor")
     assert mdoc["files_rewritten"] == 0, "mor merge rewrote a data file"
 
+    # the bloom-pruned POINT delete: 5 specific survivors.  Their md5
+    # keys land in at most 5 of the original 12 files; every other
+    # file's 32-bit/key filter refutes the whole probe set.
+    point = [
+        r["k"]
+        for r in orders.filter(
+            (F.col("o_orderkey") % 97 != 0) & (F.col("o_orderkey") % 101 != 0)
+        )
+        .orderBy("o_orderkey")
+        .select("k")
+        .limit(5)
+        .collect()
+    ]
+    pdoc = table.delete("k", values=point)
+    n_files = len(table.files())
+    assert pdoc["rows_dv_deleted"] == 5, pdoc["rows_dv_deleted"]
+    assert pdoc["files_probed"] < len(files_before), (
+        f"bloom failed to prune the point DV delete: probed "
+        f"{pdoc['files_probed']} of {n_files}"
+    )
+
     LAST_COW_EVIDENCE["m21_deletion_vectors"] = {
         "files_total": len(files_before),
         "delete_files_probed": ddoc["files_probed"],
@@ -768,6 +803,9 @@ def q_cow_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delete_dv_files_updated": ddoc["dv_files_updated"],
         "mor_rows_dv_deleted": mdoc["rows_dv_deleted"],
         "mor_files_written": mdoc["files_written"],
+        "point_delete_files_probed": pdoc["files_probed"],
+        "point_delete_files_total": n_files,
+        "point_delete_bloom": pdoc.get("bloom_probe"),
     }
     return table.read().groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),

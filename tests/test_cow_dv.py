@@ -416,3 +416,29 @@ def test_dv_cap_carries_across_commits_and_objects(spark, tmp_path):
     with pytest.raises(ValueError, match="cap \\(10\\)"):
         t.delete("k", values=list(range(11)))
     assert t._commit_doc(t.version()).get("dv_max_dead") == 10
+
+
+def test_dv_point_delete_composes_with_bloom_index(spark, tmp_path):
+    """The r15 m21 nit: a POINT DV delete on a bloom_col table must
+    prune its candidate scan (md5 keys defeat range stats, so any
+    skipping is the bloom's)."""
+    import hashlib
+
+    df = (
+        spark.range(400)
+        .selectExpr("md5(cast(id AS string)) AS k", "id AS v")
+        .repartition(8)
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "bdv"), df,
+        bloom_col="k", bloom_bits_per_key=32, bloom_k=22,
+    )
+    keys = [hashlib.md5(str(i).encode()).hexdigest() for i in (7, 123)]
+    d = t.delete("k", values=keys)
+    assert d["rows_dv_deleted"] == 2
+    assert d["files_written"] == 0 and d["files_rewritten"] == 0
+    assert d["files_probed"] < 8, (
+        f"bloom failed to prune the DV delete: {d['files_probed']}/8"
+    )
+    assert t.read().count() == 398
+    assert t.read_point("k", keys).count() == 0

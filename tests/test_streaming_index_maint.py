@@ -538,3 +538,113 @@ def test_foreign_commit_mid_batch_forces_rebase_and_converges(spark, staged):
     assert ("zzforeign", ("w1",), 1) in got
     # ... and the MAINTAINED keys converge to the rebuild oracle
     assert [r for r in got if r[0] != "zzforeign"] == want
+
+
+# -- feed-driven maintenance under Structured Streaming delivery ------
+# (VERDICT r15 next #5: m24 proves the no-pre-image-read maintainer on
+# read_changes ranges / a drained feed; this drives the SAME maintainer
+# from stream_changes' live micro-batches -- committed-only default --
+# applying per commit version with time-traveled refill corpora, and
+# pins stream == batch rebuild.)
+
+
+def test_feed_driven_maintenance_streamed(spark, tmp_path):
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.shape import (
+        apply_ref_docs_delta_capped,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.change_feed import (
+        stream_changes,
+    )
+
+    corpus = CowTable.create(
+        spark,
+        str(tmp_path / "docs"),
+        _docs(spark, _base_rows()).repartition(4),
+        change_feed=True,
+    )
+    state = {
+        "idx": build_ref_docs(corpus.read(), cap=CAP).localCheckpoint(
+            eager=True
+        ),
+        "batches": 0,
+        "versions": [],
+    }
+
+    # two mutation commits AFTER the base index was built: a CoW merge
+    # (insert + upsert + delete) and a DV delete -- the feed's
+    # update_preimage/delete rows ARE the pre-images the maintainer
+    # decrements; it never reads a pre-image corpus snapshot.
+    corpus.merge(
+        _docs(
+            spark,
+            [
+                ("w0", "way", ["n1", "n3"], None),  # insert (new ref n3)
+                ("w2", "way", ["n2"], None),        # upsert: n1 -> n2
+            ],
+        ),
+        "_id",
+        deletes=_docs(spark, [("wq", "way", ["nq"], None)]).select("_id"),
+    )
+    corpus.delete("_id", values=["w1"])  # dv: n1's cap prefix refills
+
+    # A commit's change set may span several files, and a small
+    # maxFilesPerTrigger can split ONE commit across micro-batches --
+    # the maintainer must apply complete commits only, so the absorber
+    # buffers rows per version and applies a version once the file
+    # count it has seen matches what that version's commit doc lists
+    # (the same validate-against-the-log source of truth the
+    # committed-only stream already uses).
+    pending: dict = {}
+
+    def absorb(batch_df, _bid):
+        state["batches"] += 1
+        pinned = batch_df.localCheckpoint(eager=True)
+        for v in sorted(
+            r[0]
+            for r in pinned.select("_commit_version").distinct().collect()
+        ):
+            part = pinned.filter(F.col("_commit_version") == v)
+            ent = pending.setdefault(v, {"files": set(), "df": None})
+            ent["files"].update(
+                r[0] for r in part.select("_change_file").distinct().collect()
+            )
+            ent["df"] = (
+                part if ent["df"] is None else ent["df"].unionByName(part)
+            )
+        while pending:
+            v = min(pending)
+            need = len(corpus._commit_doc(v).get("change_files", []))
+            if len(pending[v]["files"]) < need:
+                break
+            part = pending.pop(v)["df"]
+            payload = [c for c in part.columns if not c.startswith("_c")]
+            adds = part.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).select(*payload)
+            rems = part.filter(
+                F.col("_change_type").isin("delete", "update_preimage")
+            ).select(*payload)
+            # refill corpus = the snapshot AS OF this commit (time
+            # travel), so delivery applies each commit against
+            # exactly the state it produced.
+            state["idx"] = apply_ref_docs_delta_capped(
+                state["idx"], adds, rems, corpus.read(version=v), cap=CAP
+            ).localCheckpoint(eager=True)
+            state["versions"].append(v)
+
+    q = (
+        stream_changes(spark, corpus.path, max_files_per_trigger=1)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert state["versions"] == [1, 2], state["versions"]
+    assert state["batches"] >= 2, "maxFilesPerTrigger=1 should split"
+    want = sorted(
+        tuple(r) for r in build_ref_docs(corpus.read(), cap=CAP).collect()
+    )
+    got = sorted(tuple(r) for r in state["idx"].collect())
+    assert got == want
