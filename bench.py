@@ -134,6 +134,9 @@ EXTENDED = [
     "m23_cow_change_feed_streamed",
     "v13_ivf_pq_search",
     "dd14_incremental_lsh_dedup",
+    # Round-16 additions.
+    "dd15_persisted_lsh_index",
+    "dd16_persisted_fingerprint_store",
 ]
 
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
@@ -1126,6 +1129,17 @@ def main() -> int:
     except Exception as e:
         print(f"# cow evidence failed: {e}", file=sys.stderr)
         cow_evidence = {}
+    # dd15/dd16 persisted-store evidence (append pruning + probe path)
+    # from the ext pass that just ran, like the cow block.
+    try:
+        from data_wrangling_osm_xml_with_python_into_mongodb_spark.plans.queries_dedup import (
+            LAST_STORE_EVIDENCE,
+        )
+
+        store_evidence = dict(LAST_STORE_EVIDENCE)
+    except Exception as e:
+        print(f"# store evidence failed: {e}", file=sys.stderr)
+        store_evidence = {}
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -1140,6 +1154,7 @@ def main() -> int:
         "ext": ext_timings,
         "ext_input": ext_inputs,
         "cow": cow_evidence,
+        "dedup_store": store_evidence,
         "sf": sf,
         "code_rev": _code_rev(),
         "ts": int(time.time()),
