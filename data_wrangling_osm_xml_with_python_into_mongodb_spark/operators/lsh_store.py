@@ -209,8 +209,12 @@ class LshBucketStore:
             .filter((F.col("bdf") >= 2) & (F.col("bdf") <= df_cap))
             .select("band_idx", "bucket", "first_id")
         )
+        # batch_first is bounded by the BATCH's bucket count (delta-
+        # sized by contract), so the in-batch hit join broadcasts --
+        # without the hint the checkpointed bands side has no size
+        # stats and Spark falls back to a sort-merge join.
         batch_hit = (
-            bands.join(batch_first, ["band_idx", "bucket"])
+            bands.join(F.broadcast(batch_first), ["band_idx", "bucket"])
             .filter(F.col("doc_id") > F.col("first_id"))
             .select("doc_id")
             .distinct()
