@@ -821,6 +821,7 @@ def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dic
                 t0 = time.time()
                 hit_n = st.probe(_bands_of(batch), PAIR_DF_CAP).count()
                 probe_s = min(probe_s, time.time() - t0)
+            probe_ev = dict(st.last_probe)
             append_s, adoc = 1e9, {}
             for i in range(3):
                 t0 = time.time()
@@ -831,6 +832,7 @@ def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dic
                 "index_rows": int(idx_rows),
                 "probe_s": round(probe_s, 3),
                 "probe_hits": int(hit_n),
+                "probe_scan": probe_ev,
                 "append_s": round(append_s, 3),
                 "append_files_probed": adoc.get("files_probed", -1),
                 "append_files_rewritten": adoc.get("files_rewritten", -1),

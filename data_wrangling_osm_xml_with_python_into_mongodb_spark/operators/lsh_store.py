@@ -87,6 +87,10 @@ class LshBucketStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        #: evidence of the most recent probe (files_total/files_probed
+        #: /bloom path) -- dd15's registered query and the bench
+        #: incr_dedup block surface it per run.
+        self.last_probe: dict = {}
 
     @property
     def table(self) -> CowTable:
@@ -106,6 +110,12 @@ class LshBucketStore:
             F.col("bucket"),
         )
 
+    @staticmethod
+    def _bk2(band_idx, bucket) -> F.Column:
+        # the INGEST-INDEPENDENT bucket key the probe prunes on: the
+        # same (band, bucket) lands on the same bk2 in every delta.
+        return F.concat_ws("|", band_idx.cast("string"), bucket)
+
     def _counts(self, batch_bands: DataFrame, ingest_id: int) -> DataFrame:
         # coalesce: the grouped counts inherit the session shuffle
         # parallelism (32 near-empty files per tiny delta otherwise);
@@ -115,6 +125,7 @@ class LshBucketStore:
             .agg(F.count(F.lit(1)).alias("df"))
             .select(
                 self._bk(ingest_id).alias("bk"),
+                self._bk2(F.col("band_idx"), F.col("bucket")).alias("bk2"),
                 "band_idx", "bucket", "df",
             )
             .coalesce(4)
@@ -129,7 +140,13 @@ class LshBucketStore:
         ``files_rewritten == 0`` in the returned commit doc)."""
         counts = self._counts(batch_bands, ingest_id)
         if not self.exists():
-            t = CowTable.create(self.spark, self.path, counts)
+            # bloom on bk2 (NOT the merge key bk): probes ask "does
+            # this file hold any of the batch's buckets", which is
+            # ingest-independent; sized for batch probing like m20.
+            t = CowTable.create(
+                self.spark, self.path, counts,
+                bloom_col="bk2", bloom_bits_per_key=32, bloom_k=22,
+            )
             return t._commit_doc(0)
         doc = self.table.merge(counts, "bk")
         if doc["files_rewritten"]:
@@ -149,6 +166,15 @@ class LshBucketStore:
         deltas) is within ``df_cap``.  Plan shape (asserted): index
         scan -> BroadcastHashJoin(build = batch keys) -> aggregate
         over matched rows only -> broadcast back against the batch.
+
+        The scan itself is FILE-PRUNED before it runs: the batch's
+        distinct ``band|bucket`` keys probe each delta file's bloom
+        filter through the shared mutation-skipping front-end
+        (CowTable._candidate_files, executor-side past the driver
+        cap), so a delta holding none of the batch's buckets is never
+        read -- no false negatives, so pruning can only ADD files and
+        the SUM(df) cap arithmetic is unchanged.  ``self.last_probe``
+        records files_total/files_probed/probe path per call.
         Returns an empty frame when the store does not exist yet."""
         if not self.exists():
             return (
@@ -156,7 +182,25 @@ class LshBucketStore:
                 .filter(F.lit(False))
                 .distinct()
             )
-        idx = self.table.read().select("band_idx", "bucket", "df")
+        t = self.table
+        v = t.version()
+        all_files = t.files(v)
+        keys = batch_bands.select(
+            self._bk2(F.col("band_idx"), F.col("bucket")).alias("_mk")
+        ).distinct()
+        try:
+            files, mode = t._candidate_files(keys, "bk2", v, "distributed")
+        except Exception:
+            files, mode = all_files, None
+        self.last_probe = {
+            "files_total": len(all_files),
+            "files_probed": len(files),
+            "bloom_probe": mode,
+        }
+        doc = t._commit_doc(v)
+        idx = t._read_files(
+            files, t._snapshot_schema(v), t._dv_map(doc)
+        ).select("band_idx", "bucket", "df")
         bkeys = batch_bands.select("band_idx", "bucket").distinct()
         live = (
             idx.join(F.broadcast(bkeys), ["band_idx", "bucket"])
@@ -237,6 +281,7 @@ class LshBucketStore:
             "files_probed": doc.get("files_probed", 0),
             "files_rewritten": doc.get("files_rewritten", 0),
             "files_written": doc.get("files_written"),
+            "probe": dict(self.last_probe),
         }
         if doc.get("op") == "merge" and evidence["files_probed"] != 0:
             raise AssertionError(
@@ -256,6 +301,7 @@ class FingerprintStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        self.last_probe: dict = {}
 
     @property
     def table(self) -> CowTable:
@@ -268,13 +314,30 @@ class FingerprintStore:
         """Distinct ``fp`` values of ``batch_fps`` already present in
         the store: index scan -> broadcast semi-join against the
         batch's distinct fingerprints (same no-index-shuffle contract
-        as :meth:`LshBucketStore.probe`, asserted)."""
+        as :meth:`LshBucketStore.probe`, asserted).  The scan is
+        bloom-pruned to the files that may hold a batch fingerprint
+        (the store's own ``fp`` filters through _candidate_files --
+        md5 keys leave nothing else to prune on); ``self.last_probe``
+        records the evidence."""
         if not self.exists():
             return batch_fps.select("fp").filter(F.lit(False)).distinct()
-        keys = batch_fps.select("fp").distinct()
-        hits = self.table.read().join(
-            F.broadcast(keys), "fp", "left_semi"
-        ).select("fp")
+        t = self.table
+        v = t.version()
+        all_files = t.files(v)
+        keys = batch_fps.select(F.col("fp").alias("_mk")).distinct()
+        try:
+            files, mode = t._candidate_files(keys, "fp", v, "distributed")
+        except Exception:
+            files, mode = all_files, None
+        self.last_probe = {
+            "files_total": len(all_files),
+            "files_probed": len(files),
+            "bloom_probe": mode,
+        }
+        doc = t._commit_doc(v)
+        hits = t._read_files(
+            files, t._snapshot_schema(v), t._dv_map(doc)
+        ).join(F.broadcast(batch_fps.select("fp").distinct()), "fp", "left_semi").select("fp")
         _assert_no_shuffle_join(hits, os.path.basename(self.path))
         return hits
 
@@ -323,5 +386,6 @@ class FingerprintStore:
             "files_rewritten": doc.get("files_rewritten", 0),
             "files_written": doc.get("files_written"),
             "bloom_probe": doc.get("bloom_probe"),
+            "probe": dict(self.last_probe),
         }
         return out, evidence

@@ -241,3 +241,51 @@ def test_lsh_append_rejects_reused_ingest_id(spark, tmp_path):
     # and rewrites, which the append contract forbids
     with pytest.raises(AssertionError):
         store.append(_bands(spark, [(10, "aa bb cc dd ee")]), 1)
+
+
+def test_lsh_probe_scan_is_bloom_pruned(spark, tmp_path):
+    """A batch whose buckets live in ONE delta must not read the
+    others: the probe's candidate scan goes through the per-file
+    bk2 blooms (no false negatives -- pruning only ever ADDS files,
+    so the SUM(df) cap arithmetic is untouched)."""
+    path = str(tmp_path / "lsh_idx")
+    store = LshBucketStore(spark, path)
+    # three deltas with disjoint text families
+    store.ingest(_bands(spark, [(i, f"family one doc {i} aa bb cc") for i in range(4)]), 0)
+    store.ingest(_bands(spark, [(10 + i, f"family two doc {i} dd ee ff") for i in range(4)]), 1)
+    store.ingest(_bands(spark, [(20 + i, f"family three doc {i} gg hh ii") for i in range(4)]), 2)
+    files_total = len(store.table.files())
+    assert files_total >= 3
+    hits = store.probe(
+        _bands(spark, [(99, "family two doc 1 dd ee ff")])
+    )
+    assert [r["doc_id"] for r in hits.collect()] == [99]
+    ev = store.last_probe
+    assert ev["files_total"] == files_total
+    assert 0 < ev["files_probed"] < files_total, ev
+
+
+def test_fingerprint_probe_scan_is_bloom_pruned(spark, tmp_path):
+    path = str(tmp_path / "fp_store")
+    store = FingerprintStore(spark, path)
+    store.ingest(
+        _docs(spark, [(i, f"doc number {i}") for i in range(40)])
+        .select("doc_id", F.md5("text").alias("fp"))
+        .repartition(4)
+    )
+    # force a multi-file store by a second big-batch ingest
+    store.ingest(
+        _docs(spark, [(100 + i, f"other {i}") for i in range(40)])
+        .select("doc_id", F.md5("text").alias("fp"))
+        .repartition(4)
+    )
+    files_total = len(store.table.files())
+    assert files_total >= 2
+    probe = store.probe(
+        _docs(spark, [(999, "doc number 7")]).select(
+            "doc_id", F.md5("text").alias("fp")
+        )
+    )
+    assert probe.count() == 1
+    ev = store.last_probe
+    assert 0 < ev["files_probed"] < files_total, ev
