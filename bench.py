@@ -816,12 +816,23 @@ def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dic
                     "file_stats"
                 ].values()
             )
+            # both probe paths, the crossover evidence: plain scan
+            # (auto skips the prune below PROBE_PRUNE_MIN_FILES) vs
+            # forced bloom file-prune.
             probe_s, hit_n = 1e9, -1
             for _ in range(3):
                 t0 = time.time()
                 hit_n = st.probe(_bands_of(batch), PAIR_DF_CAP).count()
                 probe_s = min(probe_s, time.time() - t0)
             probe_ev = dict(st.last_probe)
+            pruned_s, pruned_hits = 1e9, -1
+            for _ in range(2):
+                t0 = time.time()
+                pruned_hits = st.probe(
+                    _bands_of(batch), PAIR_DF_CAP, prune=True
+                ).count()
+                pruned_s = min(pruned_s, time.time() - t0)
+            pruned_ev = dict(st.last_probe)
             append_s, adoc = 1e9, {}
             for i in range(3):
                 t0 = time.time()
@@ -833,6 +844,9 @@ def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dic
                 "probe_s": round(probe_s, 3),
                 "probe_hits": int(hit_n),
                 "probe_scan": probe_ev,
+                "probe_pruned_s": round(pruned_s, 3),
+                "probe_pruned_hits": int(pruned_hits),
+                "probe_pruned_scan": pruned_ev,
                 "append_s": round(append_s, 3),
                 "append_files_probed": adoc.get("files_probed", -1),
                 "append_files_rewritten": adoc.get("files_rewritten", -1),

@@ -58,6 +58,16 @@ from ..sources.cow_table import CowTable
 #: plans/queries_dedup.PAIR_DF_CAP, same rationale and value).
 DEFAULT_DF_CAP = 64
 
+#: Below this many index files, probe() skips the bloom file-prune
+#: and just scans: the prune's metadata work (hash every probe key
+#: against every file's filter) costs more than reading a handful of
+#: counts-only files -- MEASURED, bench incr_dedup block: at 30 tiny
+#: files the prune correctly kept 4 but took 19.6 s where the plain
+#: scan takes 1.3 s.  At real delta sizes (thousands of multi-MB
+#: files) the scan dominates and the prune wins; callers force either
+#: path with ``prune=``.
+PROBE_PRUNE_MIN_FILES = 64
+
 
 def _assert_no_shuffle_join(df: DataFrame, what: str) -> None:
     """Guard the store-probe contract at plan-build time: every join
@@ -159,7 +169,10 @@ class LshBucketStore:
     # -- probe ---------------------------------------------------------
 
     def probe(
-        self, batch_bands: DataFrame, df_cap: int = DEFAULT_DF_CAP
+        self,
+        batch_bands: DataFrame,
+        df_cap: int = DEFAULT_DF_CAP,
+        prune: bool | None = None,
     ) -> DataFrame:
         """doc_ids of ``batch_bands`` sharing any band bucket with the
         persisted index whose CUMULATIVE df (summed across ingest
@@ -167,13 +180,15 @@ class LshBucketStore:
         scan -> BroadcastHashJoin(build = batch keys) -> aggregate
         over matched rows only -> broadcast back against the batch.
 
-        The scan itself is FILE-PRUNED before it runs: the batch's
-        distinct ``band|bucket`` keys probe each delta file's bloom
-        filter through the shared mutation-skipping front-end
-        (CowTable._candidate_files, executor-side past the driver
-        cap), so a delta holding none of the batch's buckets is never
-        read -- no false negatives, so pruning can only ADD files and
-        the SUM(df) cap arithmetic is unchanged.  ``self.last_probe``
+        ``prune`` -- whether the scan's file list is bloom-pruned
+        first: the batch's distinct ``band|bucket`` keys probe each
+        delta file's bk2 filter through the shared mutation-skipping
+        front-end (CowTable._candidate_files, executor-side past the
+        driver cap), so a delta holding none of the batch's buckets
+        is never read.  No false negatives: pruning can only ADD
+        files, the SUM(df) cap arithmetic is unchanged.  Default None
+        = auto, prune only at or past ``PROBE_PRUNE_MIN_FILES`` (the
+        measured crossover -- see the constant).  ``self.last_probe``
         records files_total/files_probed/probe path per call.
         Returns an empty frame when the store does not exist yet."""
         if not self.exists():
@@ -185,13 +200,19 @@ class LshBucketStore:
         t = self.table
         v = t.version()
         all_files = t.files(v)
-        keys = batch_bands.select(
-            self._bk2(F.col("band_idx"), F.col("bucket")).alias("_mk")
-        ).distinct()
-        try:
-            files, mode = t._candidate_files(keys, "bk2", v, "distributed")
-        except Exception:
-            files, mode = all_files, None
+        if prune is None:
+            prune = len(all_files) >= PROBE_PRUNE_MIN_FILES
+        files, mode = all_files, None
+        if prune:
+            keys = batch_bands.select(
+                self._bk2(F.col("band_idx"), F.col("bucket")).alias("_mk")
+            ).distinct()
+            try:
+                files, mode = t._candidate_files(
+                    keys, "bk2", v, "distributed"
+                )
+            except Exception:
+                files, mode = all_files, None
         self.last_probe = {
             "files_total": len(all_files),
             "files_probed": len(files),
@@ -310,25 +331,33 @@ class FingerprintStore:
     def exists(self) -> bool:
         return self.table.version() >= 0
 
-    def probe(self, batch_fps: DataFrame) -> DataFrame:
+    def probe(
+        self, batch_fps: DataFrame, prune: bool | None = None
+    ) -> DataFrame:
         """Distinct ``fp`` values of ``batch_fps`` already present in
         the store: index scan -> broadcast semi-join against the
         batch's distinct fingerprints (same no-index-shuffle contract
-        as :meth:`LshBucketStore.probe`, asserted).  The scan is
-        bloom-pruned to the files that may hold a batch fingerprint
-        (the store's own ``fp`` filters through _candidate_files --
-        md5 keys leave nothing else to prune on); ``self.last_probe``
-        records the evidence."""
+        as :meth:`LshBucketStore.probe`, asserted).  ``prune`` (auto
+        at ``PROBE_PRUNE_MIN_FILES``, same crossover rationale)
+        bloom-prunes the scan to the files that may hold a batch
+        fingerprint -- md5 keys leave nothing else to prune on;
+        ``self.last_probe`` records the evidence."""
         if not self.exists():
             return batch_fps.select("fp").filter(F.lit(False)).distinct()
         t = self.table
         v = t.version()
         all_files = t.files(v)
-        keys = batch_fps.select(F.col("fp").alias("_mk")).distinct()
-        try:
-            files, mode = t._candidate_files(keys, "fp", v, "distributed")
-        except Exception:
-            files, mode = all_files, None
+        if prune is None:
+            prune = len(all_files) >= PROBE_PRUNE_MIN_FILES
+        files, mode = all_files, None
+        if prune:
+            keys = batch_fps.select(F.col("fp").alias("_mk")).distinct()
+            try:
+                files, mode = t._candidate_files(
+                    keys, "fp", v, "distributed"
+                )
+            except Exception:
+                files, mode = all_files, None
         self.last_probe = {
             "files_total": len(all_files),
             "files_probed": len(files),

@@ -257,7 +257,7 @@ def test_lsh_probe_scan_is_bloom_pruned(spark, tmp_path):
     files_total = len(store.table.files())
     assert files_total >= 3
     hits = store.probe(
-        _bands(spark, [(99, "family two doc 1 dd ee ff")])
+        _bands(spark, [(99, "family two doc 1 dd ee ff")]), prune=True
     )
     assert [r["doc_id"] for r in hits.collect()] == [99]
     ev = store.last_probe
@@ -284,7 +284,8 @@ def test_fingerprint_probe_scan_is_bloom_pruned(spark, tmp_path):
     probe = store.probe(
         _docs(spark, [(999, "doc number 7")]).select(
             "doc_id", F.md5("text").alias("fp")
-        )
+        ),
+        prune=True,
     )
     assert probe.count() == 1
     ev = store.last_probe
