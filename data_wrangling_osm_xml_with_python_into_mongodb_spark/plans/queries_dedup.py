@@ -1775,6 +1775,7 @@ def q_persisted_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch) delta rows without reading an old file.  The reference's
     materialized-index idiom (mongo_audit.py:271-329) applied to the
     LSH store."""
+    import shutil
     import tempfile
 
     from ..operators.lsh_store import LshBucketStore
@@ -1789,6 +1790,11 @@ def q_persisted_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
+    # pin the batch-sized statuses, then remove the store dir NOW --
+    # the lazy frames read store files, so without the eager pin every
+    # registry/bench run would leak a CowTable under /tmp (ADVICE r16)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
     return (
         out.select("ingest", "status", _dd15_planted(7).alias("planted"))
         .groupBy("ingest", "status", "planted")
@@ -1844,6 +1850,7 @@ def q_persisted_fingerprint_store(spark: SparkSession, sf_dir: str) -> DataFrame
     candidates (~zero files for a fresh-key batch).  Reference
     capability: the dup-audit + keep-first idiom of
     mongo_audit.py:46-62 made incremental."""
+    import shutil
     import tempfile
 
     from ..operators.lsh_store import FingerprintStore
@@ -1863,6 +1870,9 @@ def q_persisted_fingerprint_store(spark: SparkSession, sf_dir: str) -> DataFrame
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
+    # eager pin + immediate store cleanup, same leak fix as dd15
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
     return (
         out.select("ingest", "status", _dd15_planted(5).alias("planted"))
         .groupBy("ingest", "status", "planted")

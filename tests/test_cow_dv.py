@@ -36,6 +36,7 @@ from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table imp
     ConcurrentMergeConflictError,
     CowTable,
     _dv_bits,
+    _dv_build,
     _dv_entry,
     _dv_positions,
 )
@@ -59,19 +60,26 @@ def _twin(spark, tmp_path, name, parts=4, n=40):
 
 def test_dv_entry_roundtrip_list_and_bitmap():
     """Small vectors store a plain position list, large ones a hex
-    bitmap; both decode to the same bitmap and positions."""
-    small = (1 << 3) | (1 << 70) | 1
+    bitmap; both decode to the same positions.  The hex form must be
+    the LEGACY big-int encoding (``f"{bits:x}"``) so sidecars written
+    by int-bitmap-era code and byte-buffer-era code interoperate."""
+    small = _dv_build([0, 3, 70])
     e = _dv_entry(small)
     assert "pos" in e and e["dead"] == 3 and e["pos"] == [0, 3, 70]
-    assert _dv_bits(e) == small
+    assert _dv_positions(_dv_bits(e)) == [0, 3, 70]
 
-    big = 0
-    for p in range(0, 4000, 3):  # 1334 positions > _DV_POS_LIST_MAX
-        big |= 1 << p
+    pos = list(range(0, 4000, 3))  # 1334 positions > _DV_POS_LIST_MAX
+    big = _dv_build(pos)
     e = _dv_entry(big)
-    assert "bits" in e and e["dead"] == big.bit_count()
-    assert _dv_bits(e) == big
-    assert _dv_positions(big) == list(range(0, 4000, 3))
+    assert "bits" in e and e["dead"] == len(pos)
+    legacy = 0
+    for p in pos:
+        legacy |= 1 << p
+    assert e["bits"] == f"{legacy:x}"  # byte-era writer == int-era writer
+    assert _dv_positions(_dv_bits(e)) == pos
+    assert _dv_positions(big) == pos
+    # int-era sidecar entries (same hex format) decode identically
+    assert _dv_positions(_dv_bits({"dead": len(pos), "bits": f"{legacy:x}"})) == pos
 
 
 # -- delete(mode='dv') ------------------------------------------------
@@ -404,6 +412,46 @@ def test_dv_accumulation_guardrail(spark, tmp_path):
     assert d3["dv_dead_total"] == 15
     assert t.read().count() == 55
     assert _rows(t.read().select("k")) == [(i,) for i in range(45, 100)]
+
+
+def test_dv_cap_refusal_leaves_no_orphans(spark, tmp_path):
+    """ADVICE r16: the cap refusal raises inside _commit AFTER the
+    change files (dv delete) / change+data files (mor merge) were
+    written; the refusal path must remove those orphans so the raw
+    committed_only=False feed and the data dir stay clean."""
+    import os
+
+    df = spark.range(60).selectExpr("id AS k", "id AS v").repartition(2)
+    t = CowTable.create(
+        spark, str(tmp_path / "orph"), df,
+        dv_max_dead=10, change_feed=True,
+    )
+
+    def change_dirs():
+        d = os.path.join(t.path, "changes")
+        return set(os.listdir(d)) if os.path.isdir(d) else set()
+
+    def data_dirs():
+        return set(os.listdir(os.path.join(t.path, "data")))
+
+    t.delete("k", values=[0, 1])  # committed: its change dir stays
+    committed_chg, committed_data = change_dirs(), data_dirs()
+
+    head = t.version()
+    with pytest.raises(ValueError, match="compact"):
+        t.delete("k", values=list(range(2, 13)))  # 13 > cap 10
+    assert t.version() == head
+    assert change_dirs() == committed_chg  # no orphan change dir
+
+    with pytest.raises(ValueError, match="compact"):
+        t.merge(
+            spark.range(2, 13).selectExpr("id AS k", "id + 500 AS v"),
+            "k",
+            strategy="mor",
+        )
+    assert t.version() == head
+    assert change_dirs() == committed_chg
+    assert data_dirs() == committed_data  # no orphan mor data dir
 
 
 def test_dv_cap_carries_across_commits_and_objects(spark, tmp_path):

@@ -1528,6 +1528,53 @@ def test_bloom_positions_deterministic_and_typed():
     assert all(0 <= p < 8192 for p in _bloom_positions("abc", 8192, 5))
 
 
+def test_bloom_byte_buffer_matches_legacy_int_bitmap(tmp_path):
+    """The byte-indexed bitmap representation (r17: one indexed byte
+    op per bit test instead of an O(m) big-int shift) must be
+    BIT-IDENTICAL to the int-era one in both directions: (a) the
+    sidecar hex a byte-era build writes equals what the legacy
+    ``bits |= 1 << p`` build would have written, and (b) a legacy
+    sidecar entry decodes through ``_bloom_buf`` to the exact same
+    accept/refute decisions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _bloom_any_hit,
+        _bloom_buf,
+        _bloom_hashes,
+        _bloom_maybe_contains,
+        _bloom_positions,
+        _file_bloom,
+    )
+
+    keys = [f"key-{i:04d}" for i in range(500)]
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(pa.table({"k": keys}), p)
+    conf = {"col": "k", "m": 8192, "k": 5, "bpk": 10}
+    entry = _file_bloom(p, "k", conf)
+    m, k = entry["m"], entry["k"]
+
+    # (a) writer parity: rebuild with the legacy big-int algorithm
+    legacy = 0
+    for key in keys:
+        for pos in _bloom_positions(key, m, k):
+            legacy |= 1 << pos
+    assert entry["h"] == f"{legacy:x}"
+
+    # (b) reader parity: every present key accepted, absent keys get
+    # the same decision from the byte path as the legacy shift path
+    buf = _bloom_buf(entry["h"], m)
+    for key in keys[:50]:
+        assert _bloom_maybe_contains(entry["h"], key, m, k)
+    for probe in [f"absent-{i}" for i in range(200)]:
+        byte_dec = _bloom_any_hit(buf, m, k, [_bloom_hashes(probe)])
+        legacy_dec = all(
+            legacy >> pos & 1 for pos in _bloom_positions(probe, m, k)
+        )
+        assert byte_dec == legacy_dec
+
+
 def test_bloom_prunes_merge_candidate_scan(spark, tmp_path):
     """The bloom index feeds MERGE's file matching: on a hash-keyed
     layout the key-range envelope keeps every file (each spans the
