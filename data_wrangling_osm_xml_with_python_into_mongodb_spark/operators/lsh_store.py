@@ -58,15 +58,20 @@ from ..sources.cow_table import CowTable
 #: plans/queries_dedup.PAIR_DF_CAP, same rationale and value).
 DEFAULT_DF_CAP = 64
 
-#: Below this many index files, probe() skips the bloom file-prune
-#: and just scans: the prune's metadata work (hash every probe key
-#: against every file's filter) costs more than reading a handful of
-#: counts-only files -- MEASURED, bench incr_dedup block: at 30 tiny
-#: files the prune correctly kept 4 but took 19.6 s where the plain
-#: scan takes 1.3 s.  At real delta sizes (thousands of multi-MB
-#: files) the scan dominates and the prune wins; callers force either
+#: probe() auto-prunes only when the index's AVERAGE rows per file is
+#: at least this -- rows-per-file, not file count, is the measured
+#: discriminator (r17, after the byte-indexed bloom fix removed the
+#: O(m)-per-test artifact that had made the prune look 13x slower):
+#: the prune's marginal cost is ~17 ms PER FILE of metadata (sidecar
+#: entry load + filter broadcast; bitmap tests are now sub-ms), the
+#: scan's is ~0.16 us PER ROW at local[32], so a refuted file repays
+#: its own metadata only above ~106k rows.  Measured series
+#: (checkpointed batch, 25k-row delta files): scan 0.71/1.06/1.47 s
+#: vs prune 1.69/3.12/4.9 s at 30/115/218 files -- tiny files never
+#: prune, regardless of how many there are; production-sized deltas
+#: (1M+ rows/file) prune from the first file.  Callers force either
 #: path with ``prune=``.
-PROBE_PRUNE_MIN_FILES = 64
+PROBE_PRUNE_MIN_ROWS_PER_FILE = 100_000
 
 #: Consecutive probe() bloom-prune failures tolerated before the
 #: silent full-scan fallback stops being silent: a fallback is always
@@ -88,6 +93,19 @@ def _ingest_prefix(ingest_id) -> str:
     if i < 0:
         raise ValueError(f"ingest_id must be >= 0, got {i}")
     return f"{i:06d}"
+
+
+def _auto_prune(doc: dict, n_files: int) -> bool:
+    """The measured rows-per-file crossover (see
+    ``PROBE_PRUNE_MIN_ROWS_PER_FILE``): prune when the average file is
+    big enough that refuting it repays its ~17 ms of metadata.  Reads
+    only the commit doc's footer stats -- zero data-plane work.
+    Missing stats count as zero rows (conservative: scan)."""
+    if not n_files:
+        return False
+    stats = doc.get("file_stats", {})
+    rows = sum(int(s.get("rows", 0)) for s in stats.values())
+    return rows / n_files >= PROBE_PRUNE_MIN_ROWS_PER_FILE
 
 
 def _assert_no_shuffle_join(df: DataFrame, what: str) -> None:
@@ -306,10 +324,13 @@ class LshBucketStore:
         driver cap), so a delta holding none of the batch's buckets
         is never read.  No false negatives: pruning can only ADD
         files, the SUM(df) cap arithmetic is unchanged.  Default None
-        = auto, prune only at or past ``PROBE_PRUNE_MIN_FILES`` (the
-        measured crossover -- see the constant).  ``self.last_probe``
-        records files_total/files_probed/probe path per call.
-        Returns an empty frame when the store does not exist yet."""
+        = auto, prune only when the average file exceeds the measured
+        rows-per-file crossover (``PROBE_PRUNE_MIN_ROWS_PER_FILE`` --
+        tiny counts files scan faster than their metadata prunes,
+        production-sized deltas prune from the first file).
+        ``self.last_probe`` records files_total/files_probed/probe
+        path per call.  Returns an empty frame when the store does
+        not exist yet."""
         if not self.exists():
             return (
                 batch_bands.select("doc_id")
@@ -319,8 +340,9 @@ class LshBucketStore:
         t = self.table
         v = t.version()
         all_files = t.files(v)
+        doc = t._commit_doc(v)
         if prune is None:
-            prune = len(all_files) >= PROBE_PRUNE_MIN_FILES
+            prune = _auto_prune(doc, len(all_files))
         files, mode = all_files, None
         if prune:
             keys = batch_bands.select(
@@ -349,7 +371,6 @@ class LshBucketStore:
             "files_probed": len(files),
             "bloom_probe": mode,
         }
-        doc = t._commit_doc(v)
         idx = t._read_files(
             files, t._snapshot_schema(v), t._dv_map(doc)
         ).select("band_idx", "bucket", "df")
@@ -470,17 +491,18 @@ class FingerprintStore:
         the store: index scan -> broadcast semi-join against the
         batch's distinct fingerprints (same no-index-shuffle contract
         as :meth:`LshBucketStore.probe`, asserted).  ``prune`` (auto
-        at ``PROBE_PRUNE_MIN_FILES``, same crossover rationale)
-        bloom-prunes the scan to the files that may hold a batch
-        fingerprint -- md5 keys leave nothing else to prune on;
-        ``self.last_probe`` records the evidence."""
+        past the ``PROBE_PRUNE_MIN_ROWS_PER_FILE`` rows-per-file
+        crossover, same rationale) bloom-prunes the scan to the files
+        that may hold a batch fingerprint -- md5 keys leave nothing
+        else to prune on; ``self.last_probe`` records the evidence."""
         if not self.exists():
             return batch_fps.select("fp").filter(F.lit(False)).distinct()
         t = self.table
         v = t.version()
         all_files = t.files(v)
+        doc = t._commit_doc(v)
         if prune is None:
-            prune = len(all_files) >= PROBE_PRUNE_MIN_FILES
+            prune = _auto_prune(doc, len(all_files))
         files, mode = all_files, None
         if prune:
             keys = batch_fps.select(F.col("fp").alias("_mk")).distinct()
@@ -504,7 +526,6 @@ class FingerprintStore:
             "files_probed": len(files),
             "bloom_probe": mode,
         }
-        doc = t._commit_doc(v)
         hits = t._read_files(
             files, t._snapshot_schema(v), t._dv_map(doc)
         ).join(F.broadcast(batch_fps.select("fp").distinct()), "fp", "left_semi").select("fp")

@@ -1802,6 +1802,82 @@ def q_persisted_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd17_folded_lsh_index",
+    "dd15's persisted-LSH lifecycle with a COUNTS-FOLDING compaction "
+    "mid-history (operators/lsh_store.LshBucketStore.fold, VERDICT "
+    "r16 missing #1): ingest 0 and 1 append disjoint-prefix deltas, "
+    "fold() then re-aggregates the per-ingest bucket rows into ONE "
+    "row per (band, bucket) under the latest epoch prefix -- asserted "
+    "in-query: post-fold row count == distinct-bucket cardinality -- "
+    "and ingest 2 probes the FOLDED index and appends with "
+    "files_probed == 0 (epoch disjointness survives the fold).  "
+    "Folding is semantics-free (SUM(df) over one pre-summed row == "
+    "SUM over the deltas it folded), so the oracle is dd15's verbatim "
+    "re-derivation from raw text.",
+    _dd15_sql(),
+    tags=("dedup", "lsh", "pipeline", "incremental", "maintenance"),
+)
+def q_folded_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state shape at 100 TB: without the fold, probe read
+    volume grows O(ingested bands) forever (the same hot bucket seen
+    by 10k ingests is 10k rows); after it, O(distinct buckets) -- the
+    reference's rebuilt-folded ``ref_docs`` shape
+    (mongo_audit.py:314-327) for the persisted store."""
+    import shutil
+    import tempfile
+
+    from ..operators.lsh_store import LshBucketStore
+
+    work = tempfile.mkdtemp(prefix="dd17_lsh_")
+    store = LshBucketStore(spark, f"{work}/lsh_idx")
+    frames = []
+    for t, batch in enumerate(_dd15_batches(spark, sf_dir, 7)):
+        if t == 2:
+            def snap_rows() -> int:
+                st = store.table
+                return sum(
+                    s["rows"]
+                    for s in st._commit_doc(st.version())[
+                        "file_stats"
+                    ].values()
+                )
+
+            pre_rows = snap_rows()  # commit-log metadata, no scan
+            distinct_buckets = (
+                store.table.read()
+                .select("band_idx", "bucket")
+                .distinct()
+                .count()
+            )
+            fold_doc = store.fold()
+            post_rows = snap_rows()
+            if post_rows != distinct_buckets:
+                raise AssertionError(
+                    f"fold left {post_rows} rows, expected one per "
+                    f"distinct bucket ({distinct_buckets})"
+                )
+            LAST_STORE_EVIDENCE["dd17_fold"] = {
+                "op": fold_doc.get("op"),
+                "rows_before": pre_rows,
+                "rows_after": post_rows,
+                "fold_prefix": fold_doc.get("fold_prefix"),
+            }
+        status_df, ev = store.ingest(_bands_of(batch), t, PAIR_DF_CAP)
+        LAST_STORE_EVIDENCE[f"dd17_ingest{t}"] = ev
+        frames.append(status_df.withColumn("ingest", F.lit(t)))
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return (
+        out.select("ingest", "status", _dd15_planted(7).alias("planted"))
+        .groupBy("ingest", "status", "planted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def _dd16_sql() -> str:
     fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
     return f"""

@@ -338,6 +338,32 @@ def test_lsh_fold_collapses_rows_preserves_probe(spark, tmp_path):
     assert folded.table.read(doc["version"] - 1).count() == rows_before
 
 
+def test_auto_prune_is_rows_per_file_not_file_count():
+    """r17 threshold re-derivation: rows-per-file is the measured
+    discriminator (a refuted file repays its ~17 ms of metadata only
+    above ~100k rows) -- many tiny files must still SCAN, few huge
+    files must PRUNE.  The old >=64-files rule encoded the pre-fix
+    big-int-bloom artifact and got both of those wrong."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        PROBE_PRUNE_MIN_ROWS_PER_FILE,
+        _auto_prune,
+    )
+
+    def doc(rows_per_file, n):
+        return {
+            "file_stats": {
+                f"f{i}.parquet": {"rows": rows_per_file} for i in range(n)
+            }
+        }
+
+    big = PROBE_PRUNE_MIN_ROWS_PER_FILE
+    assert not _auto_prune(doc(25_000, 200), 200)  # many tiny: scan
+    assert _auto_prune(doc(big, 2), 2)             # few huge: prune
+    assert _auto_prune(doc(10 * big, 500), 500)
+    assert not _auto_prune(doc(big, 0), 0)         # empty store: scan
+    assert not _auto_prune({"file_stats": {}}, 3)  # stats-less: scan
+
+
 def test_probe_fallback_surfaces_after_repeated_failures(
     spark, tmp_path, monkeypatch
 ):
