@@ -387,6 +387,51 @@ def _bloom_entry(e, doc: dict) -> tuple[str, int, int]:
     return e["h"], int(e["m"]), int(e["k"])
 
 
+class _BloomIndex:
+    """Lazy per-file view of a snapshot's bloom entries
+    (:meth:`CowTable._bloom_index`).  ``entry(basename)`` returns
+    ``(hex, m, k)`` or None, loading per-file ``.bf.json`` sidecars on
+    first access (memoized) and falling back to the legacy monolith's
+    map for files written before the per-file switch.  Probe cost is
+    O(candidates consulted), never O(index): a range-refuted file's
+    sidecar is never opened."""
+
+    def __init__(
+        self, log_dir: str, col: str, legacy: dict | None, names: dict
+    ):
+        self.col = col
+        self._log_dir = log_dir
+        self._legacy = legacy or {}
+        self._names = names or {}
+        self._cache: dict = {}
+
+    def covers(self, basename: str) -> bool:
+        return (
+            basename in self._names
+            or basename in self._legacy.get("files", {})
+        )
+
+    def entry(self, basename: str):
+        if basename in self._cache:
+            return self._cache[basename]
+        out = None
+        name = self._names.get(basename)
+        if name:
+            try:
+                with open(os.path.join(self._log_dir, name)) as f:
+                    e = json.load(f)
+                if e.get("col") in (None, self.col):
+                    out = (e["h"], int(e["m"]), int(e["k"]))
+            except (OSError, ValueError, KeyError):
+                out = None  # unreadable sidecar: no skipping, no error
+        if out is None:
+            e = self._legacy.get("files", {}).get(basename)
+            if e is not None:
+                out = _bloom_entry(e, self._legacy)
+        self._cache[basename] = out
+        return out
+
+
 def _bloom_any_hit(buf: bytes, m: int, k: int, hashes) -> bool:
     """True iff ANY of the pre-hashed keys maybe-hits the filter
     (``buf``: the :func:`_bloom_buf`-decoded bitmap).  Early exit both
@@ -726,8 +771,13 @@ class CowTable:
         return self._commit_doc(v)["files"]
 
     def _bloom_doc(self, doc: dict) -> dict | None:
-        """The bloom sidecar a commit doc references, or None.  Derived
-        metadata: unreadable/absent just means no bloom skipping."""
+        """The LEGACY whole-index bloom sidecar a commit doc
+        references, or None.  Pre-r17 writers stored every file's
+        filter in one monolithic JSON; current commits reference one
+        small sidecar PER FILE (``bloom_files``) and only keep this
+        pointer alive while legacy-covered files remain in the
+        snapshot.  Derived metadata: unreadable/absent just means no
+        bloom skipping."""
         name = doc.get("bloom_sidecar")
         if not name:
             return None
@@ -737,39 +787,76 @@ class CowTable:
         except (OSError, ValueError):
             return None
 
-    def _harvest_blooms(self, files: list[str], conf: dict) -> dict:
-        """Per-file key blooms, basename-keyed, each sized from its
-        file's row count (``_file_bloom``).  Same driver/executor
-        split as :meth:`_harvest_file_stats`: the read is column-pruned
-        to the key column, and large commits fan the work out so
-        commit cost never becomes a driver loop over 1e5 files."""
+    def _bloom_index(self, doc: dict, col: str) -> "_BloomIndex | None":
+        """Lazy per-file access to the snapshot's bloom entries for
+        ``col``, or None when the snapshot has no index on that
+        column.  Spans both sidecar generations: per-file ``.bf.json``
+        names in the commit doc (current) and the legacy monolith
+        (``bloom_sidecar``) for files written before the switch --
+        a hybrid table migrates naturally as rewrites re-index files."""
+        names = doc.get("bloom_files") or {}
+        legacy = self._bloom_doc(doc) if doc.get("bloom_sidecar") else None
+        if not names and not legacy:
+            return None
+        conf = doc.get("bloom_conf") or {}
+        icol = conf.get("col") or (legacy or {}).get("col")
+        if icol != col:
+            return None
+        if legacy is not None and legacy.get("col") != col:
+            legacy = None
+        return _BloomIndex(_log_dir(self.path), col, legacy, names)
+
+    def _harvest_bloom_files(
+        self, version: int, files: list[str], conf: dict
+    ) -> dict:
+        """Compute a bloom filter per NEW data file and write each as
+        its OWN sidecar ``{version}-{token}.bf.json`` (atomic tmp +
+        rename, written before the commit link like every sidecar).
+        Returns {basename: sidecar name} for the commit doc.
+
+        This is the structure that keeps bloom maintenance O(delta) at
+        100 TB: the pre-r17 monolithic sidecar was REWRITTEN whole on
+        any file-set change -- a 1-file append on a 1e5-file,
+        1-MiB-filter index re-serialized ~everything -- and every
+        probe re-parsed it whole.  Per-file sidecars write only the
+        new files' filters and are loaded per-candidate at probe time.
+        Same driver/executor split as :meth:`_harvest_file_stats`
+        (column-pruned read; large commits fan out, and the WRITE
+        happens executor-side too, so neither compute nor filter bytes
+        ever funnel through the driver)."""
         col = conf["col"]
+        log_dir = _log_dir(self.path)
+        os.makedirs(log_dir, exist_ok=True)
+
+        def build_one(path: str) -> tuple[str, str]:
+            entry = _file_bloom(path, col, conf)
+            entry["col"] = col
+            name = f"{version:08d}-{uuid.uuid4().hex[:8]}.bf.json"
+            tmp = os.path.join(log_dir, f"_tmp_bf_{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(log_dir, name))
+            return os.path.basename(path), name
+
         if len(files) <= _DRIVER_STATS_MAX:
-            return {
-                os.path.basename(f): _file_bloom(f, col, conf)
-                for f in files
-            }
+            return dict(build_one(f) for f in files)
         sc = self.spark.sparkContext
         slices = min(len(files), sc.defaultParallelism)
-        pairs = (
-            sc.parallelize(sorted(files), slices)
-            .map(lambda f: (os.path.basename(f), _file_bloom(f, col, conf)))
-            .collect()
-        )
+        pairs = sc.parallelize(sorted(files), slices).map(build_one).collect()
         return dict(pairs)
 
     def _maintain_bloom(self, version: int, files: list[str], stats: dict) -> dict:
         """Carry the table's bloom index through a commit: inherit the
         config from the parent commit (or take it from ``stats`` on
-        create), compute filters ONLY for files the parent sidecar
-        does not cover (immutable files never recompute -- same
-        carry-by-reference economics as file_stats), and write a new
-        sidecar unless the file set is unchanged, in which case the
-        parent's is reused by pointer.  The sidecar is written BEFORE
-        the commit link, so a committed doc always points at an
-        existing sidecar; a losing racer's sidecar becomes a
-        grace-windowed orphan vacuum GCs.  Token-suffixed names keep
-        racing writers from colliding."""
+        create), compute-and-write per-file sidecars ONLY for files no
+        existing sidecar covers (immutable files never recompute --
+        same carry-by-reference economics as file_stats; a carried
+        file keeps its sidecar NAME verbatim), and keep the legacy
+        monolith pointer alive only while it still covers a snapshot
+        file.  Commit cost is O(new files), never O(index).  Losing
+        racers' sidecars become grace-windowed orphans vacuum GCs."""
         conf = stats.pop("bloom_conf", None)
         pdoc: dict = {}
         if version > 0:
@@ -780,38 +867,36 @@ class CowTable:
             conf = conf or pdoc.get("bloom_conf")
         if not conf:
             return stats
-        col, m, k = conf["col"], int(conf["m"]), int(conf["k"])
-        bpk = int(conf.get("bpk", _BLOOM_BITS_PER_KEY))
-        parent = self._bloom_doc(pdoc) or {}
-        # Carried files keep their entries verbatim (each entry
-        # records its own m/k, so a conf change only re-sizes NEW
-        # files); a parent index on a DIFFERENT column is useless.
-        have = (
-            parent.get("files", {})
-            if parent.get("col") == col
+        col = conf["col"]
+        base = {os.path.basename(f): f for f in files}
+        parent_names = pdoc.get("bloom_files") or {}
+        legacy = self._bloom_doc(pdoc) if pdoc.get("bloom_sidecar") else None
+        # A parent index on a DIFFERENT column is useless; each legacy
+        # entry records its own m/k, so a conf change only re-sizes
+        # NEW files.
+        legacy_files = (
+            (legacy or {}).get("files", {})
+            if (legacy or {}).get("col") == col
             else {}
         )
-        base = {os.path.basename(f): f for f in files}
-        missing = [p for b, p in base.items() if b not in have]
-        if not missing and set(base) == set(have) and pdoc.get("bloom_sidecar"):
-            return {
-                **stats,
-                "bloom_conf": conf,
-                "bloom_sidecar": pdoc["bloom_sidecar"],
-            }
-        fresh = self._harvest_blooms(missing, conf) if missing else {}
-        filemap = {b: have.get(b) or fresh[b] for b in base}
-        name = f"{version:08d}-{uuid.uuid4().hex[:8]}.bloom.json"
-        os.makedirs(_log_dir(self.path), exist_ok=True)
-        tmp = os.path.join(_log_dir(self.path), f"_tmp_bl_{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"col": col, "m": m, "k": k, "bpk": bpk, "files": filemap}, f
-            )
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(_log_dir(self.path), name))
-        return {**stats, "bloom_conf": conf, "bloom_sidecar": name}
+        missing = [
+            p
+            for b, p in base.items()
+            if b not in parent_names and b not in legacy_files
+        ]
+        fresh = (
+            self._harvest_bloom_files(version, missing, conf)
+            if missing
+            else {}
+        )
+        names = {b: parent_names[b] for b in base if b in parent_names}
+        names.update(fresh)
+        out = {**stats, "bloom_conf": conf}
+        if names:
+            out["bloom_files"] = names
+        if any(b in legacy_files and b not in names for b in base):
+            out["bloom_sidecar"] = pdoc["bloom_sidecar"]
+        return out
 
     def _dv_doc(self, doc: dict) -> dict | None:
         """The deletion-vector sidecar a commit doc references, or
@@ -1628,12 +1713,10 @@ class CowTable:
         doc = self._commit_doc(v)
         files = doc["files"]
         stats = doc.get("file_stats", {})
-        bloom = self._bloom_doc(doc)
-        if bloom is not None and bloom.get("col") != col:
-            bloom = None  # index covers a different column
+        bidx = self._bloom_index(doc, col)
         if len(vals) > _BLOOM_PRUNE_MAX_KEYS:
             return self._read_point_large(
-                col, vals, v, files, stats, bloom, self._dv_map(doc)
+                col, vals, v, files, stats, bidx, self._dv_map(doc)
             )
         enc_vals = [_enc_stat(x) for x in vals]
         hashes: list = []
@@ -1658,11 +1741,11 @@ class CowTable:
                         in_range[i] = s["min"] <= e <= s["max"]
             if not any(in_range):
                 continue
-            entry = (bloom or {}).get("files", {}).get(base)
+            entry = bidx.entry(base) if bidx is not None else None
             if entry is not None:
                 live = [h for ok, h in zip(in_range, hashes) if ok]
                 if all(h is not None for h in live):
-                    hx, m, k = _bloom_entry(entry, bloom)
+                    hx, m, k = entry
                     if not _bloom_any_hit(_bloom_buf(hx, m), m, k, live):
                         skipped_bloom += 1
                         continue
@@ -1682,7 +1765,7 @@ class CowTable:
 
     def _read_point_large(
         self, col: str, vals: list, v: int, files: list[str],
-        stats: dict, bloom: dict | None, dv_map: dict | None = None,
+        stats: dict, bidx: "_BloomIndex | None", dv_map: dict | None = None,
     ) -> DataFrame:
         """:meth:`read_point` past ``_BLOOM_PRUNE_MAX_KEYS`` probes:
         range-prunes by the batch's [min, max] ENVELOPE only (one
@@ -1721,7 +1804,7 @@ class CowTable:
             [(x,) for x in vals],
             StructType([StructField("_mk", ktype)]),
         )
-        scan = self._bloom_prune_distributed(probe_df, scan0, bloom)
+        scan = self._bloom_prune_distributed(probe_df, scan0, bidx)
         self.last_scan = {
             "files_total": len(files),
             "files_scanned": len(scan),
@@ -1737,7 +1820,7 @@ class CowTable:
 
     def _bloom_prune_distributed(
         self, touch_keys: DataFrame, candidates: list[str],
-        bloom: dict | None,
+        bidx: "_BloomIndex | None",
     ) -> list[str]:
         """Bloom candidate pruning for key batches TOO BIG to collect:
         the per-file filters (the sidecar entries for ``candidates``
@@ -1757,13 +1840,12 @@ class CowTable:
         key type conservatively keeps everything.  No false negatives:
         a file is dropped only when EVERY key's filter test refutes
         it."""
-        fmap = (bloom or {}).get("files", {})
-        entries: dict[str, tuple[int, int, int]] = {}
+        entries: dict[str, tuple[bytes, int, int]] = {}
         for f in candidates:
             b = os.path.basename(f)
-            e = fmap.get(b)
+            e = bidx.entry(b) if bidx is not None else None
             if e is not None:
-                hx, m, k = _bloom_entry(e, bloom)
+                hx, m, k = e
                 entries[b] = (_bloom_buf(hx, m), m, k)
         if not entries:
             return candidates
@@ -2239,8 +2321,11 @@ class CowTable:
                 doc = self._commit_doc(v)
                 keep.add(doc.get("bloom_sidecar"))
                 keep.add(doc.get("dv_sidecar"))
+                keep.update((doc.get("bloom_files") or {}).values())
             for n in os.listdir(ld):
-                is_bloom = n.endswith(".bloom.json")
+                is_bloom = n.endswith(".bloom.json") or n.endswith(
+                    ".bf.json"
+                )
                 is_dv = n.endswith(".dv.json")
                 if not (is_bloom or is_dv) or n in keep:
                     continue
@@ -2514,8 +2599,10 @@ class CowTable:
         bloom_mode = None
         if candidates:
             try:
-                bloom = self._bloom_doc(self._commit_doc(base_version))
-                if bloom is not None and bloom.get("col") == key:
+                bidx = self._bloom_index(
+                    self._commit_doc(base_version), key
+                )
+                if bidx is not None:
                     use_dist = bloom_probe == "distributed"
                     probe = None
                     if not use_dist:
@@ -2529,7 +2616,7 @@ class CowTable:
                             use_dist = True
                     if use_dist:
                         candidates = self._bloom_prune_distributed(
-                            touch_keys, candidates, bloom
+                            touch_keys, candidates, bidx
                         )
                         bloom_mode = "distributed"
                     elif len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
@@ -2546,14 +2633,13 @@ class CowTable:
                                 hashable = False
                                 break
                         if hashable:
-                            fmap = bloom.get("files", {})
                             kept_cand = []
                             for f in candidates:
-                                e = fmap.get(os.path.basename(f))
+                                e = bidx.entry(os.path.basename(f))
                                 if e is None:
                                     kept_cand.append(f)
                                     continue
-                                hx, m_b, k_b = _bloom_entry(e, bloom)
+                                hx, m_b, k_b = e
                                 if _bloom_any_hit(
                                     _bloom_buf(hx, m_b), m_b, k_b, hashes
                                 ):

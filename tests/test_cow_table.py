@@ -1418,17 +1418,18 @@ def test_bloom_merge_carries_untouched_file_entries(spark, tmp_path):
         df.repartitionByRange(12, "k"),
         bloom_col="k",
     )
-    parent_map = t._bloom_doc(t._commit_doc(0))["files"]
+    parent_map = t._commit_doc(0)["bloom_files"]
     upd = df.filter(F.col("v") < 300).withColumn(
         "v", F.col("v") + 1_000_000
     )
     t.merge(upd, "k")
     doc = t._commit_doc(1)
     assert doc["files_rewritten"] < len(parent_map)
-    head_map = t._bloom_doc(doc)["files"]
+    head_map = doc["bloom_files"]
     carried = set(head_map) & set(parent_map)
     assert len(carried) >= 10  # most files carried by reference...
-    assert all(head_map[b] == parent_map[b] for b in carried)  # ...verbatim
+    # ...verbatim: SAME per-file sidecar names, no recompute/rewrite
+    assert all(head_map[b] == parent_map[b] for b in carried)
     assert set(head_map) == {os.path.basename(f) for f in doc["files"]}
     assert t.read_point("k", "00000007").collect()[0]["v"] == 1_000_007
     assert t.read_point("k", "00004321").collect()[0]["v"] == 4321
@@ -1448,22 +1449,35 @@ def test_bloom_compact_reindexes_output(spark, bloom_table):
     assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
 
 
-def test_bloom_sidecar_reused_when_files_unchanged(spark, bloom_table):
-    """A commit that carries the exact file set forward points at the
-    parent's sidecar instead of rewriting it (metadata-only commits on
-    a bloom table stay O(1), not O(files))."""
+def test_bloom_sidecars_reused_when_files_unchanged(spark, bloom_table):
+    """A commit that carries the exact file set forward carries every
+    per-file sidecar NAME verbatim and writes zero new ones
+    (metadata-only commits on a bloom table stay O(1), not O(index))."""
+    import os as _os
+
     t, _ = bloom_table
+
+    def bf_files():
+        ld = _os.path.join(t.path, "_log")
+        return {n for n in _os.listdir(ld) if n.endswith(".bf.json")}
+
+    before = bf_files()
     t.compact(target_rows=1, refresh_stats=True)  # stats-refresh commit
     head = t._commit_doc(t.version())
     parent = t._commit_doc(t.version() - 1)
     assert head["files"] == parent["files"]
-    assert head["bloom_sidecar"] == parent["bloom_sidecar"]
+    assert head["bloom_files"] == parent["bloom_files"]
+    assert bf_files() == before  # nothing rewritten on disk
 
 
 def test_bloom_harvest_executor_side_matches_driver(spark, tmp_path):
     """>_DRIVER_STATS_MAX files routes the harvest through the Spark
-    job path; filters must be bit-identical to in-process ones (same
-    _file_bloom both sides)."""
+    job path, where the executors BOTH compute and WRITE the per-file
+    sidecars; the written filters must be bit-identical to in-process
+    _file_bloom output (and the create commit, which took that path,
+    must have indexed every file)."""
+    import json as _json
+
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
         _DRIVER_STATS_MAX,
         _file_bloom,
@@ -1474,11 +1488,17 @@ def test_bloom_harvest_executor_side_matches_driver(spark, tmp_path):
     files = t.files()
     assert len(files) > _DRIVER_STATS_MAX
     conf = {"col": "k", "m": 8192, "k": 5, "bpk": 10}
-    via_job = t._harvest_blooms(files, conf)
-    via_driver = {
-        os.path.basename(f): _file_bloom(f, "k", conf) for f in files
-    }
-    assert via_job == via_driver
+    names = t._commit_doc(0)["bloom_files"]
+    assert set(names) == {os.path.basename(f) for f in files}
+    ld = os.path.join(t.path, "_log")
+    for f in files:
+        with open(os.path.join(ld, names[os.path.basename(f)])) as fh:
+            written = _json.load(fh)
+        expect = _file_bloom(f, "k", conf)
+        assert (written["h"], written["m"], written["k"]) == (
+            expect["h"], expect["m"], expect["k"],
+        )
+        assert written["col"] == "k"
 
 
 def test_vacuum_gc_bloom_sidecars(spark, bloom_table, tmp_path):
@@ -1494,13 +1514,15 @@ def test_vacuum_gc_bloom_sidecars(spark, bloom_table, tmp_path):
 
     def sidecars():
         ld = os.path.join(t.path, "_log")
-        return {n for n in os.listdir(ld) if n.endswith(".bloom.json")}
+        return {n for n in os.listdir(ld) if n.endswith(".bf.json")}
 
-    assert len(sidecars()) >= 4  # create + one per merge
+    head_names = set(t._commit_doc(t.version())["bloom_files"].values())
+    # rewritten-away files' sidecars outnumber the retained snapshot's
+    assert len(sidecars()) > len(head_names)
     summ = t.vacuum(retain_last=1, orphan_grace_s=0.0)
     assert summ["blooms_deleted"] > 0
     kept = sidecars()
-    assert t._commit_doc(t.version())["bloom_sidecar"] in kept
+    assert head_names <= kept  # everything the head references survives
     k = df.filter(F.col("v") == 4321).collect()[0]["k"]
     assert t.read_point("k", k).count() == 1  # index still functional
     assert t.last_scan["files_skipped_bloom"] >= 0
@@ -1705,9 +1727,11 @@ def test_bloom_sized_from_file_rowcount(spark, tmp_path):
 
     df = _keyed_df(spark, n=50_000).coalesce(1)
     t = CowTable.create(spark, str(tmp_path / "big"), df, bloom_col="k")
-    entry = list(t._bloom_doc(t._commit_doc(0))["files"].values())[0]
-    assert entry["m"] == _bloom_size(50_000, 10, 8192)
-    assert entry["m"] >= 10 * 50_000  # not the saturated floor
+    doc0 = t._commit_doc(0)
+    bidx = t._bloom_index(doc0, "k")
+    _, m, _k = bidx.entry(os.path.basename(t.files()[0]))
+    assert m == _bloom_size(50_000, 10, 8192)
+    assert m >= 10 * 50_000  # not the saturated floor
     refuted = 0
     for i in range(100):
         t.read_point("k", f"absent-{i}")
@@ -1716,6 +1740,78 @@ def test_bloom_sized_from_file_rowcount(spark, tmp_path):
     present = df.limit(5).collect()
     for r in present:
         assert t.read_point("k", r["k"]).count() == 1
+
+
+def test_bloom_legacy_monolith_sidecar_reads_and_migrates(spark, tmp_path):
+    """Pre-r17 tables stored ALL filters in one monolithic
+    ``.bloom.json``.  New code must (a) prune from that legacy
+    sidecar unchanged, (b) on the next mutation keep the legacy
+    pointer alive for carried files while giving rewritten/new files
+    per-file sidecars (hybrid), and (c) drop the legacy pointer once
+    a full rewrite leaves no legacy-covered file -- the natural
+    migration path, no offline conversion."""
+    import json as _json
+
+    df = spark.range(4000).selectExpr(
+        "printf('%08d', id) AS k", "id AS v"
+    )
+    t = CowTable.create(
+        spark,
+        str(tmp_path / "leg"),
+        df.repartitionByRange(8, "k"),
+        bloom_col="k",
+    )
+    ld = os.path.join(t.path, "_log")
+    doc0 = t._commit_doc(0)
+    # forge the legacy state: fold the per-file sidecars into one
+    # monolith exactly as the pre-r17 writer laid it out
+    filemap = {}
+    for b, name in doc0["bloom_files"].items():
+        with open(os.path.join(ld, name)) as fh:
+            e = _json.load(fh)
+        filemap[b] = {"h": e["h"], "m": e["m"], "k": e["k"]}
+        os.unlink(os.path.join(ld, name))
+    conf = doc0["bloom_conf"]
+    mono = "00000000-deadbeef.bloom.json"
+    with open(os.path.join(ld, mono), "w") as fh:
+        _json.dump(
+            {
+                "col": "k", "m": conf["m"], "k": conf["k"],
+                "bpk": conf["bpk"], "files": filemap,
+            },
+            fh,
+        )
+    doc0.pop("bloom_files")
+    doc0["bloom_sidecar"] = mono
+    with open(os.path.join(ld, "00000000.json"), "w") as fh:
+        _json.dump(doc0, fh)
+
+    # (a) legacy-only: point lookup prunes through the monolith
+    assert t.read_point("k", "00000042").collect()[0]["v"] == 42
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+    # (b) hybrid: a narrow merge rewrites a few files; carried files
+    # stay covered by the legacy pointer, rewritten ones get .bf.json
+    upd = df.filter(F.col("v") < 200).withColumn(
+        "v", F.col("v") + 1_000_000
+    )
+    t.merge(upd, "k")
+    doc1 = t._commit_doc(1)
+    assert doc1.get("bloom_sidecar") == mono  # legacy kept alive
+    assert doc1.get("bloom_files")  # new files per-file indexed
+    assert t.read_point("k", "00000007").collect()[0]["v"] == 1_000_007
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+    assert t.read_point("k", "00003210").collect()[0]["v"] == 3210
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+    # (c) full rewrite: no legacy-covered file remains -> pointer gone
+    t.compact(target_rows=10**9)
+    doc2 = t._commit_doc(t.version())
+    assert "bloom_sidecar" not in doc2
+    assert set(doc2["bloom_files"]) == {
+        os.path.basename(f) for f in doc2["files"]
+    }
+    assert t.read_point("k", "00000007").collect()[0]["v"] == 1_000_007
 
 
 def test_bloom_merge_distributed_probe_large_batch(spark, tmp_path):
