@@ -210,12 +210,14 @@ def _file_footer_stats(path: str) -> dict:
 # a point lookup scans everything).  Delta solves this with a bloom
 # filter index; same mechanism here: at commit time each NEW data file
 # gets a small Bloom filter over the key column (executor-side,
-# column-pruned read), stored in a per-commit sidecar the commit doc
-# references.  ``read_point`` then skips every file whose filter
-# proves the key absent -- no false negatives by construction, false
-# positives only cost a scan.  Sidecars are derived metadata like
-# checkpoints: losing-writer orphans and expired ones are GC'd by
-# vacuum, and a missing sidecar just means no skipping.
+# column-pruned read), stored in its OWN ``.bf.json`` sidecar the
+# commit doc references by name (r17; pre-r17 commits stored all
+# filters in one monolith, still readable -- see _bloom_index).
+# ``read_point`` then skips every file whose filter proves the key
+# absent -- no false negatives by construction, false positives only
+# cost a scan.  Sidecars are derived metadata like checkpoints:
+# losing-writer orphans and expired ones are GC'd by vacuum, and a
+# missing sidecar just means no skipping.
 
 _BLOOM_BITS_DEFAULT = 8192  # FLOOR bits per file; fpp ~1% at ~850 keys
 _BLOOM_K_DEFAULT = 5
@@ -1674,8 +1676,8 @@ class CowTable:
         exactly where point lookups live -- high-cardinality keys
         (UUIDs, content hashes) whose per-file [min, max] spans the
         whole key space after any non-key clustering -- so tables
-        created with ``bloom_col`` carry a per-file Bloom filter in a
-        commit sidecar, and a file is opened only when (a) some probe
+        created with ``bloom_col`` carry a per-file Bloom filter in
+        per-file sidecars, and a file is opened only when (a) some probe
         value sits inside its recorded range AND (b) the filter says
         maybe-present.  No false negatives by construction (pinned in
         pytest: every present key survives pruning); false positives
