@@ -69,9 +69,18 @@ DEFAULT_DF_CAP = 64
 #: (checkpointed batch, 25k-row delta files): scan 0.71/1.06/1.47 s
 #: vs prune 1.69/3.12/4.9 s at 30/115/218 files -- tiny files never
 #: prune, regardless of how many there are; production-sized deltas
-#: (1M+ rows/file) prune from the first file.  Callers force either
-#: path with ``prune=``.
+#: (1M+ rows/file) prune past the total-rows floor below.  Callers
+#: force either path with ``prune=``.
 PROBE_PRUNE_MIN_ROWS_PER_FILE = 100_000
+
+#: Second term of the measured cost model: the prune also pays a FIXED
+#: ~1.3 s (one extra Spark job over the batch keys + filter broadcast)
+#: regardless of file count, so a small-file-COUNT store of mid-sized
+#: files still scans faster until the index is big enough for the
+#: per-row scan cost (~0.17 us/row at local[32]) to cover it --
+#: measured: 4 x 205k-row files scan in 0.73 s vs prune in 1.09 s.
+#: 8M rows is where rows x 0.17us crosses the fixed overhead.
+PROBE_PRUNE_MIN_TOTAL_ROWS = 8_000_000
 
 #: Consecutive probe() bloom-prune failures tolerated before the
 #: silent full-scan fallback stops being silent: a fallback is always
@@ -96,16 +105,21 @@ def _ingest_prefix(ingest_id) -> str:
 
 
 def _auto_prune(doc: dict, n_files: int) -> bool:
-    """The measured rows-per-file crossover (see
-    ``PROBE_PRUNE_MIN_ROWS_PER_FILE``): prune when the average file is
-    big enough that refuting it repays its ~17 ms of metadata.  Reads
-    only the commit doc's footer stats -- zero data-plane work.
-    Missing stats count as zero rows (conservative: scan)."""
+    """The measured two-term crossover: prune only when (a) the
+    average file is big enough that refuting it repays its ~17 ms of
+    metadata (``PROBE_PRUNE_MIN_ROWS_PER_FILE``) AND (b) the index is
+    big enough overall that the saved scan covers the prune's ~1.3 s
+    fixed job overhead (``PROBE_PRUNE_MIN_TOTAL_ROWS``).  Reads only
+    the commit doc's footer stats -- zero data-plane work.  Missing
+    stats count as zero rows (conservative: scan)."""
     if not n_files:
         return False
     stats = doc.get("file_stats", {})
     rows = sum(int(s.get("rows", 0)) for s in stats.values())
-    return rows / n_files >= PROBE_PRUNE_MIN_ROWS_PER_FILE
+    return (
+        rows / n_files >= PROBE_PRUNE_MIN_ROWS_PER_FILE
+        and rows >= PROBE_PRUNE_MIN_TOTAL_ROWS
+    )
 
 
 def _assert_no_shuffle_join(df: DataFrame, what: str) -> None:

@@ -346,6 +346,7 @@ def test_auto_prune_is_rows_per_file_not_file_count():
     big-int-bloom artifact and got both of those wrong."""
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
         PROBE_PRUNE_MIN_ROWS_PER_FILE,
+        PROBE_PRUNE_MIN_TOTAL_ROWS,
         _auto_prune,
     )
 
@@ -357,9 +358,13 @@ def test_auto_prune_is_rows_per_file_not_file_count():
         }
 
     big = PROBE_PRUNE_MIN_ROWS_PER_FILE
+    floor = PROBE_PRUNE_MIN_TOTAL_ROWS
     assert not _auto_prune(doc(25_000, 200), 200)  # many tiny: scan
-    assert _auto_prune(doc(big, 2), 2)             # few huge: prune
-    assert _auto_prune(doc(10 * big, 500), 500)
+    # few mid-sized files: per-file term passes but the prune's fixed
+    # ~1.3 s job overhead isn't covered (measured: 4 x 205k scan wins)
+    assert not _auto_prune(doc(205_000, 4), 4)
+    assert _auto_prune(doc(floor, 2), 2)           # few huge: prune
+    assert _auto_prune(doc(10 * big, 500), 500)    # production shape
     assert not _auto_prune(doc(big, 0), 0)         # empty store: scan
     assert not _auto_prune({"file_stats": {}}, 3)  # stats-less: scan
 
