@@ -825,9 +825,9 @@ def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dic
                 ].values()
             )
             # both probe paths, the crossover evidence: plain scan
-            # (auto skips the prune below the rows-per-file
-            # crossover, PROBE_PRUNE_MIN_ROWS_PER_FILE) vs
-            # forced bloom file-prune.
+            # (the cost-model auto correctly refuses to prune these
+            # toy-sized deltas -- see _prune_win_stats for the shape
+            # where pruning wins) vs forced bloom file-prune.
             probe_s, hit_n = 1e9, -1
             for _ in range(3):
                 t0 = time.time()
@@ -901,6 +901,160 @@ def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dic
                     "probe_scan": dict(st.last_probe),
                 }
         return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _prune_win_stats(
+    spark,
+    n_ingests: int = 10,
+    docs_per_ingest: int = 250_000,
+    batch_docs: int = 2_000,
+) -> dict:
+    """The prune-WINS regime end-to-end (VERDICT r17 next #1): every
+    r17 crossover row had the scan winning because bench deltas were
+    toy-sized (25k rows/file); here the store is production-shaped --
+    ``n_ingests`` deltas of ~1M bucket rows each (4 files x ~250k
+    rows), big enough that the direct cost model picks the
+    driver-mode prune while staying just under the bloom cap (250k
+    rows x 32 bits/key = 8.0M bits < _BLOOM_BITS_MAX) -- and the same
+    delta-sized batch (~8k keys: driver mode) is probed three ways:
+    forced scan, forced bloom-prune, and auto (which must pick prune
+    UNFORCED).  ``calibrate()`` then re-derives the marginals from
+    this box's measured walls.
+
+    The SECOND half demonstrates the rule's r18 saturation term: the
+    same rows folded into ~600k-row files push rows*bpk past the
+    bitmap cap, the per-key fpp explodes, a 20k-key batch false-hits
+    every file, and the honest auto choice flips back to scan (the
+    forced prune's numbers show why).  Bands are synthetic
+    (hash-mixed bucket keys over spark.range) -- this block measures
+    the STORE paths, not the signing; 2% of batch docs are planted
+    copies of ingest-0 docs so every path returns real hits, which
+    must be IDENTICAL across all probe paths (pruning is never a
+    semantics change)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        LshBucketStore,
+        _auto_prune,
+        _load_cal,
+    )
+
+    work = tempfile.mkdtemp(prefix="prune_win_")
+    try:
+        def bands(lo, hi, plant_mod=None):
+            src = F.col("doc_id")
+            if plant_mod:
+                # every 50th batch doc reuses a store doc's bucket keys
+                src = F.when(
+                    F.col("doc_id") % 50 == 0, F.col("doc_id") % plant_mod
+                ).otherwise(F.col("doc_id"))
+            return (
+                spark.range(lo, hi)
+                .select(F.col("id").alias("doc_id"))
+                .select(
+                    "doc_id",
+                    F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band_idx"),
+                )
+                .select(
+                    "doc_id",
+                    "band_idx",
+                    # 60-bit bucket space: 10M stored keys x 8k batch
+                    # keys must not TRULY collide (at 2^30 the r18
+                    # first cut measured ~190 real cross-collisions,
+                    # which lit up 28/40 files as honest hits and
+                    # swamped the pruning signal)
+                    F.format_string(
+                        "b%015x",
+                        F.pmod(
+                            F.xxhash64(src, F.col("band_idx")),
+                            F.lit(1 << 60),
+                        ),
+                    ).alias("bucket"),
+                )
+            )
+
+        path = f"{work}/store"
+        # k=11 instead of the default 22: at 32 bits/key the per-key
+        # fpp is still ~1e-6 (ample for a 20k-key batch against ~40
+        # files) at half the build CPU -- see LshBucketStore.__init__.
+        st = LshBucketStore(spark, path, bloom_k=11)
+        t0 = time.time()
+        for i in range(n_ingests):
+            st.append(
+                bands(i * docs_per_ingest, (i + 1) * docs_per_ingest), i
+            )
+        build_s = round(time.time() - t0, 3)
+        bb = bands(
+            10_000_000, 10_000_000 + batch_docs, plant_mod=docs_per_ingest
+        ).localCheckpoint(eager=True)
+
+        def measure(store):
+            t = store.table
+            doc = t._commit_doc(t.version())
+            files = t.files(t.version())
+            rows = sum(
+                int(s.get("rows", 0))
+                for s in doc.get("file_stats", {}).values()
+            )
+            out = {
+                "files": len(files),
+                "rows": int(rows),
+                "rows_per_file": int(rows / max(1, len(files))),
+                "auto_decision": (
+                    "prune"
+                    if _auto_prune(doc, len(files), _load_cal(store.path))
+                    else "scan"
+                ),
+            }
+            for label, forced in (("scan", False), ("pruned", True), ("auto", None)):
+                best, hits = 1e9, -1
+                for _ in range(2):
+                    t1 = time.time()
+                    hits = store.probe(bb, prune=forced).count()
+                    best = min(best, time.time() - t1)
+                out[f"{label}_s"] = round(best, 3)
+                out[f"{label}_hits"] = int(hits)
+                out[f"{label}_evidence"] = dict(store.last_probe)
+            return out
+
+        win = measure(st)
+        win["build_s"] = build_s
+        # this box's measured marginals, persisted; the auto decision
+        # afterwards rests on them instead of the module constants
+        cal = st.calibrate(bb)
+        win["cal"] = cal
+        win["auto_decision_after_cal"] = (
+            "prune"
+            if _auto_prune(
+                st.table._commit_doc(st.table.version()),
+                len(st.table.files(st.table.version())),
+                _load_cal(path),
+            )
+            else "scan"
+        )
+
+        # fold into ~600k-row files: rows*bpk blows past the bitmap
+        # cap, filters saturate, batch pruning goes futile -- the
+        # saturation term must flip auto back to scan
+        t0 = time.time()
+        st.fold(target_files=17)
+        fold_s = round(time.time() - t0, 3)
+        sat = measure(st)
+        sat["fold_s"] = fold_s
+        hits_set = {
+            win["scan_hits"], win["pruned_hits"], win["auto_hits"],
+            sat["scan_hits"], sat["pruned_hits"], sat["auto_hits"],
+        }
+        return {
+            "win": win,
+            "saturated": sat,
+            "hits_identical_everywhere": len(hits_set) == 1,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1049,6 +1203,8 @@ def _run_block(block: str, sf_dir: str) -> int:
         print(json.dumps(out))
     elif block == "incr_dedup":
         print(json.dumps(_incr_dedup_stats(spark)))
+    elif block == "prune_win":
+        print(json.dumps(_prune_win_stats(spark)))
     elif block == "etl":
         # Parent passes the already-parsed sf; the basename fallback
         # only serves a direct `--block etl` invocation, and defaults
@@ -1261,7 +1417,7 @@ def main() -> int:
     # caller's own timeout.
     deadline = time.time() + 30 * 60
     if sf == 0.1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
-        for block in ("sf1", "skew", "m15", "incr_dedup"):
+        for block in ("sf1", "skew", "m15", "incr_dedup", "prune_win"):
             budget = deadline - time.time()
             if budget < 120:
                 print(f"# {block} block skipped: deadline", file=sys.stderr)

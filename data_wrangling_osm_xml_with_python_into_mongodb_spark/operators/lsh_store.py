@@ -46,49 +46,78 @@ is signed once, on the ingest that first sees it.
 
 from __future__ import annotations
 
+import json
 import os
+import time
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.cow_table import CowTable
+from ..sources.cow_table import _BLOOM_BITS_MAX, CowTable
 
 #: Cumulative document-frequency cap for probe hits -- buckets hotter
 #: than this across ALL ingests carry no near-dup signal (see
 #: plans/queries_dedup.PAIR_DF_CAP, same rationale and value).
 DEFAULT_DF_CAP = 64
 
-#: probe() auto-prunes only when the index's AVERAGE rows per file is
-#: at least this -- rows-per-file, not file count, is the measured
-#: discriminator (r17, after the byte-indexed bloom fix removed the
-#: O(m)-per-test artifact that had made the prune look 13x slower):
-#: the prune's marginal cost is ~17 ms PER FILE of metadata (sidecar
-#: entry load + filter broadcast; bitmap tests are now sub-ms), the
-#: scan's is ~0.16 us PER ROW at local[32], so a refuted file repays
-#: its own metadata only above ~106k rows.  Measured series
-#: (checkpointed batch, 25k-row delta files): scan 0.71/1.06/1.47 s
-#: vs prune 1.69/3.12/4.9 s at 30/115/218 files -- tiny files never
-#: prune, regardless of how many there are; production-sized deltas
-#: (1M+ rows/file) prune past the total-rows floor below.  Callers
-#: force either path with ``prune=``.
-PROBE_PRUNE_MIN_ROWS_PER_FILE = 100_000
-
-#: Second term of the measured cost model: the prune also pays a FIXED
-#: ~1.3 s (one extra Spark job over the batch keys + filter broadcast)
-#: regardless of file count, so a small-file-COUNT store of mid-sized
-#: files still scans faster until the index is big enough for the
-#: per-row scan cost (~0.17 us/row at local[32]) to cover it --
-#: measured: 4 x 205k-row files scan in 0.73 s vs prune in 1.09 s.
-#: 8M rows is where rows x 0.17us crosses the fixed overhead.
-PROBE_PRUNE_MIN_TOTAL_ROWS = 8_000_000
+#: Key-count boundary between the prune's two modes (mirrors
+#: cow_table._BLOOM_PRUNE_MAX_KEYS): at or below it the probe plans
+#: the DRIVER bloom path (collect the keys, test each candidate's
+#: sidecar in-process -- no extra Spark job), above it the
+#: EXECUTOR-side path (filters broadcast to the key batch).  The two
+#: modes have very different fixed costs, so the auto decision is
+#: mode-aware (:func:`_auto_prune`).
+PROBE_DRIVER_MODE_MAX_KEYS = 10_000
 
 #: Consecutive probe() bloom-prune failures tolerated before the
 #: silent full-scan fallback stops being silent: a fallback is always
 #: CORRECT (pruning only removes provably-unmatchable files), but an
 #: always-throwing prune would quietly turn every ingest into a full
 #: index scan with green tests (VERDICT r16 nit) -- three in a row is
-#: a broken prune path, not a hiccup.
+#: a broken prune path, not a hiccup.  At the threshold the probe
+#: WARNS (loudly, every call) instead of raising (ADVICE r17: an
+#: exception here turned a correct fallback into an ingest-killing
+#: crash on transient env hiccups); the count is always exposed as
+#: ``last_probe["prune_fallbacks"]`` so callers that want to hard-fail
+#: can.
 _PROBE_FALLBACK_MAX = 3
+
+#: The measured cost-model marginals the auto decision runs on
+#: (r17/r18 PERF.md, this sandbox at local[32]; a store CALIBRATED on
+#: its own deployment -- :meth:`LshBucketStore.calibrate` -- decides
+#: from its own hardware instead):
+#:
+#: * ``us_per_row`` -- the full scan's per-index-row cost;
+#: * ``fixed_s`` / ``ms_per_file`` -- the EXECUTOR-side prune's fixed
+#:   job overhead (mapInPandas over the batch keys + filter
+#:   broadcast) and per-candidate metadata cost;
+#: * ``fixed_s_driver`` / ``ms_per_file_driver`` -- the DRIVER-side
+#:   prune's equivalents (one bounded collect of the batch keys +
+#:   per-key hashing; sidecar JSON load + decode + any-hit test per
+#:   candidate -- measured 14.4 ms at the 1 MiB bitmap cap COLD; the
+#:   process-level decoded-buffer cache makes repeat probes of the
+#:   same store ~free, so this is the conservative first-probe
+#:   number).
+_DEFAULT_PRUNE_CAL = {
+    "us_per_row": 0.16,
+    "fixed_s": 1.3,
+    "ms_per_file": 17.0,
+    "fixed_s_driver": 0.3,
+    "ms_per_file_driver": 15.0,
+}
+
+#: Fold-accumulation guardrail (VERDICT r17 next #2): append() warns
+#: when the index has grown past this factor times its row count at
+#: the last fold (or create) -- probe read volume is O(rows), so an
+#: unfolded store pays the factor on every ingest until fold() runs.
+_FOLD_WARN_FACTOR = 8
+#: ...and how many commits back append() looks for that baseline.  A
+#: store with no fold/create within the window has, by construction,
+#: at least this many unfolded delta commits -- warn regardless of
+#: growth (the walk itself is the evidence; each step is one tiny
+#: driver-side JSON read).
+_FOLD_WARN_SCAN_MAX = 64
 
 
 def _ingest_prefix(ingest_id) -> str:
@@ -104,22 +133,77 @@ def _ingest_prefix(ingest_id) -> str:
     return f"{i:06d}"
 
 
-def _auto_prune(doc: dict, n_files: int) -> bool:
-    """The measured two-term crossover: prune only when (a) the
-    average file is big enough that refuting it repays its ~17 ms of
-    metadata (``PROBE_PRUNE_MIN_ROWS_PER_FILE``) AND (b) the index is
-    big enough overall that the saved scan covers the prune's ~1.3 s
-    fixed job overhead (``PROBE_PRUNE_MIN_TOTAL_ROWS``).  Reads only
-    the commit doc's footer stats -- zero data-plane work.  Missing
-    stats count as zero rows (conservative: scan)."""
+def _eff_cal(doc: dict, cal: dict | None) -> dict:
+    """The cost-model marginals in effect for a store snapshot.
+    Source order (VERDICT r17 next #4): the head commit doc's
+    ``prune_cal`` (written by :meth:`LshBucketStore.fold` when a
+    calibration exists), then the caller-passed ``cal`` (the store's
+    ``_log/prune_cal.json`` sidecar, written by ``calibrate()``),
+    then the module defaults.  Merged over the defaults so a partial
+    calibration (e.g. driver-mode only) keeps measured values for the
+    other keys; nonpositive values fall back to the defaults (a
+    forged or degenerate calibration must fail toward the measured
+    numbers, not toward divide-by-zero or free prunes)."""
+    out = dict(_DEFAULT_PRUNE_CAL)
+    src = doc.get("prune_cal") or cal or {}
+    for key in out:
+        try:
+            v = float(src.get(key, 0.0) or 0.0)
+        except (TypeError, ValueError):
+            continue
+        if v > 0.0:
+            out[key] = v
+    return out
+
+
+def _prune_cost_s(cal: dict, n_files: int, mode: str) -> float:
+    if mode == "driver":
+        return cal["fixed_s_driver"] + n_files * cal["ms_per_file_driver"] / 1e3
+    return cal["fixed_s"] + n_files * cal["ms_per_file"] / 1e3
+
+
+def _auto_prune(
+    doc: dict, n_files: int, cal: dict | None = None, mode: str | None = None
+) -> bool:
+    """The measured cost model, compared DIRECTLY (r18 re-derivation,
+    VERDICT r17 next #1): prune when the full scan's expected cost
+    ``rows * us_per_row`` exceeds the prune's
+    ``fixed + n_files * ms_per_file`` for the planned probe ``mode``
+    (``None`` = the cheaper of the two -- the optimistic pre-gate;
+    the probe re-checks with the ACTUAL mode once the batch's key
+    count is known).  r17's two-term threshold rule approximated this
+    inequality with independent per-term floors and was internally
+    inconsistent at marginal shapes: a 40-file x 250k-row store
+    passed BOTH terms while the summed prune cost still exceeded the
+    scan (measured: scan 1.69 s vs executor-side prune 3.3 s) -- the
+    terms don't add up exactly where they both barely pass.
+
+    One physics gate rides on top of the economics: past
+    ``_BLOOM_BITS_MAX / bits_per_key`` rows per file the write side
+    caps ``m`` below ``rows * bpk``, per-key fpp explodes, and a
+    BATCH probe (any-of-N-keys-hits semantics) false-hits essentially
+    every file -- the prune then pays its full cost and refutes
+    nothing (measured in the r18 ``prune_win`` bench block's
+    saturated store), whatever the calibration says.  Reads only the
+    commit doc's footer stats and bloom conf -- zero data-plane
+    work.  Missing stats count as zero rows (conservative: scan)."""
     if not n_files:
         return False
     stats = doc.get("file_stats", {})
     rows = sum(int(s.get("rows", 0)) for s in stats.values())
-    return (
-        rows / n_files >= PROBE_PRUNE_MIN_ROWS_PER_FILE
-        and rows >= PROBE_PRUNE_MIN_TOTAL_ROWS
-    )
+    bpk = (doc.get("bloom_conf") or {}).get("bpk")
+    if bpk and rows / n_files * float(bpk) > _BLOOM_BITS_MAX:
+        return False  # capped filters cannot refute a batch probe
+    eff = _eff_cal(doc, cal)
+    scan_s = rows * eff["us_per_row"] / 1e6
+    if mode is None:
+        prune_s = min(
+            _prune_cost_s(eff, n_files, "driver"),
+            _prune_cost_s(eff, n_files, "distributed"),
+        )
+    else:
+        prune_s = _prune_cost_s(eff, n_files, mode)
+    return scan_s > prune_s
 
 
 def _assert_no_shuffle_join(df: DataFrame, what: str) -> None:
@@ -137,6 +221,137 @@ def _assert_no_shuffle_join(df: DataFrame, what: str) -> None:
             )
 
 
+def _plan_probe_mode(keys: DataFrame) -> str:
+    """Which bloom-prune mode a batch's key count calls for: driver
+    (collect + in-process sidecar tests, no extra Spark job) at or
+    below ``PROBE_DRIVER_MODE_MAX_KEYS`` distinct keys, executor-side
+    above.  One bounded narrow job over the (checkpointed, delta-
+    sized) batch."""
+    n = keys.limit(PROBE_DRIVER_MODE_MAX_KEYS + 1).count()
+    return "driver" if n <= PROBE_DRIVER_MODE_MAX_KEYS else "distributed"
+
+
+def _prune_files(
+    store, keys: DataFrame, col: str, version: int, all_files, mode: str
+):
+    """The shared prune-with-fallback step of both stores' probes:
+    try the bloom file-prune in the planned ``mode``; on failure fall
+    back to the full file list (always CORRECT -- pruning only drops
+    provably-unmatchable files) and count consecutive failures on
+    ``store``.  At ``_PROBE_FALLBACK_MAX`` the fallback stops being
+    silent -- a loud ``warnings.warn`` per call, never an exception
+    (ADVICE r17: raising here killed ingests whose results were all
+    correct); the running count is surfaced in
+    ``last_probe["prune_fallbacks"]`` for callers that prefer to
+    hard-fail."""
+    try:
+        files, got_mode = store.table._candidate_files(
+            keys, col, version, mode
+        )
+        store._probe_fallbacks = 0
+        return files, got_mode
+    except Exception as exc:
+        store._probe_fallbacks += 1
+        if store._probe_fallbacks >= _PROBE_FALLBACK_MAX:
+            warnings.warn(
+                f"store probe bloom-prune failed "
+                f"{store._probe_fallbacks} consecutive times at "
+                f"{store.path} (last: {exc!r}) -- every ingest is "
+                "paying a full index scan; results remain correct",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return all_files, None
+
+
+def _cal_path(store_path: str) -> str:
+    return os.path.join(store_path, "_log", "prune_cal.json")
+
+
+def _load_cal(store_path: str) -> dict | None:
+    """The store's deployment-measured prune calibration sidecar, or
+    None.  Derived metadata like bloom sidecars: unreadable/absent
+    just means the module constants decide."""
+    try:
+        with open(_cal_path(store_path)) as f:
+            cal = json.load(f)
+        return cal if isinstance(cal, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _write_cal(store_path: str, cal: dict) -> None:
+    """Atomic write (tmp + rename), same protocol as every sidecar."""
+    import uuid
+
+    log_dir = os.path.join(store_path, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    tmp = os.path.join(log_dir, f"_tmp_cal_{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(cal, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _cal_path(store_path))
+
+
+def _snapshot_rows(doc: dict) -> int:
+    return sum(
+        int(s.get("rows", 0)) for s in doc.get("file_stats", {}).values()
+    )
+
+
+def _measure_cal(store, probe_once) -> dict:
+    """Measure the live store's actual prune marginals (VERDICT r17
+    next #4): one forced-scan probe and one forced-prune probe of the
+    same batch, solved against the cost model ``scan = us_per_row *
+    rows`` / ``prune = fixed + ms_per_file * files`` and persisted as
+    the store's ``_log/prune_cal.json``.  The prune runs in whatever
+    mode the batch's key count plans (driver / executor-side), so the
+    derived per-file marginal lands on THAT mode's key; the other
+    mode keeps the module defaults (``_eff_cal`` merges).  The fixed
+    term is kept from :data:`_DEFAULT_PRUNE_CAL` -- it is a property
+    of the runtime's job/collect overhead, not of the store -- and
+    only the per-file marginal is solved for.  Raw walls are recorded
+    alongside so a later reader can re-derive.  Calibrate on a
+    production-shaped store: a tiny store's scan wall is mostly fixed
+    overhead and inflates ``us_per_row`` (which only errs toward
+    pruning earlier); and note the prune wall is a COLD-cache number
+    only on the first probe of a store (the decoded-sidecar cache
+    makes repeats cheaper), so calibrating right after probing
+    understates ``ms_per_file`` -- the conservative direction for a
+    steady-state ingest pipeline, which probes warm."""
+    t = store.table
+    v = t.version()
+    doc = t._commit_doc(v)
+    rows = _snapshot_rows(doc)
+    files = len(t.files(v))
+    t0 = time.monotonic()
+    probe_once(False)
+    scan_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    probe_once(True)
+    prune_s = time.monotonic() - t0
+    mode = store.last_probe.get("bloom_probe") or "distributed"
+    fkey, mkey = (
+        ("fixed_s_driver", "ms_per_file_driver")
+        if mode == "driver"
+        else ("fixed_s", "ms_per_file")
+    )
+    fixed_s = float(_DEFAULT_PRUNE_CAL[fkey])
+    cal = {
+        "us_per_row": scan_s * 1e6 / max(rows, 1),
+        mkey: max(0.0, prune_s - fixed_s) * 1000.0 / max(files, 1),
+        fkey: fixed_s,
+        "mode": mode,
+        "scan_s": round(scan_s, 4),
+        "prune_s": round(prune_s, 4),
+        "rows": int(rows),
+        "files": int(files),
+    }
+    _write_cal(store.path, cal)
+    return cal
+
+
 class LshBucketStore:
     """Persisted MinHash-LSH band-bucket index (module docstring).
 
@@ -147,14 +362,32 @@ class LshBucketStore:
     only ever sees bucket keys, so corpus text is never re-read here.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bloom_bits_per_key: int = 32,
+        bloom_k: int = 22,
+    ):
         self.spark = spark
         self.path = path
         #: evidence of the most recent probe (files_total/files_probed
         #: /bloom path) -- dd15's registered query and the bench
         #: incr_dedup block surface it per run.
         self.last_probe: dict = {}
+        #: evidence of the most recent append's fold-growth check.
+        self.last_append_growth: dict = {}
         self._probe_fallbacks = 0
+        #: per-file bloom sizing, fixed at CREATE (later instances'
+        #: values are ignored -- the table's bloom_conf rides the
+        #: commit log).  Defaults are m20's batch-probe regime
+        #: (32 bits/key, k=22: per-key fpp ~2e-7, so a 20k-key batch
+        #: against hundreds of files still false-hits ~zero).  Lower
+        #: k trades build CPU for fpp headroom -- k=11 at 32 bpk is
+        #: still ~1e-6 per key, half the build cost (the r18
+        #: prune_win bench store uses it).
+        self.bloom_bits_per_key = int(bloom_bits_per_key)
+        self.bloom_k = int(bloom_k)
 
     @property
     def table(self) -> CowTable:
@@ -226,7 +459,17 @@ class LshBucketStore:
         merge (ADVICE r16: the old post-commit assertion fired after
         the overwriting merge had already committed, leaving the store
         corrupted): the head snapshot's max persisted prefix comes
-        from commit-log footer stats, so the check is metadata-only."""
+        from commit-log footer stats, so the check is metadata-only.
+
+        Fold-accumulation guardrail (VERDICT r17 next #2): after the
+        commit, the new head's row count is compared against the row
+        count at the last fold/create (commit-log arithmetic only,
+        bounded by ``_FOLD_WARN_SCAN_MAX`` tiny driver-side JSON
+        reads, walked newest-first).  Past ``_FOLD_WARN_FACTOR`` --
+        or when no fold/create exists inside the window at all -- a
+        ``warnings.warn`` fires: every probe reads O(rows), so an
+        unfolded store pays that growth on each ingest until
+        :meth:`fold` runs.  Evidence in ``self.last_append_growth``."""
         counts = self._counts(batch_bands, ingest_id)
         if not self.exists():
             # bloom on bk2 (NOT the merge key bk): probes ask "does
@@ -234,7 +477,9 @@ class LshBucketStore:
             # ingest-independent; sized for batch probing like m20.
             t = CowTable.create(
                 self.spark, self.path, counts,
-                bloom_col="bk2", bloom_bits_per_key=32, bloom_k=22,
+                bloom_col="bk2",
+                bloom_bits_per_key=self.bloom_bits_per_key,
+                bloom_k=self.bloom_k,
             )
             return t._commit_doc(0)
         last = self._max_ingest_prefix()
@@ -254,7 +499,52 @@ class LshBucketStore:
                 "LSH index append rewrote a delta -- ingest ids must "
                 "be unique and monotone (key prefix collision)"
             )
+        self._warn_fold_growth(doc)
         return doc
+
+    def _warn_fold_growth(self, head_doc: dict) -> None:
+        """The post-append guardrail (docstring of :meth:`append`)."""
+        t = self.table
+        head_v = int(head_doc.get("version", t.version()))
+        rows_now = _snapshot_rows(head_doc)
+        baseline, base_v = None, None
+        walk_complete = True
+        for v in range(head_v - 1, max(-1, head_v - 1 - _FOLD_WARN_SCAN_MAX), -1):
+            try:
+                d = t._commit_doc(v)
+            except (OSError, ValueError):
+                walk_complete = False
+                break  # vacuumed/unreadable history: stop, don't warn
+            if d.get("op") in ("fold", "create"):
+                baseline, base_v = _snapshot_rows(d), v
+                break
+        self.last_append_growth = {
+            "rows": int(rows_now),
+            "fold_baseline_rows": baseline,
+            "fold_baseline_version": base_v,
+        }
+        if baseline is None:
+            if walk_complete and head_v > _FOLD_WARN_SCAN_MAX:
+                warnings.warn(
+                    f"LSH store {self.path}: no fold() within the last "
+                    f"{_FOLD_WARN_SCAN_MAX} commits -- probe read "
+                    "volume grows with every unfolded ingest; run "
+                    "fold() on the maintenance cadence",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            return
+        if rows_now >= _FOLD_WARN_FACTOR * max(1, baseline):
+            ratio = rows_now / max(1, baseline)
+            self.last_append_growth["ratio"] = round(ratio, 2)
+            warnings.warn(
+                f"LSH store {self.path}: index rows grew {ratio:.1f}x "
+                f"since the last fold/create (v{base_v}: {baseline} "
+                f"rows -> v{head_v}: {rows_now}) -- probes read "
+                "O(rows); run fold() to collapse per-ingest deltas",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     def fold(self, target_files: int = 4) -> dict:
         """Counts-folding compaction (VERDICT r16 missing #1):
@@ -298,18 +588,25 @@ class LshBucketStore:
         new_files, new_stats, out_dir = t._write_data_files(
             folded, base_version + 1
         )
+        meta = {
+            "parent": base_version,
+            "fold_prefix": last,
+            "files_written": len(new_files),
+            "file_stats": new_stats,
+            "schema": folded.schema.jsonValue(),
+        }
+        cal = _load_cal(self.path)
+        if cal:
+            # deployment-measured prune marginals ride the fold commit
+            # (VERDICT r17 next #4): _auto_prune prefers commit-meta
+            # calibration over the sidecar over module constants.
+            meta["prune_cal"] = cal
         try:
             return t._commit(
                 base_version + 1,
                 new_files,
                 "fold",
-                {
-                    "parent": base_version,
-                    "fold_prefix": last,
-                    "files_written": len(new_files),
-                    "file_stats": new_stats,
-                    "schema": folded.schema.jsonValue(),
-                },
+                meta,
             )
         except Exception:
             import shutil
@@ -334,17 +631,17 @@ class LshBucketStore:
         ``prune`` -- whether the scan's file list is bloom-pruned
         first: the batch's distinct ``band|bucket`` keys probe each
         delta file's bk2 filter through the shared mutation-skipping
-        front-end (CowTable._candidate_files, executor-side past the
-        driver cap), so a delta holding none of the batch's buckets
-        is never read.  No false negatives: pruning can only ADD
-        files, the SUM(df) cap arithmetic is unchanged.  Default None
-        = auto, prune only when the average file exceeds the measured
-        rows-per-file crossover (``PROBE_PRUNE_MIN_ROWS_PER_FILE`` --
-        tiny counts files scan faster than their metadata prunes,
-        production-sized deltas prune from the first file).
-        ``self.last_probe`` records files_total/files_probed/probe
-        path per call.  Returns an empty frame when the store does
-        not exist yet."""
+        front-end (CowTable._candidate_files; driver-side for
+        delta-sized key batches, executor-side past
+        ``PROBE_DRIVER_MODE_MAX_KEYS``), so a delta holding none of
+        the batch's buckets is never read.  No false negatives:
+        pruning can only ADD files, the SUM(df) cap arithmetic is
+        unchanged.  Default None = auto: the measured cost model
+        decides (:func:`_auto_prune` -- scan cost vs the planned
+        mode's prune cost, saturation-gated; calibrated per
+        deployment via :meth:`calibrate`).  ``self.last_probe``
+        records files_total/files_probed/probe path per call.
+        Returns an empty frame when the store does not exist yet."""
         if not self.exists():
             return (
                 batch_bands.select("doc_id")
@@ -355,35 +652,31 @@ class LshBucketStore:
         v = t.version()
         all_files = t.files(v)
         doc = t._commit_doc(v)
-        if prune is None:
-            prune = _auto_prune(doc, len(all_files))
+        auto = prune is None
+        cal = _load_cal(self.path) if auto else None
+        if auto:
+            # optimistic pre-gate (cheapest-mode costing): zero jobs;
+            # a store too small for EITHER prune mode scans without
+            # ever counting the batch's keys
+            prune = _auto_prune(doc, len(all_files), cal)
         files, mode = all_files, None
         if prune:
             keys = batch_bands.select(
                 self._bk2(F.col("band_idx"), F.col("bucket")).alias("_mk")
             ).distinct()
-            try:
-                files, mode = t._candidate_files(
-                    keys, "bk2", v, "distributed"
+            kmode = _plan_probe_mode(keys)
+            # re-check the economics under the ACTUAL mode (a batch
+            # too big for the driver path pays the executor-side
+            # fixed job, which may not repay on this store)
+            if not auto or _auto_prune(doc, len(all_files), cal, kmode):
+                files, mode = _prune_files(
+                    self, keys, "bk2", v, all_files, kmode
                 )
-                self._probe_fallbacks = 0
-            except Exception as exc:
-                # full scan is always CORRECT (pruning only drops
-                # provably-unmatchable files), but a prune that fails
-                # every call must surface (_PROBE_FALLBACK_MAX).
-                self._probe_fallbacks += 1
-                if self._probe_fallbacks >= _PROBE_FALLBACK_MAX:
-                    raise RuntimeError(
-                        f"store probe bloom-prune failed "
-                        f"{self._probe_fallbacks} consecutive times at "
-                        f"{self.path} -- every ingest is paying a full "
-                        "index scan"
-                    ) from exc
-                files, mode = all_files, None
         self.last_probe = {
             "files_total": len(all_files),
             "files_probed": len(files),
             "bloom_probe": mode,
+            "prune_fallbacks": self._probe_fallbacks,
         }
         idx = t._read_files(
             files, t._snapshot_schema(v), t._dv_map(doc)
@@ -405,6 +698,20 @@ class LshBucketStore:
         )
         _assert_no_shuffle_join(hits, os.path.basename(self.path))
         return hits
+
+    def calibrate(
+        self, batch_bands: DataFrame, df_cap: int = DEFAULT_DF_CAP
+    ) -> dict:
+        """Measure THIS deployment's prune marginals against the live
+        store (one forced-scan probe + one forced-prune probe of
+        ``batch_bands``) and persist them as ``_log/prune_cal.json``;
+        subsequent auto probes and the next :meth:`fold`'s commit meta
+        use them instead of the module constants
+        (:func:`_measure_cal` for the model and caveats)."""
+        bands = batch_bands.localCheckpoint(eager=True)
+        return _measure_cal(
+            self, lambda p: self.probe(bands, df_cap, prune=p).count()
+        )
 
     # -- the full per-ingest step -------------------------------------
 
@@ -504,47 +811,49 @@ class FingerprintStore:
         """Distinct ``fp`` values of ``batch_fps`` already present in
         the store: index scan -> broadcast semi-join against the
         batch's distinct fingerprints (same no-index-shuffle contract
-        as :meth:`LshBucketStore.probe`, asserted).  ``prune`` (auto
-        past the ``PROBE_PRUNE_MIN_ROWS_PER_FILE`` rows-per-file
-        crossover, same rationale) bloom-prunes the scan to the files
-        that may hold a batch fingerprint -- md5 keys leave nothing
-        else to prune on; ``self.last_probe`` records the evidence."""
+        as :meth:`LshBucketStore.probe`, asserted).  ``prune`` (auto:
+        the same measured cost-model decision, :func:`_auto_prune`)
+        bloom-prunes the scan to the files that may hold a batch
+        fingerprint -- md5 keys leave nothing else to prune on;
+        ``self.last_probe`` records the evidence."""
         if not self.exists():
             return batch_fps.select("fp").filter(F.lit(False)).distinct()
         t = self.table
         v = t.version()
         all_files = t.files(v)
         doc = t._commit_doc(v)
-        if prune is None:
-            prune = _auto_prune(doc, len(all_files))
+        auto = prune is None
+        cal = _load_cal(self.path) if auto else None
+        if auto:
+            prune = _auto_prune(doc, len(all_files), cal)
         files, mode = all_files, None
         if prune:
             keys = batch_fps.select(F.col("fp").alias("_mk")).distinct()
-            try:
-                files, mode = t._candidate_files(
-                    keys, "fp", v, "distributed"
+            kmode = _plan_probe_mode(keys)
+            if not auto or _auto_prune(doc, len(all_files), cal, kmode):
+                files, mode = _prune_files(
+                    self, keys, "fp", v, all_files, kmode
                 )
-                self._probe_fallbacks = 0
-            except Exception as exc:
-                self._probe_fallbacks += 1
-                if self._probe_fallbacks >= _PROBE_FALLBACK_MAX:
-                    raise RuntimeError(
-                        f"store probe bloom-prune failed "
-                        f"{self._probe_fallbacks} consecutive times at "
-                        f"{self.path} -- every ingest is paying a full "
-                        "index scan"
-                    ) from exc
-                files, mode = all_files, None
         self.last_probe = {
             "files_total": len(all_files),
             "files_probed": len(files),
             "bloom_probe": mode,
+            "prune_fallbacks": self._probe_fallbacks,
         }
         hits = t._read_files(
             files, t._snapshot_schema(v), t._dv_map(doc)
         ).join(F.broadcast(batch_fps.select("fp").distinct()), "fp", "left_semi").select("fp")
         _assert_no_shuffle_join(hits, os.path.basename(self.path))
         return hits
+
+    def calibrate(self, batch_fps: DataFrame) -> dict:
+        """LshBucketStore.calibrate for the fingerprint set: measure
+        this deployment's prune marginals and persist them
+        (:func:`_measure_cal`)."""
+        fps = batch_fps.localCheckpoint(eager=True)
+        return _measure_cal(
+            self, lambda p: self.probe(fps, prune=p).count()
+        )
 
     def ingest(self, batch_fps: DataFrame) -> tuple[DataFrame, dict]:
         """One exact-dedup step over ``batch_fps`` ``(doc_id, fp)``:

@@ -340,8 +340,20 @@ def _bloom_buf(hx: str, m: int) -> bytes:
     per filter makes each subsequent bit test one indexed byte op
     instead of an O(m) big-int shift (CPython materializes a fresh
     cap-sized integer per ``bits >> p`` -- measured ~1000x slower at
-    the 1 MiB cap: ~130 us/test vs ~0.3 us on this buffer)."""
-    return int(hx, 16).to_bytes((m + 7) // 8, "little")
+    the 1 MiB cap: ~130 us/test vs ~0.3 us on this buffer).
+
+    Raises ValueError on a corrupt entry -- non-hex payload, or a
+    payload wider than the recorded ``m`` (OverflowError from
+    ``to_bytes``, re-raised as ValueError so every decode site handles
+    ONE exception type).  Callers treat that as "entry absent": an
+    unreadable sidecar means no skipping, never a crashed read
+    (ADVICE r17)."""
+    try:
+        return int(hx, 16).to_bytes((m + 7) // 8, "little")
+    except OverflowError as exc:
+        raise ValueError(
+            f"bloom sidecar bitmap wider than its recorded m={m}"
+        ) from exc
 
 
 def _file_bloom(path: str, col: str, conf: dict) -> dict:
@@ -360,12 +372,23 @@ def _file_bloom(path: str, col: str, conf: dict) -> dict:
     import pyarrow.parquet as pq
 
     k = int(conf.get("k", _BLOOM_K_DEFAULT))
+    bpk = int(conf.get("bpk", _BLOOM_BITS_PER_KEY))
     table = pq.read_table(path, columns=[col])
     m = _bloom_size(
         table.num_rows,
-        int(conf.get("bpk", _BLOOM_BITS_PER_KEY)),
+        bpk,
         int(conf.get("m", _BLOOM_BITS_DEFAULT)),
     )
+    if table.num_rows > 0 and table.num_rows * bpk > _BLOOM_BITS_MAX:
+        # The 1 MiB cap bit: this file gets fewer effective bits/key
+        # than the conf requested, and the conf's k -- tuned for the
+        # full bpk -- would over-set the capped bitmap toward density
+        # ~1 (fpp -> 1, the filter prunes nothing).  Shrink k toward
+        # the capped ratio's optimum (m/n * ln2): fpp degrades to
+        # ~0.5^k_eff instead of collapsing.  Each entry records its
+        # own k, so capped and uncapped files coexist in one index;
+        # probes read the entry's k and stay bit-consistent.
+        k = max(1, min(k, round(m / table.num_rows * 0.6931471805599453)))
     buf = bytearray(m // 8)  # _bloom_size rounds m to whole words
     for chunk in table.column(0).chunks:
         for v in chunk:
@@ -389,12 +412,42 @@ def _bloom_entry(e, doc: dict) -> tuple[str, int, int]:
     return e["h"], int(e["m"]), int(e["k"])
 
 
+#: Process-level cache of DECODED sidecar bitmaps, keyed by
+#: (log_dir, sidecar name[, basename for legacy-monolith entries]).
+#: Safe by construction: sidecars are immutable once written
+#: (token-named, atomic tmp+rename, never rewritten), so a decoded
+#: buffer can never go stale.  Bounded by total buffer BYTES
+#: (evict-oldest) -- repeated probes of the same store (every
+#: per-batch ingest pipeline) stop re-reading and re-decoding
+#: megabytes of hex per file per call: measured ~14 ms/file at the
+#: 1 MiB cap, ~0 on a cache hit.
+_BLOOM_BUF_CACHE: dict = {}
+_BLOOM_BUF_CACHE_MAX_BYTES = 128 << 20
+_BLOOM_BUF_CACHE_BYTES = [0]  # running total (1-elem list: mutable)
+
+
+def _bloom_buf_cache_put(key, buf) -> None:
+    while (
+        _BLOOM_BUF_CACHE
+        and _BLOOM_BUF_CACHE_BYTES[0] + len(buf[0]) > _BLOOM_BUF_CACHE_MAX_BYTES
+    ):
+        old = _BLOOM_BUF_CACHE.pop(next(iter(_BLOOM_BUF_CACHE)))
+        _BLOOM_BUF_CACHE_BYTES[0] -= len(old[0])
+    _BLOOM_BUF_CACHE[key] = buf
+    _BLOOM_BUF_CACHE_BYTES[0] += len(buf[0])
+
+
 class _BloomIndex:
     """Lazy per-file view of a snapshot's bloom entries
-    (:meth:`CowTable._bloom_index`).  ``entry(basename)`` returns
-    ``(hex, m, k)`` or None, loading per-file ``.bf.json`` sidecars on
-    first access (memoized) and falling back to the legacy monolith's
-    map for files written before the per-file switch.  Probe cost is
+    (:meth:`CowTable._bloom_index`).  ``entry(basename)`` returns the
+    DECODED ``(buf, m, k)`` or None, loading per-file ``.bf.json``
+    sidecars on first access (memoized per instance + the process-
+    level ``_BLOOM_BUF_CACHE`` across instances) and falling back to
+    the legacy monolith's map for files written before the per-file
+    switch.  A corrupt entry -- unreadable JSON, non-hex payload, or
+    a payload wider than its recorded m -- decodes to None here, in
+    ONE place, so every probe path uniformly treats it as "no
+    skipping" instead of crashing (ADVICE r17).  Probe cost is
     O(candidates consulted), never O(index): a range-refuted file's
     sidecar is never opened."""
 
@@ -407,29 +460,36 @@ class _BloomIndex:
         self._names = names or {}
         self._cache: dict = {}
 
-    def covers(self, basename: str) -> bool:
-        return (
-            basename in self._names
-            or basename in self._legacy.get("files", {})
-        )
-
     def entry(self, basename: str):
         if basename in self._cache:
             return self._cache[basename]
         out = None
         name = self._names.get(basename)
         if name:
-            try:
-                with open(os.path.join(self._log_dir, name)) as f:
-                    e = json.load(f)
-                if e.get("col") in (None, self.col):
-                    out = (e["h"], int(e["m"]), int(e["k"]))
-            except (OSError, ValueError, KeyError):
-                out = None  # unreadable sidecar: no skipping, no error
+            ck = (self._log_dir, name)
+            out = _BLOOM_BUF_CACHE.get(ck)
+            if out is None:
+                try:
+                    with open(os.path.join(self._log_dir, name)) as f:
+                        e = json.load(f)
+                    if e.get("col") in (None, self.col):
+                        m, k = int(e["m"]), int(e["k"])
+                        out = (_bloom_buf(e["h"], m), m, k)
+                        _bloom_buf_cache_put(ck, out)
+                except (OSError, ValueError, KeyError):
+                    out = None  # corrupt/unreadable: no skip, no error
         if out is None:
             e = self._legacy.get("files", {}).get(basename)
             if e is not None:
-                out = _bloom_entry(e, self._legacy)
+                ck = (self._log_dir, "#legacy", basename)
+                out = _BLOOM_BUF_CACHE.get(ck)
+                if out is None:
+                    try:
+                        hx, m, k = _bloom_entry(e, self._legacy)
+                        out = (_bloom_buf(hx, m), m, k)
+                        _bloom_buf_cache_put(ck, out)
+                    except (ValueError, KeyError, TypeError):
+                        out = None
         self._cache[basename] = out
         return out
 
@@ -450,7 +510,10 @@ def _bloom_any_hit(buf: bytes, m: int, k: int, hashes) -> bool:
 
 
 def _bloom_maybe_contains(hex_bits: str, value, m: int, k: int, tz=None) -> bool:
-    buf = _bloom_buf(hex_bits, m)
+    try:
+        buf = _bloom_buf(hex_bits, m)
+    except ValueError:
+        return True  # corrupt entry: maybe-present, file is scanned
     return all(
         buf[p >> 3] >> (p & 7) & 1
         for p in _bloom_positions(value, m, k, tz)
@@ -871,11 +934,18 @@ class CowTable:
             return stats
         col = conf["col"]
         base = {os.path.basename(f): f for f in files}
-        parent_names = pdoc.get("bloom_files") or {}
+        # A parent index on a DIFFERENT column is useless -- per-file
+        # names and the legacy monolith alike (ADVICE r17: carrying
+        # parent names without the col check left wrong-column
+        # sidecars attached forever; entry() rejected them at probe
+        # time, so those files silently lost pruning instead of being
+        # re-indexed as "missing" here).  Each entry records its own
+        # m/k, so a SIZING conf change only re-sizes NEW files.
+        parent_col = (pdoc.get("bloom_conf") or {}).get("col")
+        parent_names = (
+            pdoc.get("bloom_files") or {} if parent_col == col else {}
+        )
         legacy = self._bloom_doc(pdoc) if pdoc.get("bloom_sidecar") else None
-        # A parent index on a DIFFERENT column is useless; each legacy
-        # entry records its own m/k, so a conf change only re-sizes
-        # NEW files.
         legacy_files = (
             (legacy or {}).get("files", {})
             if (legacy or {}).get("col") == col
@@ -1747,8 +1817,8 @@ class CowTable:
             if entry is not None:
                 live = [h for ok, h in zip(in_range, hashes) if ok]
                 if all(h is not None for h in live):
-                    hx, m, k = entry
-                    if not _bloom_any_hit(_bloom_buf(hx, m), m, k, live):
+                    buf, m, k = entry
+                    if not _bloom_any_hit(buf, m, k, live):
                         skipped_bloom += 1
                         continue
             scan.append(f)
@@ -1847,8 +1917,7 @@ class CowTable:
             b = os.path.basename(f)
             e = bidx.entry(b) if bidx is not None else None
             if e is not None:
-                hx, m, k = e
-                entries[b] = (_bloom_buf(hx, m), m, k)
+                entries[b] = e  # already-decoded (buf, m, k)
         if not entries:
             return candidates
         tzi = _session_tz(self.spark)
@@ -2641,10 +2710,8 @@ class CowTable:
                                 if e is None:
                                     kept_cand.append(f)
                                     continue
-                                hx, m_b, k_b = e
-                                if _bloom_any_hit(
-                                    _bloom_buf(hx, m_b), m_b, k_b, hashes
-                                ):
+                                buf, m_b, k_b = e
+                                if _bloom_any_hit(buf, m_b, k_b, hashes):
                                     kept_cand.append(f)
                             candidates = kept_cand
                             bloom_mode = "driver"

