@@ -191,8 +191,10 @@ def _auto_prune(
         return False
     stats = doc.get("file_stats", {})
     rows = sum(int(s.get("rows", 0)) for s in stats.values())
-    bpk = (doc.get("bloom_conf") or {}).get("bpk")
-    if bpk and rows / n_files * float(bpk) > _BLOOM_BITS_MAX:
+    conf = doc.get("bloom_conf") or {}
+    bpk = conf.get("bpk")
+    cap = float(conf.get("mcap") or _BLOOM_BITS_MAX)
+    if bpk and rows / n_files * float(bpk) > cap:
         return False  # capped filters cannot refute a batch probe
     eff = _eff_cal(doc, cal)
     scan_s = rows * eff["us_per_row"] / 1e6
@@ -368,6 +370,7 @@ class LshBucketStore:
         path: str,
         bloom_bits_per_key: int = 32,
         bloom_k: int = 22,
+        bloom_bits_max: int | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -385,9 +388,16 @@ class LshBucketStore:
         #: against hundreds of files still false-hits ~zero).  Lower
         #: k trades build CPU for fpp headroom -- k=11 at 32 bpk is
         #: still ~1e-6 per key, half the build cost (the r18
-        #: prune_win bench store uses it).
+        #: prune_win bench store uses it).  ``bloom_bits_max`` raises
+        #: the per-file bitmap cap for stores whose folded files run
+        #: past ~262k rows (32 bpk saturates the default 1 MiB cap
+        #: there and batch pruning turns off -- CowTable.create
+        #: docstring).
         self.bloom_bits_per_key = int(bloom_bits_per_key)
         self.bloom_k = int(bloom_k)
+        self.bloom_bits_max = (
+            int(bloom_bits_max) if bloom_bits_max is not None else None
+        )
 
     @property
     def table(self) -> CowTable:
@@ -480,6 +490,7 @@ class LshBucketStore:
                 bloom_col="bk2",
                 bloom_bits_per_key=self.bloom_bits_per_key,
                 bloom_k=self.bloom_k,
+                bloom_bits_max=self.bloom_bits_max,
             )
             return t._commit_doc(0)
         last = self._max_ingest_prefix()

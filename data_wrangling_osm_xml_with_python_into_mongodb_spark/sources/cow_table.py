@@ -324,11 +324,14 @@ def _bloom_positions(value, m: int, k: int, tz=None) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _bloom_size(rows: int, bpk: int, floor_m: int) -> int:
+def _bloom_size(rows: int, bpk: int, floor_m: int, cap: int | None = None) -> int:
     """Per-file filter size in bits: rows * bits-per-key, floored and
-    capped, rounded up to whole 64-bit words."""
+    capped, rounded up to whole 64-bit words.  ``cap`` defaults to
+    the module cap; tables created with ``bloom_bits_max`` raise it
+    (conf ``mcap``) so large files stay BATCH-prunable -- see
+    :meth:`CowTable.create`."""
     m = max(int(floor_m), int(rows) * int(bpk))
-    m = min(m, _BLOOM_BITS_MAX)
+    m = min(m, int(cap) if cap else _BLOOM_BITS_MAX)
     return ((m + 63) // 64) * 64
 
 
@@ -373,13 +376,15 @@ def _file_bloom(path: str, col: str, conf: dict) -> dict:
 
     k = int(conf.get("k", _BLOOM_K_DEFAULT))
     bpk = int(conf.get("bpk", _BLOOM_BITS_PER_KEY))
+    cap = int(conf.get("mcap") or _BLOOM_BITS_MAX)
     table = pq.read_table(path, columns=[col])
     m = _bloom_size(
         table.num_rows,
         bpk,
         int(conf.get("m", _BLOOM_BITS_DEFAULT)),
+        cap,
     )
-    if table.num_rows > 0 and table.num_rows * bpk > _BLOOM_BITS_MAX:
+    if table.num_rows > 0 and table.num_rows * bpk > cap:
         # The 1 MiB cap bit: this file gets fewer effective bits/key
         # than the conf requested, and the conf's k -- tuned for the
         # full bpk -- would over-set the capped bitmap toward density
@@ -1471,6 +1476,7 @@ class CowTable:
         bloom_bits: int = _BLOOM_BITS_DEFAULT,
         bloom_k: int = _BLOOM_K_DEFAULT,
         bloom_bits_per_key: int = _BLOOM_BITS_PER_KEY,
+        bloom_bits_max: int | None = None,
         change_feed: bool = False,
         dv_max_dead: int | None = None,
     ) -> "CowTable":
@@ -1484,7 +1490,21 @@ class CowTable:
         grow.  ``bloom_col`` must be one of the dtypes the key encoder
         supports (``_BLOOM_SUPPORTED_DTYPES``) -- unsupported types
         (decimal, timestamp_ntz, nested) fail HERE, not as an
-        executor-side TypeError mid-commit."""
+        executor-side TypeError mid-commit.
+
+        ``bloom_bits_max`` raises the per-file bitmap CAP above the
+        module default (1 MiB of bits, i.e. ~262k rows at 32
+        bits/key, ~838k at the default 10): past the cap a file's
+        filter is smaller than rows*bpk, per-key fpp degrades, and --
+        the expensive half -- BATCH probes (any-of-N-keys semantics,
+        the store-probe and merge-prune shape) false-hit essentially
+        every file, so batch pruning silently turns off
+        (lsh_store._auto_prune gates on exactly this).  A table whose
+        compacted files run millions of rows pays ``rows * bpk / 8``
+        bytes of sidecar per file for keeping them prunable -- e.g.
+        ``bloom_bits_max=1 << 27`` covers 4M-row files at 32 bpk for
+        16 MiB of bitmap each.  Sizing is per-entry metadata, so
+        tables with mixed eras/caps coexist in one index."""
         t = cls(spark, path)
         if t.version() >= 0:
             raise FileExistsError(f"CowTable already exists at {path}")
@@ -1516,6 +1536,13 @@ class CowTable:
                 "col": bloom_col, "m": int(bloom_bits), "k": int(bloom_k),
                 "bpk": int(bloom_bits_per_key),
             }
+            if bloom_bits_max is not None:
+                if int(bloom_bits_max) < int(bloom_bits):
+                    raise ValueError(
+                        "bloom_bits_max must be >= bloom_bits (the "
+                        "per-file floor)"
+                    )
+                stats["bloom_conf"]["mcap"] = int(bloom_bits_max)
         files, fstats, _ = t._write_data_files(df, 0)
         stats["files_written"] = len(files)
         stats["file_stats"] = fstats

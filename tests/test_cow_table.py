@@ -2129,3 +2129,59 @@ def test_file_bloom_adapts_k_when_capped(tmp_path):
         for i in range(200)
     )
     assert false_hits <= 5, false_hits
+
+
+def test_bloom_bits_max_raises_the_cap_per_table(spark, tmp_path):
+    """r18: tables whose compacted files run past the default 1 MiB
+    bitmap cap can opt into a bigger cap at create
+    (``bloom_bits_max`` -> conf ``mcap``): files then keep their full
+    rows*bpk sizing (batch-prunable), and the saturation gate in
+    lsh_store._auto_prune honors the raised cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.operators.lsh_store import (
+        _auto_prune,
+    )
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        _BLOOM_BITS_MAX,
+        _file_bloom,
+    )
+
+    # write-side: same 200k-row file as the adapt-k test, but with a
+    # raised cap -- the filter keeps full sizing and the conf's k
+    n = 200_000
+    path = str(tmp_path / "big2.parquet")
+    pq.write_table(pa.table({"k": [f"key{i:07d}" for i in range(n)]}), path)
+    conf = {"col": "k", "m": 8192, "k": 12, "bpk": 64, "mcap": 1 << 24}
+    entry = _file_bloom(path, "k", conf)
+    assert entry["m"] == n * 64  # 12.8M bits: past the DEFAULT cap
+    assert entry["m"] > _BLOOM_BITS_MAX
+    assert entry["k"] == 12  # no cap -> no k adaptation
+
+    # decision-side: 400k rows/file saturates at the default cap but
+    # not under mcap, so the gate defers to the economics
+    def doc(mcap=None):
+        conf = {"col": "bk2", "bpk": 32}
+        if mcap:
+            conf["mcap"] = mcap
+        return {
+            "file_stats": {f"f{i}": {"rows": 400_000} for i in range(40)},
+            "bloom_conf": conf,
+        }
+
+    assert not _auto_prune(doc(), 40)          # default cap: saturated
+    assert _auto_prune(doc(1 << 27), 40)       # raised cap: prunes
+
+    # create() validates and persists the cap
+    df = spark.range(100).selectExpr("printf('%06d', id) AS k", "id AS v")
+    t = CowTable.create(
+        spark, str(tmp_path / "mcap"), df, bloom_col="k",
+        bloom_bits_max=1 << 25,
+    )
+    assert t._commit_doc(0)["bloom_conf"]["mcap"] == 1 << 25
+    with pytest.raises(ValueError, match="bloom_bits_max"):
+        CowTable.create(
+            spark, str(tmp_path / "mcap2"), df, bloom_col="k",
+            bloom_bits=8192, bloom_bits_max=100,
+        )
