@@ -907,7 +907,7 @@ def _incr_dedup_stats(spark, n_delta: int = 25_000, n_batch: int = 5_000) -> dic
 
 def _prune_win_stats(
     spark,
-    n_ingests: int = 10,
+    n_ingests: int = 14,
     docs_per_ingest: int = 250_000,
     batch_docs: int = 2_000,
 ) -> dict:
@@ -921,7 +921,10 @@ def _prune_win_stats(
     delta-sized batch (~8k keys: driver mode) is probed three ways:
     forced scan, forced bloom-prune, and auto (which must pick prune
     UNFORCED).  ``calibrate()`` then re-derives the marginals from
-    this box's measured walls.
+    this box's measured walls.  14 ingests, not the minimal 10: the
+    scan-vs-prune differential grows with index size while the prune
+    overhead stays constant, and at 10 ingests the ~0.5 s margin sat
+    inside this host's noise band (measured both ways across runs).
 
     The SECOND half demonstrates the rule's r18 saturation term: the
     same rows folded into ~600k-row files push rows*bpk past the

@@ -223,18 +223,23 @@ def _assert_no_shuffle_join(df: DataFrame, what: str) -> None:
             )
 
 
-def _plan_probe_mode(keys: DataFrame) -> str:
+def _plan_probe_mode(keys: DataFrame) -> tuple[str, list | None]:
     """Which bloom-prune mode a batch's key count calls for: driver
-    (collect + in-process sidecar tests, no extra Spark job) at or
-    below ``PROBE_DRIVER_MODE_MAX_KEYS`` distinct keys, executor-side
-    above.  One bounded narrow job over the (checkpointed, delta-
-    sized) batch."""
-    n = keys.limit(PROBE_DRIVER_MODE_MAX_KEYS + 1).count()
-    return "driver" if n <= PROBE_DRIVER_MODE_MAX_KEYS else "distributed"
+    (in-process sidecar tests, no extra Spark job) at or below
+    ``PROBE_DRIVER_MODE_MAX_KEYS`` distinct keys, executor-side
+    above.  One bounded job over the (checkpointed, delta-sized)
+    batch -- and in the driver case the COLLECTED rows come back with
+    the mode, so the prune itself never re-collects (the planning job
+    IS the driver path's fixed cost)."""
+    rows = keys.limit(PROBE_DRIVER_MODE_MAX_KEYS + 1).collect()
+    if len(rows) <= PROBE_DRIVER_MODE_MAX_KEYS:
+        return "driver", rows
+    return "distributed", None
 
 
 def _prune_files(
-    store, keys: DataFrame, col: str, version: int, all_files, mode: str
+    store, keys: DataFrame, col: str, version: int, all_files, mode: str,
+    probe_rows: list | None = None,
 ):
     """The shared prune-with-fallback step of both stores' probes:
     try the bloom file-prune in the planned ``mode``; on failure fall
@@ -248,7 +253,7 @@ def _prune_files(
     hard-fail."""
     try:
         files, got_mode = store.table._candidate_files(
-            keys, col, version, mode
+            keys, col, version, mode, probe_rows=probe_rows
         )
         store._probe_fallbacks = 0
         return files, got_mode
@@ -675,13 +680,14 @@ class LshBucketStore:
             keys = batch_bands.select(
                 self._bk2(F.col("band_idx"), F.col("bucket")).alias("_mk")
             ).distinct()
-            kmode = _plan_probe_mode(keys)
+            kmode, krows = _plan_probe_mode(keys)
             # re-check the economics under the ACTUAL mode (a batch
             # too big for the driver path pays the executor-side
             # fixed job, which may not repay on this store)
             if not auto or _auto_prune(doc, len(all_files), cal, kmode):
                 files, mode = _prune_files(
-                    self, keys, "bk2", v, all_files, kmode
+                    self, keys, "bk2", v, all_files, kmode,
+                    probe_rows=krows,
                 )
         self.last_probe = {
             "files_total": len(all_files),
@@ -840,10 +846,11 @@ class FingerprintStore:
         files, mode = all_files, None
         if prune:
             keys = batch_fps.select(F.col("fp").alias("_mk")).distinct()
-            kmode = _plan_probe_mode(keys)
+            kmode, krows = _plan_probe_mode(keys)
             if not auto or _auto_prune(doc, len(all_files), cal, kmode):
                 files, mode = _prune_files(
-                    self, keys, "fp", v, all_files, kmode
+                    self, keys, "fp", v, all_files, kmode,
+                    probe_rows=krows,
                 )
         self.last_probe = {
             "files_total": len(all_files),

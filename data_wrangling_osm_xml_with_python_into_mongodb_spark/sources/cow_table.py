@@ -2630,6 +2630,7 @@ class CowTable:
         key: str,
         base_version: int,
         bloom_probe: str | None = None,
+        probe_rows: list | None = None,
     ) -> tuple[list[str], str | None]:
         """Files of snapshot ``base_version`` that MAY contain a key of
         ``touch_keys`` -- the shared skipping front-end of every keyed
@@ -2704,9 +2705,16 @@ class CowTable:
                     use_dist = bloom_probe == "distributed"
                     probe = None
                     if not use_dist:
-                        probe = touch_keys.limit(
-                            _BLOOM_PRUNE_MAX_KEYS + 1
-                        ).collect()
+                        # callers that already collected the (bounded)
+                        # key batch to plan their probe mode pass it in
+                        # -- saves one job per driver-mode probe
+                        probe = (
+                            probe_rows
+                            if probe_rows is not None
+                            else touch_keys.limit(
+                                _BLOOM_PRUNE_MAX_KEYS + 1
+                            ).collect()
+                        )
                         if (
                             len(probe) > _BLOOM_PRUNE_MAX_KEYS
                             and bloom_probe != "driver"
