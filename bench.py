@@ -1025,8 +1025,34 @@ def _prune_win_stats(
                 out[f"{label}_evidence"] = dict(store.last_probe)
             return out
 
+        # a batch with ZERO planted keys isolates pure refutation:
+        # healthy filters refute every file for an all-fresh batch,
+        # saturated ones refute none.  (The planted batch cannot make
+        # this distinction on the FOLDED store -- the fold spreads
+        # ingest-0's buckets across every output file, so 17/17
+        # probed there is overdetermined: real hits AND saturation.)
+        bb_fresh = bands(
+            20_000_000, 20_000_000 + batch_docs
+        ).localCheckpoint(eager=True)
+
+        def fresh_probe(store):
+            best, hits = 1e9, -1
+            for _ in range(2):
+                t1 = time.time()
+                hits = store.probe(bb_fresh, prune=True).count()
+                best = min(best, time.time() - t1)
+            return {
+                "wall_s": round(best, 3),
+                "hits": int(hits),
+                **{
+                    k: store.last_probe[k]
+                    for k in ("files_total", "files_probed", "bloom_probe")
+                },
+            }
+
         win = measure(st)
         win["build_s"] = build_s
+        win["fresh_batch"] = fresh_probe(st)  # expect ~0 files probed
         # this box's measured marginals, persisted; the auto decision
         # afterwards rests on them instead of the module constants
         cal = st.calibrate(bb)
@@ -1049,6 +1075,38 @@ def _prune_win_stats(
         fold_s = round(time.time() - t0, 3)
         sat = measure(st)
         sat["fold_s"] = fold_s
+        # the clean saturation proof: an all-fresh batch a healthy
+        # filter set would refute 17/17 still probes 17/17 here
+        sat["fresh_batch"] = fresh_probe(st)
+
+        # ...and the per-table cap closes the hole: the SAME folded
+        # file shape (~800k rows/file) built under bloom_bits_max
+        # keeps full rows*bpk sizing, so the fresh batch is refuted
+        # completely again (create(bloom_bits_max=...) -> conf mcap)
+        mst = LshBucketStore(
+            spark, f"{work}/store_mcap", bloom_k=11,
+            bloom_bits_max=1 << 26,
+        )
+        t0 = time.time()
+        for i in range(4):
+            mst.append(
+                bands(i * docs_per_ingest, (i + 1) * docs_per_ingest), i
+            )
+        mst.fold(target_files=5)
+        mcap = {
+            "build_fold_s": round(time.time() - t0, 3),
+            "rows_per_file": int(
+                sum(
+                    int(s.get("rows", 0))
+                    for s in mst.table._commit_doc(mst.table.version())[
+                        "file_stats"
+                    ].values()
+                )
+                / max(1, len(mst.table.files()))
+            ),
+            "fresh_batch": fresh_probe(mst),  # expect 0/5 probed
+        }
+
         hits_set = {
             win["scan_hits"], win["pruned_hits"], win["auto_hits"],
             sat["scan_hits"], sat["pruned_hits"], sat["auto_hits"],
@@ -1056,6 +1114,7 @@ def _prune_win_stats(
         return {
             "win": win,
             "saturated": sat,
+            "mcap_raised": mcap,
             "hits_identical_everywhere": len(hits_set) == 1,
         }
     finally:
