@@ -95,6 +95,15 @@ class ConcurrentMergeConflictError(ConcurrentWriteError):
 # larger commits run one executor-side Spark job over the file list.
 _DRIVER_STATS_MAX = 16
 
+# Bloom BUILDS additionally fan out executor-side past this much total
+# parquet (whatever the file count): filter construction is O(rows x k)
+# CPU plus a column read per file, so a compaction/fold that leaves a
+# FEW huge files (the shape bloom_bits_max exists for) would otherwise
+# build multi-second filters serially on the driver while 31 executor
+# threads idle.  Footer-stats harvesting stays on the file-count rule
+# alone -- it reads only metadata, bytes don't predict its cost.
+_BLOOM_BUILD_DRIVER_MAX_BYTES = 64 << 20
+
 # Above this many distinct delete keys, merge() stops inlining them as
 # an isin() literal list (a Catalyst-plan / driver-memory hazard) and
 # switches to a join against the delete-key frame.  The inline path is
@@ -910,7 +919,17 @@ class CowTable:
             os.replace(tmp, os.path.join(log_dir, name))
             return os.path.basename(path), name
 
-        if len(files) <= _DRIVER_STATS_MAX:
+        total_bytes = 0
+        for f in files:
+            try:
+                total_bytes += os.path.getsize(f)
+            except OSError:
+                total_bytes = _BLOOM_BUILD_DRIVER_MAX_BYTES + 1
+                break  # unstatable locally: let the executors read it
+        if (
+            len(files) <= _DRIVER_STATS_MAX
+            and total_bytes <= _BLOOM_BUILD_DRIVER_MAX_BYTES
+        ):
             return dict(build_one(f) for f in files)
         sc = self.spark.sparkContext
         slices = min(len(files), sc.defaultParallelism)

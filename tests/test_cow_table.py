@@ -2185,3 +2185,38 @@ def test_bloom_bits_max_raises_the_cap_per_table(spark, tmp_path):
             spark, str(tmp_path / "mcap2"), df, bloom_col="k",
             bloom_bits=8192, bloom_bits_max=100,
         )
+
+
+def test_bloom_build_fans_out_by_bytes_not_just_file_count(
+    spark, tmp_path, monkeypatch
+):
+    """r18: a fold/compaction leaving a FEW huge files must not build
+    multi-second filters serially on the driver -- past the byte
+    threshold the build goes executor-side even under 16 files, and
+    the entries are identical either way."""
+    import data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table as ct
+
+    import json as _json
+
+    df = spark.range(3000).selectExpr("printf('%08d', id) AS k", "id AS v")
+    monkeypatch.setattr(ct, "_BLOOM_BUILD_DRIVER_MAX_BYTES", 1)
+    t = CowTable.create(
+        spark, str(tmp_path / "bb"), df.repartition(3), bloom_col="k"
+    )
+    doc = t._commit_doc(0)
+    assert len(t.files(0)) == 3  # under the FILE-count rule: the
+    # byte threshold alone sent this build executor-side
+    ld = os.path.join(t.path, "_log")
+    conf = doc["bloom_conf"]
+    by_base = {os.path.basename(f): f for f in t.files(0)}
+    for b, name in doc["bloom_files"].items():
+        with open(os.path.join(ld, name)) as fh:
+            got = _json.load(fh)
+        # strict parity: recompute THIS file's filter in-process
+        want = ct._file_bloom(by_base[b], "k", conf)
+        assert (got["h"], got["m"], got["k"]) == (
+            want["h"], want["m"], want["k"]
+        ), b
+    # and the lookups prune
+    assert t.read_point("k", "00000042").collect()[0]["v"] == 42
+    assert t.last_scan["files_skipped_bloom"] >= 1
