@@ -124,7 +124,9 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 _JAVA_WS_RE = None  # built lazily; keeps module import free of re cost
 
 
-def word_shingles_arrow(text: Column, k: int = 3) -> Column:
+def word_shingles_arrow(
+    text: Column, k: int = 3, *, eval_once: bool = False
+) -> Column:
     """Arrow-vectorized twin of :func:`word_shingles` -- identical
     output (pytest-pinned on edge cases and data), ~5x faster where
     doc count dominates, because the HOF path pays the expression
@@ -168,4 +170,19 @@ def word_shingles_arrow(text: Column, k: int = 3) -> Column:
     # pandas_udf's type-hint inference cannot resolve for a
     # function-local def.
     _sh.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    return pandas_udf(_sh, ArrayType(StringType()))(text)
+    udf = pandas_udf(_sh, ArrayType(StringType()))
+    if eval_once:
+        # The function IS deterministic; the flag only tells the
+        # optimizer it may not duplicate or move the call (guide
+        # §4.4).  Needed when the shingle ARRAY is kept as a named
+        # column that a later select explodes: the filter inferred
+        # from the generate (size(arr) > 0) otherwise gets pushed
+        # below the _spread exchange WITH ITS OWN COPY of the UDF --
+        # the plan then runs the Python shingling twice, and the
+        # first copy runs before the round-robin spread, i.e. on the
+        # scan's unsplit partitions (measured: 2 ArrowEvalPython
+        # nodes in plans/r18/dd2_ngram_jaccard_pairs_after.txt before
+        # this flag, 1 after; the inline-explode callers never hit
+        # the duplication and stay deterministic).
+        udf = udf.asNondeterministic()
+    return udf(text)

@@ -67,6 +67,63 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sized_shingles(docs: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id[, extra...], text) -> exploded (doc_id[, extra...],
+    n_sh, shingle) rows that CARRY the document's distinct-shingle
+    count, from ONE Arrow shingling pass.
+
+    The shingle array is a distinct set (word_shingles_arrow mirrors
+    DuckDB's list_distinct -- pytest-pinned), so ``size(arr)`` equals
+    the oracle's ``count(*) ... GROUP BY doc_id`` over the exploded
+    stream exactly.  Carrying n_sh (4 bytes) on each exploded row costs
+    a sliver of shuffle width and removes BOTH per-side "sizes" joins
+    AND their re-evaluations of the shingling subtree: the r17 dd2 plan
+    scanned documents and ran the Arrow UDF THREE times (once for
+    pairs, once per join side of sizes) -- guide §2.4/§4 applied, the
+    r18 plan does it once (plans/r18/dd2_*_{before,after}.txt)."""
+    base = docs.select(
+        "doc_id",
+        *extra,
+        # eval_once: without it the generate-inferred size(arr)>0
+        # filter is pushed below the spread exchange with a SECOND
+        # copy of the UDF (guide §4.4) -- see word_shingles_arrow.
+        TX.word_shingles_arrow(F.col("text"), 3, eval_once=True).alias("_sh"),
+    )
+    return base.select(
+        "doc_id",
+        *extra,
+        F.size("_sh").alias("n_sh"),
+        F.explode("_sh").alias("shingle"),
+    )
+
+
+def _sized_pairs(sh: DataFrame) -> DataFrame:
+    """df-capped candidate pairs with both sizes attached: one shuffle
+    on shingle, in-row pair expansion (bounded by PAIR_DF_CAP^2), one
+    pair-keyed aggregation -> (id_a, na, id_b, nb, n_common),
+    id_a < id_b.  n_sh is functionally dependent on doc_id, so folding
+    it into the grouping key changes no group."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
+        .select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 # Document-frequency cap for pair generation (dd2 shingles, dd3 LSH
 # buckets).  A stop-phrase shingle shared by D documents would expand to
 # D^2/2 candidate pairs inside ONE aggregated row -- a single task that
@@ -149,50 +206,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (stopword-trigram) shingles; here pair expansion is bounded by
     # the PAIR_DF_CAP df filter (see its comment), so no task exceeds
     # CAP^2 pairs per shingle.
-    sh = _shingles_df(spark, sf_dir)
-    # sizes from the exploded stream (count per doc).  A shuffle-free
-    # F.size(word_shingles(text)) variant was measured 2x SLOWER end to
-    # end: higher-order functions are interpreted (codegen fallback),
-    # and the sizes subtree is evaluated once per join side, so two
-    # extra interpreted shingle builds cost far more than this small
-    # codegen'd explode+count shuffle.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    #
+    # Sizes ride WITH the stream (r18, guide §2.4/§4.1): n_sh is
+    # size(shingle_array) computed next to the one Arrow evaluation and
+    # carried through both aggregations as a functionally-dependent
+    # grouping column.  The r17 form computed sizes as a separate
+    # explode+count over a SECOND shingling pass and joined it once per
+    # pair side -- 3 documents scans + 3 ArrowEvalPython nodes + 2
+    # joins; this form has 1 + 1 + 0 (plan diff in plans/r18/).  The
+    # per-query wall dropped 2.05 -> ~1.2 s at sf0.1; at corpus scale
+    # it removes two full scan+shingle passes and the |docs|-row sizes
+    # shuffle.
+    #
     # Pair generation as two Generate operators (posexplode + explode
     # over slice): every expression is codegen'd.  The previous nested
     # transform/flatten HOF form produced identical pairs but higher-
     # order functions are CodegenFallback -- measured 1.43s vs 1.21s
     # warm and 7.4s vs 1.75s cold (interpreted expression trees also
     # pay much more planning/codegen setup) at sf0.1.
-    common = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
-        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # No broadcast hint on sizes: locally AQE broadcasts it anyway
-    # (tiny), but at corpus scale sizes is |docs| rows while the capped
-    # candidate-pair set is the small side -- AQE picks the right side
-    # at runtime; a hard hint would force building a |docs|-sized hash
-    # table on every executor.
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    sh = _sized_shingles(_spread(_t(spark, sf_dir, "documents")))
     return (
-        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        _sized_pairs(sh)
         .select(
             "id_a",
             "id_b",
             F.round(
                 F.col("n_common").cast("double")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
         )
@@ -206,30 +246,14 @@ def _jaccard_edges(spark: SparkSession, sf_dir: str, threshold: float) -> DataFr
     Jaccard >= threshold (dd2's machinery, unrounded: the ratio of
     exact integer counts is the same double in every engine, so the
     threshold compare is portable without rounding)."""
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
-        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # Same single-pass carried-sizes shape as dd2 (r18; see
+    # _sized_shingles) -- one scan, one Arrow evaluation, zero joins.
+    sh = _sized_shingles(_spread(_t(spark, sf_dir, "documents")))
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        common.join(sa, F.col("id_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        _sized_pairs(sh)
         .filter(jac >= F.lit(threshold))
         .select("id_a", "id_b")
     )
@@ -965,22 +989,12 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the candidate set and both signature sides are
     doc-keyed equi-joins (signatures are |docs| x 16 ints -- tiny next
     to the shingle stream); the final agg has at most 17 groups."""
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
-        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    # r18: pairs carry both sizes (see _sized_shingles) -- the two
+    # per-side sizes joins and their duplicated shingling subtrees are
+    # gone; only the signature joins remain (sigs are a different
+    # doc-keyed aggregation, genuinely a second relation).
+    sh = _sized_shingles(_spread(_t(spark, sf_dir, "documents")))
+    pairs = _sized_pairs(sh)
     sig = _minhash_sig_df(spark, sf_dir)
     xa = sig.select(
         F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_N_PERM)]
@@ -993,12 +1007,10 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
         n_equal = term if n_equal is None else n_equal + term
     exact = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
     scored = (
-        pairs.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
-        .join(xa, "id_a")
+        pairs.join(xa, "id_a")
         .join(xb, "id_b")
         .select(n_equal.cast("long").alias("n_equal"), exact.alias("exact_jaccard"))
     )
@@ -1064,40 +1076,51 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle row, so the work is bounded by shared-shingle pairs, never
     |train| x |eval|.  At 100 TB the eval slice is benchmark-sized
     (thousands of docs); its shingle posting lists broadcast."""
-    sh = _shingles_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    member = _spread(_t(spark, sf_dir, "documents")).select(
-        "doc_id", (F.col("source") == EVAL_SOURCE).alias("is_eval")
+    # r18 single-pass form: membership is a column of the SAME scan
+    # that feeds the shingling (the r17 form joined a second documents
+    # scan onto the exploded stream), and sizes ride with the stream
+    # (see _sized_shingles).  Cross-membership pairs are generated
+    # inside the grouped shingle row exactly like dd2's, keeping only
+    # (train, eval) oriented pairs -- one scan, one Arrow evaluation,
+    # two shuffles, zero joins (was: three scans + five joins).
+    docs = _spread(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text", (F.col("source") == EVAL_SOURCE).alias("is_eval")
     )
-    tagged = sh.join(member, "doc_id")
-    train = tagged.filter(~F.col("is_eval")).select(
-        F.col("doc_id").alias("train_id"), "shingle"
-    )
-    ev = tagged.filter(F.col("is_eval")).select(
-        F.col("doc_id").alias("eval_id"), "shingle"
-    )
-    # df-cap on the full shingle stream (same key space as dd2).
-    keep_sh = (
+    sh = _sized_shingles(docs, "is_eval")
+    grouped = (
         sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= PAIR_DF_CAP)
-        .select("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "n_sh", "is_eval"))
+            ).alias("ids")
+        )
+        # same df-cap key space as dd2: the count is over ALL of the
+        # shingle's rows (df <= 1 yields no cross pair, as before)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
     )
-    common = (
-        train.join(keep_sh, "shingle")
-        .join(ev, "shingle")
-        .groupBy("train_id", "eval_id")
+    a_eval = F.col("a.is_eval")
+    pairs = (
+        grouped.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
+            ).alias("b"),
+        )
+        .filter(F.col("a.is_eval") != F.col("b.is_eval"))
+        .groupBy(
+            F.when(a_eval, F.col("b.doc_id")).otherwise(F.col("a.doc_id")).alias("train_id"),
+            F.when(a_eval, F.col("b.n_sh")).otherwise(F.col("a.n_sh")).alias("t_sh"),
+            F.when(a_eval, F.col("a.doc_id")).otherwise(F.col("b.doc_id")).alias("eval_id"),
+            F.when(a_eval, F.col("a.n_sh")).otherwise(F.col("b.n_sh")).alias("e_sh"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    st = sizes.select(F.col("doc_id").alias("train_id"), F.col("n_sh").alias("t_sh"))
-    se = sizes.select(F.col("doc_id").alias("eval_id"), F.col("n_sh").alias("e_sh"))
     jac = F.col("n_common").cast("double") / (
         F.col("t_sh") + F.col("e_sh") - F.col("n_common")
     )
     return (
-        common.join(st, "train_id")
-        .join(se, "eval_id")
-        .filter(jac >= F.lit(DECONTAM_JACCARD))
+        pairs.filter(jac >= F.lit(DECONTAM_JACCARD))
         .select("train_id", "eval_id", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -1292,8 +1315,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same scale shape as dd2 (ONE shingle shuffle, grouped in-row
-    pair expansion bounded by PAIR_DF_CAP^2 per shingle, candidate
-    set joined to broadcastable sizes) -- only the final scoring
+    pair expansion bounded by PAIR_DF_CAP^2 per shingle, sizes carried
+    with the stream -- see _sized_shingles) -- only the final scoring
     differs: the asymmetric denominator min(|A|,|B|) plus pair
     orientation, both cheap row expressions.  The planted-snippet
     derivation joins 250 host rows broadcast against the %11 slice,
@@ -1318,33 +1341,14 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived = _spread(
         docs.filter(F.col("doc_id") % 11 != 3).unionByName(snips)
     )
-    sh = derived.select(
-        "doc_id",
-        F.explode(TX.word_shingles_arrow(F.col("text"), 3)).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = (
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= PAIR_DF_CAP))
-        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select(
-            "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-            ).alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    # r18: carried sizes (see _sized_shingles) -- the two per-side
+    # sizes joins and their duplicated shingling subtrees are gone.
+    sh = _sized_shingles(derived)
     a_first = (F.col("na") < F.col("nb")) | (
         (F.col("na") == F.col("nb")) & (F.col("id_a") < F.col("id_b"))
     )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        _sized_pairs(sh)
         .select(
             F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias(
                 "id_small"
