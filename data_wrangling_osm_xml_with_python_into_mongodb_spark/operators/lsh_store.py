@@ -506,7 +506,17 @@ class LshBucketStore:
                 "-- refusing pre-commit; a reused id would overwrite "
                 "committed bucket counts"
             )
-        doc = self.table.merge(counts, "bk")
+        # Analytic touch envelope (r18): every bk of this delta is
+        # ``{prefix}|...`` and the charset after the prefix separator
+        # stays below '}' (digits, letters, '_', '|' -- all < 0x7D), so
+        # [prefix + '|', prefix + '}') covers the whole delta without
+        # the envelope agg job merge would otherwise run per commit.
+        # Covering-superset contract of _candidate_files: a wider
+        # bound only keeps more candidates, never skips a match.
+        pre = _ingest_prefix(ingest_id)
+        doc = self.table.merge(
+            counts, "bk", touch_envelope=(pre + "|", pre + "}")
+        )
         if doc["files_rewritten"]:
             # backstop only (e.g. stats-less legacy files made the
             # pre-check inconclusive) -- the pre-commit check above is

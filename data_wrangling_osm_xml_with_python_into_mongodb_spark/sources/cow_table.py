@@ -2480,6 +2480,7 @@ class CowTable:
         evolve_schema: bool = False,
         bloom_probe: str | None = None,
         strategy: str = "cow",
+        touch_envelope: tuple | None = None,
     ) -> dict:
         """``MERGE INTO`` this table: matched keys take the source row
         wholesale, unmatched source rows insert (operators/audits.
@@ -2591,7 +2592,7 @@ class CowTable:
             try:
                 return self._merge_attempt(
                     source, key, dk_vals, dk_df, meta, evolve_schema,
-                    bloom_probe, strategy,
+                    bloom_probe, strategy, touch_envelope,
                 )
             except ConcurrentMergeConflictError:
                 raise
@@ -2607,6 +2608,7 @@ class CowTable:
         evolve_schema: bool = False,
         bloom_probe: str | None = None,
         strategy: str = "cow",
+        touch_envelope: tuple | None = None,
     ) -> dict:
         """One optimistic attempt of :meth:`merge` against the current
         head.  On a lost commit race, classifies the failure: if the
@@ -2630,7 +2632,8 @@ class CowTable:
             ).distinct()
 
         candidates, bloom_mode = self._candidate_files(
-            touch_keys, key, base_version, bloom_probe
+            touch_keys, key, base_version, bloom_probe,
+            touch_envelope=touch_envelope,
         )
         finish = (
             self._finish_merge_mor
@@ -2650,6 +2653,7 @@ class CowTable:
         base_version: int,
         bloom_probe: str | None = None,
         probe_rows: list | None = None,
+        touch_envelope: tuple | None = None,
     ) -> tuple[list[str], str | None]:
         """Files of snapshot ``base_version`` that MAY contain a key of
         ``touch_keys`` -- the shared skipping front-end of every keyed
@@ -2666,12 +2670,26 @@ class CowTable:
         per-mutation candidate scan from O(table) to O(touched
         range); on a hash layout every file intersects and nothing is
         lost but the tiny agg.  Files without usable stats are always
-        candidates -- pruning is never a semantics change."""
+        candidates -- pruning is never a semantics change.
+
+        ``touch_envelope``: a caller-supplied ``(lo, hi)`` bound that
+        COVERS every source and delete key (a superset range).  When
+        given, the envelope agg job is skipped -- the range prune is
+        sound under any covering bound (a wider envelope only keeps
+        more candidates).  Callers must NOT pass a bound any touch key
+        can fall outside: an undersized envelope could skip a file
+        that holds a matched key.  Used by provably-disjoint appends
+        (operators/lsh_store: the ingest prefix is checked monotone
+        pre-commit, so the key range is known analytically) to save
+        one Spark job per commit (r18, guide §2.4)."""
         snapshot_files = self.files(base_version)
         candidates = snapshot_files
-        b = touch_keys.agg(
-            F.min("_mk").alias("lo"), F.max("_mk").alias("hi")
-        ).collect()[0]
+        if touch_envelope is not None:
+            b = {"lo": touch_envelope[0], "hi": touch_envelope[1]}
+        else:
+            b = touch_keys.agg(
+                F.min("_mk").alias("lo"), F.max("_mk").alias("hi")
+            ).collect()[0]
         if b["lo"] is not None:
             lo_e, hi_e = _enc_stat(b["lo"]), _enc_stat(b["hi"])
             if lo_e is not None and hi_e is not None:

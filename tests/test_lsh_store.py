@@ -704,3 +704,43 @@ def test_append_loses_race_to_fold_cleanly(spark, tmp_path, monkeypatch):
     assert doc["files_probed"] == 0 and doc["files_rewritten"] == 0
     hits = store.probe(_bands(spark, [(99, "третий text ee ff gg")]))
     assert [r["doc_id"] for r in hits.collect()] == [99]
+
+
+def test_append_envelope_matches_agg_derived_prune(spark, tmp_path):
+    """r18: append passes an analytic touch envelope so merge skips
+    the per-commit envelope agg job.  The envelope must prune exactly
+    like the agg-derived one on disjoint-prefix appends: zero files
+    probed or rewritten, and probe results identical to a store built
+    through the agg path (touch_envelope=None forced via raw merge)."""
+    rows = [(i, f"alpha beta gamma delta eps{i} zeta{i % 7} eta") for i in range(40)]
+    a = LshBucketStore(spark, str(tmp_path / "env"))
+    for t in range(3):
+        doc = a.append(_bands(spark, rows[t * 10: (t + 1) * 10 + 5]), t)
+        if t:
+            assert doc["files_probed"] == 0
+            assert doc["files_rewritten"] == 0
+
+    # agg-path twin: same deltas committed through merge() WITHOUT the
+    # envelope (what append did before r18)
+    from data_wrangling_osm_xml_with_python_into_mongodb_spark.sources.cow_table import (
+        CowTable,
+    )
+
+    b = LshBucketStore(spark, str(tmp_path / "agg"))
+    for t in range(3):
+        counts = b._counts(_bands(spark, rows[t * 10: (t + 1) * 10 + 5]), t)
+        if not b.exists():
+            CowTable.create(
+                spark, b.path, counts, bloom_col="bk2",
+                bloom_bits_per_key=b.bloom_bits_per_key, bloom_k=b.bloom_k,
+                bloom_bits_max=b.bloom_bits_max,
+            )
+        else:
+            doc = b.table.merge(counts, "bk")  # no envelope: agg job
+            assert doc["files_probed"] == 0
+            assert doc["files_rewritten"] == 0
+
+    probe = _bands(spark, rows[:8])
+    hits_a = {r.doc_id for r in a.probe(probe).collect()}
+    hits_b = {r.doc_id for r in b.probe(probe).collect()}
+    assert hits_a == hits_b and hits_a  # same hits, and real ones
