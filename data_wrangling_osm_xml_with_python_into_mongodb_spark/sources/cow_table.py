@@ -104,6 +104,14 @@ _DRIVER_STATS_MAX = 16
 # alone -- it reads only metadata, bytes don't predict its cost.
 _BLOOM_BUILD_DRIVER_MAX_BYTES = 64 << 20
 
+# ...and by total ROW count when the commit's footer stats are in hand
+# (r18): build cost is O(rows x k) Python CPU (~8 us/key measured at
+# k=22), so 150k keys across 12 small files -- under both gates above
+# -- still cost ~1.2 s serial on the driver while one ~0.3 s executor
+# job builds them 12-way parallel.  Crossover ~40k keys; 50k keeps a
+# margin so tiny commits never pay the job.
+_BLOOM_BUILD_DRIVER_MAX_ROWS = 50_000
+
 # Above this many distinct delete keys, merge() stops inlining them as
 # an isin() literal list (a Catalyst-plan / driver-memory hazard) and
 # switches to a join against the delete-key frame.  The inline path is
@@ -886,7 +894,8 @@ class CowTable:
         return _BloomIndex(_log_dir(self.path), col, legacy, names)
 
     def _harvest_bloom_files(
-        self, version: int, files: list[str], conf: dict
+        self, version: int, files: list[str], conf: dict,
+        rows_hint: dict | None = None,
     ) -> dict:
         """Compute a bloom filter per NEW data file and write each as
         its OWN sidecar ``{version}-{token}.bf.json`` (atomic tmp +
@@ -926,9 +935,29 @@ class CowTable:
             except OSError:
                 total_bytes = _BLOOM_BUILD_DRIVER_MAX_BYTES + 1
                 break  # unstatable locally: let the executors read it
+        # Third fan-out term (r18): total KEY COUNT, from the commit's
+        # already-harvested footer stats when the caller has them.
+        # Filter construction is O(rows x k) CPU (~8 us/key measured at
+        # k=22 on this box: 150k keys built serially in ~1.2 s inside
+        # m21's 12-file create, which passes both the file-count and
+        # byte gates); one executor job costs ~0.3 s fixed, so past
+        # ~40k keys the fan-out repays even for small-byte commits.
+        # Unknown rows (no hint) leave the decision to the other terms.
+        total_rows = None
+        if rows_hint is not None:
+            known = [
+                rows_hint.get(os.path.basename(f), {}).get("rows")
+                for f in files
+            ]
+            if all(r is not None for r in known):
+                total_rows = sum(int(r) for r in known)
         if (
             len(files) <= _DRIVER_STATS_MAX
             and total_bytes <= _BLOOM_BUILD_DRIVER_MAX_BYTES
+            and (
+                total_rows is None
+                or total_rows <= _BLOOM_BUILD_DRIVER_MAX_ROWS
+            )
         ):
             return dict(build_one(f) for f in files)
         sc = self.spark.sparkContext
@@ -981,7 +1010,10 @@ class CowTable:
             if b not in parent_names and b not in legacy_files
         ]
         fresh = (
-            self._harvest_bloom_files(version, missing, conf)
+            self._harvest_bloom_files(
+                version, missing, conf,
+                rows_hint=stats.get("file_stats"),
+            )
             if missing
             else {}
         )
@@ -2684,6 +2716,38 @@ class CowTable:
         one Spark job per commit (r18, guide §2.4)."""
         snapshot_files = self.files(base_version)
         candidates = snapshot_files
+        # Fused key probe (r18): when the table is bloom-indexed on
+        # this key, the bloom stage below needs a bounded collect of
+        # the touch keys anyway -- collect it FIRST and, when the
+        # batch fits, derive the range envelope from the same rows
+        # instead of running a separate agg job (one driver job per
+        # keyed mutation instead of two).  Python min/max is the same
+        # comparison _stat_cmp_ok applies later, restricted to
+        # str/int keys so float-NaN ordering quirks can never narrow
+        # the envelope.  Oversized batches fall back to the agg job
+        # and hand the collected rows to the distributed-probe sizing.
+        try:
+            has_bidx = (
+                self._bloom_index(self._commit_doc(base_version), key)
+                is not None
+            )
+        except TypeError:
+            has_bidx = False
+        if (
+            touch_envelope is None
+            and probe_rows is None
+            and bloom_probe != "distributed"
+            and has_bidx
+        ):
+            probe_rows = touch_keys.limit(
+                _BLOOM_PRUNE_MAX_KEYS + 1
+            ).collect()
+            if len(probe_rows) <= _BLOOM_PRUNE_MAX_KEYS:
+                nn = [r["_mk"] for r in probe_rows if r["_mk"] is not None]
+                if not nn:
+                    touch_envelope = (None, None)  # all-null: no match
+                elif all(isinstance(v, (str, int)) for v in nn):
+                    touch_envelope = (min(nn), max(nn))
         if touch_envelope is not None:
             b = {"lo": touch_envelope[0], "hi": touch_envelope[1]}
         else:
@@ -2983,9 +3047,17 @@ class CowTable:
         live = self._read_files(
             candidates, schema, dv_map, file_col="__dvf", pos_col="__dvp"
         )
-        matched = live.join(
-            touch_keys, live[key] == F.col("_mk"), "left_semi"
-        ).select("__dvf", "__dvp")
+        # Pinned eagerly so the cap-guard count and the grouped collect
+        # below share ONE scan+join of the candidate files (r18: the
+        # two actions otherwise each re-read every candidate -- the
+        # dominant cost of a DV mutation is exactly that scan).  The
+        # pinned frame is two small columns (file id, row position),
+        # bounded in the legitimate case by the delta's match count.
+        matched = (
+            live.join(touch_keys, live[key] == F.col("_mk"), "left_semi")
+            .select("__dvf", "__dvp")
+            .localCheckpoint(eager=True)
+        )
         n = matched.count()
         if n > _DV_COLLECT_MAX:
             raise ValueError(
@@ -3308,6 +3380,8 @@ class CowTable:
         if head < 0:
             raise FileNotFoundError(f"no CowTable at {self.path}")
         snap_schema = self._snapshot_schema(head)
+        envelope = None
+        probe_rows = None
         if values is not None:
             vals = (
                 list(values)
@@ -3321,11 +3395,26 @@ class CowTable:
                 [(v,) for v in vals],
                 StructType([StructField(key, ktype)]),
             )
+            # The touch keys are IN HAND as driver literals: derive the
+            # range-prune envelope and the (bounded) bloom probe set
+            # here instead of running one agg job + one limit-collect
+            # job to re-learn them from the frame just built (r18;
+            # the GDPR point-delete shape pays two fewer jobs per
+            # commit).  NULLs never match a join, so dropping them
+            # keeps the envelope exact.
+            nn = [v for v in vals if v is not None]
+            if nn:
+                try:
+                    envelope = (min(nn), max(nn))
+                except TypeError:
+                    envelope = None  # mixed/unorderable: fall back
+            if len(nn) <= _BLOOM_PRUNE_MAX_KEYS:
+                probe_rows = [{"_mk": v} for v in nn]
         if mode == "cow":
             empty = self.spark.createDataFrame([], snap_schema)
             return self.merge(
                 empty, key, deletes=deletes, retries=retries, meta=meta,
-                bloom_probe=bloom_probe,
+                bloom_probe=bloom_probe, touch_envelope=envelope,
             )
         dk = (
             deletes.select(F.col(key).alias("_mk"))
@@ -3335,7 +3424,10 @@ class CowTable:
         attempt = 0
         while True:
             try:
-                return self._delete_dv_attempt(key, dk, meta, bloom_probe)
+                return self._delete_dv_attempt(
+                    key, dk, meta, bloom_probe,
+                    touch_envelope=envelope, probe_rows=probe_rows,
+                )
             except ConcurrentMergeConflictError:
                 raise
             except ConcurrentWriteError:
@@ -3346,6 +3438,8 @@ class CowTable:
     def _delete_dv_attempt(
         self, key: str, touch_keys: DataFrame, meta: dict | None,
         bloom_probe: str | None,
+        touch_envelope: tuple | None = None,
+        probe_rows: list | None = None,
     ) -> dict:
         """One optimistic attempt of a deletion-vector delete: prune
         candidates, harvest matched live positions, commit the SAME
@@ -3354,7 +3448,8 @@ class CowTable:
         base_version = self.version()
         snapshot_files = self.files(base_version)
         candidates, bloom_mode = self._candidate_files(
-            touch_keys, key, base_version, bloom_probe
+            touch_keys, key, base_version, bloom_probe,
+            probe_rows=probe_rows, touch_envelope=touch_envelope,
         )
         snap_schema = self._snapshot_schema(base_version)
         dv_map = self._dv_map(self._commit_doc(base_version))

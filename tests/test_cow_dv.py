@@ -490,3 +490,34 @@ def test_dv_point_delete_composes_with_bloom_index(spark, tmp_path):
     )
     assert t.read().count() == 398
     assert t.read_point("k", keys).count() == 0
+
+
+def test_values_delete_derived_probe_matches_frame_delete(spark, tmp_path):
+    """r18: delete(values=...) derives the range envelope and the
+    bloom probe set from the literal values (zero planning jobs)
+    instead of agg+collect jobs over the frame it builds.  The derived
+    path must prune and delete exactly like the frame path on a
+    bloom-indexed table: same files_probed, same survivors."""
+    rows = [(f"{i:04d}", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string, v long").repartitionByRange(
+        4, "k"
+    )
+    a = CowTable.create(
+        spark, str(tmp_path / "vals"), df,
+        bloom_col="k", bloom_bits_per_key=32, bloom_k=22,
+    )
+    b = CowTable.create(
+        spark, str(tmp_path / "frame"), df,
+        bloom_col="k", bloom_bits_per_key=32, bloom_k=22,
+    )
+    keys = ["0003", "0007"]  # land in the first range file only
+    da = a.delete("k", values=keys)
+    db = b.delete(
+        "k", deletes=spark.createDataFrame([(k,) for k in keys], "k string")
+    )
+    assert da["rows_dv_deleted"] == db["rows_dv_deleted"] == 2
+    assert da["files_probed"] == db["files_probed"]
+    assert da["files_probed"] < 4  # range+bloom actually pruned
+    sa = {(r.k, r.v) for r in a.read().collect()}
+    sb = {(r.k, r.v) for r in b.read().collect()}
+    assert sa == sb and len(sa) == 398
