@@ -3233,42 +3233,69 @@ class CowTable:
 
         Untouched rows of rewritten files classify into none of these
         and drop out -- a copy-on-write rewrite is not a logical
-        change."""
+        change.
+
+        Plan shape (r18): the pre-image slice is the REWRITTEN FILES'
+        live rows -- table-scale, not delta-scale -- and the r17 form
+        referenced it in four subtrees (preimage semi-join, delete
+        semi+anti, and the tk distinct twice), so one CDF merge
+        re-scanned every rewritten file four times wide.  Both sides
+        now classify in ONE pass each: marker left-joins against the
+        (distinct, delta-sized) source/delete key sets turn the four
+        unions into a single when()-typed projection per side, leaving
+        one wide scan of pre plus one key-only scan (for tk) and one
+        scan of the source.  Row set is identical: sk/dk/tk are
+        distinct, so marker joins never duplicate, and the when()
+        precedence mirrors the old union semantics (a key in both
+        source and deletes feeds as an update, NULL keys match nothing
+        and classify as before)."""
         ct = "_change_type"
-        parts: list[DataFrame] = []
-        if src_proj is not None:
-            sk = src_proj.select(F.col(key).alias("_ck")).distinct()
-            parts.append(
-                pre.join(sk, pre[key] == F.col("_ck"), "left_semi")
-                .withColumn(ct, F.lit("update_preimage"))
+        if src_proj is None:
+            return pre.withColumn(ct, F.lit("delete"))
+        cols = pre.columns
+        sk = (
+            src_proj.select(F.col(key).alias("_ck"))
+            .distinct()
+            .withColumn("_in_src", F.lit(True))
+        )
+        tagged = pre.join(sk, pre[key] == F.col("_ck"), "left")
+        if dk_vals:
+            is_del = F.col(key).isin(dk_vals)
+        elif dk_df is not None:
+            dkm = dk_df.select(
+                F.col("_dk").alias("_dck")
+            ).withColumn("_in_del", F.lit(True))
+            tagged = tagged.join(
+                dkm, tagged[key] == F.col("_dck"), "left"
             )
-            pre_del = None
-            if dk_vals:
-                pre_del = pre.filter(F.col(key).isin(dk_vals))
-            elif dk_df is not None:
-                pre_del = pre.join(
-                    dk_df.withColumnRenamed("_dk", key), key, "left_semi"
-                )
-            if pre_del is not None:
-                parts.append(
-                    pre_del.join(sk, pre_del[key] == F.col("_ck"), "left_anti")
-                    .withColumn(ct, F.lit("delete"))
-                )
-            tk = pre.select(F.col(key).alias("_ck")).distinct()
-            parts.append(
-                src_proj.join(tk, src_proj[key] == F.col("_ck"), "left_semi")
-                .withColumn(ct, F.lit("update_postimage"))
-            )
-            parts.append(
-                src_proj.join(tk, src_proj[key] == F.col("_ck"), "left_anti")
-                .withColumn(ct, F.lit("insert"))
-            )
+            is_del = F.col("_in_del")
         else:
-            parts.append(pre.withColumn(ct, F.lit("delete")))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        return out
+            is_del = F.lit(False)
+        pre_type = (
+            F.when(F.col("_in_src"), F.lit("update_preimage"))
+            .when(is_del, F.lit("delete"))
+        )
+        pre_part = (
+            tagged.withColumn(ct, pre_type)
+            .filter(F.col(ct).isNotNull())
+            .select(*cols, ct)
+        )
+        tk = (
+            pre.select(F.col(key).alias("_ck"))
+            .distinct()
+            .withColumn("_in_tbl", F.lit(True))
+        )
+        src_part = (
+            src_proj.join(tk, src_proj[key] == F.col("_ck"), "left")
+            .withColumn(
+                ct,
+                F.when(
+                    F.col("_in_tbl"), F.lit("update_postimage")
+                ).otherwise(F.lit("insert")),
+            )
+            .select(*src_proj.columns, ct)
+        )
+        return pre_part.unionByName(src_part, allowMissingColumns=True)
 
     def read_changes(
         self, from_version: int, to_version: int | None = None
