@@ -578,11 +578,20 @@ _WIDEN_SQL = (
     tags=("vector", "topk", "wide"),
 )
 def q_wide_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    wide = _t(spark, sf_dir, "embeddings").select(
+    # Spread BEFORE widening (r18, guide §2.3 "project before the
+    # exchange" applied in reverse to an EXPANDING projection): the
+    # 64->768 widen is an interpreted higher-order transform, and with
+    # widen-then-spread it ran serially on the scan's single input
+    # split AND the exchange carried the widened vectors (10.7 MB
+    # shuffle written by one 300 ms task at sf0.1).  Spread-then-widen
+    # moves the transform behind the exchange (all cores) and ships
+    # only the narrow source embedding.  The query side widens its 5
+    # rows straight off the scan (filter still pushed down).
+    base = _t(spark, sf_dir, "embeddings")
+    q = base.filter(F.col("vec_id") < 5).select(
         "vec_id", _widen_spark().alias("v")
-    )
-    q = wide.filter(F.col("vec_id") < 5).alias("q")
-    c = _spread(wide).alias("c")
+    ).alias("q")
+    c = _spread(base).select("vec_id", _widen_spark().alias("v")).alias("c")
     # Fused wide-cosine kernel: ONE Arrow transfer per batch computes
     # dot + both norms via einsum -- no unrolled 768-term chain (past
     # Janino limits), no per-row Python.  dim=WIDE_DIM routes
@@ -678,7 +687,8 @@ def wide_ivf_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v8's scored candidate frame BEFORE the per-query top-k window --
     factored out so the bench can record the probe's pruning power
     (rows scored / corpus) next to its wall time."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # Spread before the interpreted widen (r18) -- see q_wide_ann_topk.
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     wide = emb.select("vec_id", "label", _widen_spark().alias("v"))
     exploded = wide.select("label", F.posexplode("v")).select(
         "label", F.col("pos").alias("idx"), F.col("col").alias("val")
