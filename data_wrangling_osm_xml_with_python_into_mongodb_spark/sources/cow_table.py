@@ -66,6 +66,7 @@ statement instead.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re as _re
@@ -75,7 +76,6 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.audits import merge_upsert
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -118,6 +118,17 @@ _BLOOM_BUILD_DRIVER_MAX_ROWS = 50_000
 # faster for the delta-sized batches incremental maintenance sends;
 # the join path scales to arbitrarily large delete sets.
 _DELETE_INLINE_MAX = 10_000
+
+# Merge ships the source's distinct keys to every executor as the
+# anti-join build side (the affected slice then streams through with
+# no exchange -- see _finish_merge_attempt).  The explicit broadcast
+# hint is only safe when the key count is KNOWN bounded; this cap
+# keeps the built relation well under Spark's 8 GB / 512M-row
+# broadcast limits (1M keys x ~32-64 B of typical key bytes is
+# 32-64 MB framed) while covering every delta-sized maintenance
+# batch.  Above it (or when the count is unknown) the join is left
+# unhinted and AQE picks the strategy from runtime sizes.
+_MERGE_BROADCAST_MAX_KEYS = 1_000_000
 
 # A checkpoint manifest is written every this-many commits (Delta's
 # _last_checkpoint analogue), bounding every metadata walk -- vacuum's
@@ -1476,7 +1487,27 @@ class CowTable:
             for n in os.listdir(out)
             if n.endswith(".parquet")
         ]
-        return files, self._harvest_file_stats(files), out
+        stats = self._harvest_file_stats(files)
+        # Zero-row files carry no column stats, so they would survive
+        # every range/bloom prune as permanent candidates (and cost a
+        # file open per read) while contributing nothing.  Exchange-
+        # free merge plans (anti-join + union, r18) emit one output
+        # partition per input partition, empties included -- drop them
+        # at the source instead of referencing them forever.
+        empty = [
+            f for f in files
+            if stats.get(os.path.basename(f), {}).get("rows") == 0
+        ]
+        if empty:
+            for f in empty:
+                with contextlib.suppress(OSError):
+                    os.remove(f)
+            files = [f for f in files if f not in set(empty)]
+            stats = {
+                b: s for b, s in stats.items()
+                if os.path.join(out, b) not in set(empty)
+            }
+        return files, stats, out
 
     def _harvest_file_stats(self, files: list[str]) -> dict:
         """Per-file footer stats keyed by basename.  Harvested
@@ -2581,13 +2612,15 @@ class CowTable:
         keys are SPREAD (hash keys: every file matched, cow rewrites
         the table).  Readers filter dead positions via the parquet row
         index; :meth:`compact` materializes the vectors so read
-        overhead never accrues unboundedly.  One semantics edge,
-        deliberately different: a DUPLICATE-key target row set
-        collapses to the single source row under mor (all its
-        positions die), while cow's full-outer join fans the source
-        row out per matched target row -- merge-maintained tables are
-        unique-keyed, so the paths agree everywhere the contract
-        holds.  Positions are driver-coordinated metadata bounded by
+        overhead never accrues unboundedly.  Duplicate-key edge: a
+        DUPLICATE-key target row set collapses to the single source
+        row under BOTH strategies (mor kills all its positions; cow's
+        anti-join drops every matched copy and the union emits the
+        source row once per source row) -- merge-maintained tables
+        are unique-keyed by contract; the paths also agree on
+        duplicate keys since r18 (cow's pre-r18 full-outer join
+        fanned the source row out per matched target row instead).
+        Positions are driver-coordinated metadata bounded by
         ``_DV_COLLECT_MAX`` dead rows per commit; bulk mutations past
         that must use cow (the same guidance Delta gives)."""
         # Delete keys: the common (incremental-maintenance) batch is
@@ -2663,7 +2696,7 @@ class CowTable:
                 dk_df.withColumnRenamed("_dk", "_mk")
             ).distinct()
 
-        candidates, bloom_mode = self._candidate_files(
+        candidates, bloom_mode, n_touch = self._candidate_files(
             touch_keys, key, base_version, bloom_probe,
             touch_envelope=touch_envelope,
         )
@@ -2675,7 +2708,7 @@ class CowTable:
         return finish(
             source, key, dk_vals, dk_df, meta, evolve_schema,
             base_version, snapshot_files, touch_keys, candidates,
-            bloom_mode,
+            bloom_mode, n_touch,
         )
 
     def _candidate_files(
@@ -2686,11 +2719,16 @@ class CowTable:
         bloom_probe: str | None = None,
         probe_rows: list | None = None,
         touch_envelope: tuple | None = None,
-    ) -> tuple[list[str], str | None]:
+    ) -> tuple[list[str], str | None, int | None]:
         """Files of snapshot ``base_version`` that MAY contain a key of
         ``touch_keys`` -- the shared skipping front-end of every keyed
         mutation (:meth:`merge` both strategies, :meth:`delete`).
-        Returns ``(candidate files, bloom probe mode or None)``.
+        Returns ``(candidate files, bloom probe mode or None, distinct
+        non-null touch-key count or None when not cheaply known)`` --
+        the count falls out of work this planner does anyway (the
+        bounded key collect, or a count() column added to the envelope
+        agg at zero extra jobs) and lets the merge back half decide
+        whether the source keys are provably broadcast-sized.
 
         File-level prune BEFORE any data scan (Delta-style skipping
         applied to the MERGE condition): every touch key lies inside
@@ -2716,6 +2754,7 @@ class CowTable:
         one Spark job per commit (r18, guide §2.4)."""
         snapshot_files = self.files(base_version)
         candidates = snapshot_files
+        n_touch: int | None = None
         # Fused key probe (r18): when the table is bloom-indexed on
         # this key, the bloom stage below needs a bounded collect of
         # the touch keys anyway -- collect it FIRST and, when the
@@ -2744,16 +2783,25 @@ class CowTable:
             ).collect()
             if len(probe_rows) <= _BLOOM_PRUNE_MAX_KEYS:
                 nn = [r["_mk"] for r in probe_rows if r["_mk"] is not None]
+                n_touch = len(nn)
                 if not nn:
                     touch_envelope = (None, None)  # all-null: no match
                 elif all(isinstance(v, (str, int)) for v in nn):
                     touch_envelope = (min(nn), max(nn))
+        elif probe_rows is not None and len(probe_rows) <= _BLOOM_PRUNE_MAX_KEYS:
+            # caller-collected bounded batch (delete values=): count known
+            n_touch = sum(1 for r in probe_rows if r["_mk"] is not None)
         if touch_envelope is not None:
             b = {"lo": touch_envelope[0], "hi": touch_envelope[1]}
         else:
+            # count("_mk") counts the distinct non-null touch keys in
+            # the SAME job as the envelope agg (touch_keys is already
+            # distinct) -- no extra action for the broadcast decision.
             b = touch_keys.agg(
-                F.min("_mk").alias("lo"), F.max("_mk").alias("hi")
+                F.min("_mk").alias("lo"), F.max("_mk").alias("hi"),
+                F.count("_mk").alias("n"),
             ).collect()[0]
+            n_touch = int(b["n"])
         if b["lo"] is not None:
             lo_e, hi_e = _enc_stat(b["lo"]), _enc_stat(b["hi"])
             if lo_e is not None and hi_e is not None:
@@ -2816,10 +2864,13 @@ class CowTable:
                                 _BLOOM_PRUNE_MAX_KEYS + 1
                             ).collect()
                         )
-                        if (
-                            len(probe) > _BLOOM_PRUNE_MAX_KEYS
-                            and bloom_probe != "driver"
-                        ):
+                        if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
+                            if n_touch is None:
+                                n_touch = sum(
+                                    1 for r in probe
+                                    if r["_mk"] is not None
+                                )
+                        elif bloom_probe != "driver":
                             use_dist = True
                     if use_dist:
                         candidates = self._bloom_prune_distributed(
@@ -2853,14 +2904,14 @@ class CowTable:
                             bloom_mode = "driver"
             except TypeError:
                 pass
-        return candidates, bloom_mode
+        return candidates, bloom_mode, n_touch
 
     def _finish_merge_attempt(
         self, source: DataFrame, key: str, dk_vals: list,
         dk_df: DataFrame | None, meta: dict | None, evolve_schema: bool,
         base_version: int, snapshot_files: list[str],
         touch_keys: DataFrame, candidates: list[str],
-        bloom_mode: str | None,
+        bloom_mode: str | None, n_touch: int | None = None,
     ) -> dict:
         """Copy-on-write back half of :meth:`_merge_attempt`: find the
         affected files among ``candidates``, re-merge exactly their
@@ -2951,15 +3002,45 @@ class CowTable:
             src_proj = src_proj.withColumn(
                 fld.name, F.lit(None).cast(fld.dataType)
             )
-        merged = merge_upsert(affected_df, src_proj.select(affected_df.columns), key)
+        # Matched keys take the source row WHOLESALE, so the merged
+        # output is exactly (affected live rows whose key matches no
+        # source key) + (every source row): an anti-join + union.  The
+        # pre-r18 merge_upsert form (full-outer join) shuffled AND
+        # sorted the whole affected slice by key -- table-scale on a
+        # spread-key delta -- to attach a delta-sized source; full
+        # outer is not broadcastable, so no planner could save it.
+        # The anti-join build side is the source's distinct keys:
+        # broadcast when the planner already proved them bounded
+        # (n_touch covers source + delete keys, so it upper-bounds the
+        # source keys), else left to AQE.  With the broadcast the
+        # affected slice streams scan->filter->write with ZERO
+        # exchange (guide §2.4/§3.1).  Row set: NULL-keyed target rows
+        # never equal a source key (anti keeps them, as full-outer
+        # did); NULL-keyed source rows always insert; a matched key
+        # emits the source row exactly once per source row.  On a
+        # DUPLICATE-key target this collapses the matched set to the
+        # source row -- the mor path's documented behaviour, and
+        # merge-maintained tables are unique-keyed by contract (see
+        # :meth:`merge`).
+        src_aligned = src_proj.select(affected_df.columns)
+        src_keys = src_aligned.select(F.col(key).alias("_sk")).distinct()
+        if n_touch is not None and n_touch <= _MERGE_BROADCAST_MAX_KEYS:
+            src_keys = F.broadcast(src_keys)
+        merged = affected_df.join(
+            src_keys, affected_df[key] == F.col("_sk"), "left_anti"
+        ).unionByName(src_aligned)
 
         new_version = base_version + 1
         chg_files: list[str] = []
         if self._change_feed_enabled(base_version):
             chg_files = self._write_change_files(
                 self._change_set(
-                    pre_image, src_proj.select(affected_df.columns), key,
+                    pre_image, src_aligned, key,
                     dk_vals, dk_df,
+                    small_keys=(
+                        n_touch is not None
+                        and n_touch <= _MERGE_BROADCAST_MAX_KEYS
+                    ),
                 ),
                 new_version,
             )
@@ -3080,7 +3161,7 @@ class CowTable:
         dk_df: DataFrame | None, meta: dict | None, evolve_schema: bool,
         base_version: int, snapshot_files: list[str],
         touch_keys: DataFrame, candidates: list[str],
-        bloom_mode: str | None,
+        bloom_mode: str | None, n_touch: int | None = None,
     ) -> dict:
         """Merge-on-read back half of :meth:`_merge_attempt`: instead
         of rewriting affected files, their matched/deleted LIVE rows
@@ -3134,7 +3215,13 @@ class CowTable:
                 touch_keys, live[key] == F.col("_mk"), "left_semi"
             )
             chg_files = self._write_change_files(
-                self._change_set(pre, out_df, key, dk_vals, dk_df),
+                self._change_set(
+                    pre, out_df, key, dk_vals, dk_df,
+                    small_keys=(
+                        n_touch is not None
+                        and n_touch <= _MERGE_BROADCAST_MAX_KEYS
+                    ),
+                ),
                 new_version,
             )
         new_files, new_stats, out_dir = self._write_data_files(
@@ -3218,6 +3305,7 @@ class CowTable:
         key: str,
         dk_vals: list,
         dk_df: DataFrame | None,
+        small_keys: bool = False,
     ) -> DataFrame:
         """The row-level change set of one mutation commit (Delta CDF
         row types): ``pre`` is the affected slice's LIVE pre-image
@@ -3248,17 +3336,28 @@ class CowTable:
         distinct, so marker joins never duplicate, and the when()
         precedence mirrors the old union semantics (a key in both
         source and deletes feeds as an update, NULL keys match nothing
-        and classify as before)."""
+        and classify as before).
+
+        ``small_keys`` (r18, opt round): the caller proved the
+        source/delete key sets broadcast-sized (merge's planner counts
+        the distinct touch keys for free), so the marker joins carry
+        an explicit broadcast hint -- the wide pre scan then streams
+        through with no exchange.  tk is additionally delta-sized now:
+        a tk entry whose key is not a SOURCE key can never match the
+        src_part join, so tk == (pre keys ∩ source keys), computed as
+        a broadcast semi-join + delta-sized distinct instead of a
+        table-scale distinct shuffle of every rewritten-file key."""
         ct = "_change_type"
         if src_proj is None:
             return pre.withColumn(ct, F.lit("delete"))
         cols = pre.columns
-        sk = (
-            src_proj.select(F.col(key).alias("_ck"))
-            .distinct()
-            .withColumn("_in_src", F.lit(True))
-        )
-        tagged = pre.join(sk, pre[key] == F.col("_ck"), "left")
+
+        def _b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small_keys else df
+
+        sk_keys = src_proj.select(F.col(key).alias("_ck")).distinct()
+        sk = sk_keys.withColumn("_in_src", F.lit(True))
+        tagged = pre.join(_b(sk), pre[key] == F.col("_ck"), "left")
         if dk_vals:
             is_del = F.col(key).isin(dk_vals)
         elif dk_df is not None:
@@ -3266,7 +3365,7 @@ class CowTable:
                 F.col("_dk").alias("_dck")
             ).withColumn("_in_del", F.lit(True))
             tagged = tagged.join(
-                dkm, tagged[key] == F.col("_dck"), "left"
+                _b(dkm), tagged[key] == F.col("_dck"), "left"
             )
             is_del = F.col("_in_del")
         else:
@@ -3282,11 +3381,12 @@ class CowTable:
         )
         tk = (
             pre.select(F.col(key).alias("_ck"))
+            .join(_b(sk_keys), "_ck", "left_semi")
             .distinct()
             .withColumn("_in_tbl", F.lit(True))
         )
         src_part = (
-            src_proj.join(tk, src_proj[key] == F.col("_ck"), "left")
+            src_proj.join(_b(tk), src_proj[key] == F.col("_ck"), "left")
             .withColumn(
                 ct,
                 F.when(
@@ -3474,7 +3574,7 @@ class CowTable:
         data plane at all (files_written = 0)."""
         base_version = self.version()
         snapshot_files = self.files(base_version)
-        candidates, bloom_mode = self._candidate_files(
+        candidates, bloom_mode, _ = self._candidate_files(
             touch_keys, key, base_version, bloom_probe,
             probe_rows=probe_rows, touch_envelope=touch_envelope,
         )
