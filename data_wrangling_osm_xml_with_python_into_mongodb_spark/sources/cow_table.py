@@ -119,6 +119,12 @@ _BLOOM_BUILD_DRIVER_MAX_ROWS = 50_000
 # the join path scales to arbitrarily large delete sets.
 _DELETE_INLINE_MAX = 10_000
 
+# Above this many matched (file, key, flag) rows, the merge's
+# affected-file detection stops inlining the matched keys as driver
+# literals (same hazard class as _DELETE_INLINE_MAX) and pins them as
+# one delta-sized localCheckpoint the joins build from instead.
+_MATCHED_INLINE_MAX = 10_000
+
 # Merge ships the source's distinct keys to every executor as the
 # anti-join build side (the affected slice then streams through with
 # no exchange -- see _finish_merge_attempt).  The explicit broadcast
@@ -1155,19 +1161,26 @@ class CowTable:
         only open the paths the commit doc lists.
 
         The change set is delta-sized by contract, but its plan
-        inherits the SOURCE's partitioning (a 200-partition merge
+        inherits its inputs' partitioning (a 200-partition merge
         source would scatter a 1k-row change set over 200 near-empty
         files, taxing every read_changes/stream poll with file-open
-        overhead) -- so the write coalesces to at most 8 output
-        files.  coalesce, not repartition: no shuffle, just fewer
-        write tasks; 8 keeps bulk change sets parallel enough while
-        bounding the per-commit file count a tailing consumer pays
-        for."""
+        overhead) -- so the write bounds itself to 8 output files.
+
+        REBALANCE, not coalesce (r18 opt round): the cow change plan
+        is exchange-free since the broadcast-marker rewrite, and a
+        coalesce on a shuffle-less plan does not just cap the WRITE
+        tasks -- it pulls the whole upstream scan (the rewritten
+        files' live rows, table-scale) into those few tasks.  The
+        rebalance exchange moves only the delta-sized change rows
+        (the scan keeps full parallelism) and AQE coalesces the
+        output to advisory-sized partitions, so a tiny change set
+        lands as ONE file (a tailing consumer's per-poll open cost)
+        while a bulk one keeps parallel right-sized writers (guide
+        §6)."""
         out = os.path.join(
             self.path, "changes", f"v{version}-{uuid.uuid4().hex[:8]}"
         )
-        # coalesce never INCREASES partitions, so 8 is a pure cap.
-        df.coalesce(8).write.mode("error").parquet(out)
+        df.hint("rebalance").write.mode("error").parquet(out)
         return [
             os.path.join(out, n)
             for n in os.listdir(out)
@@ -2031,6 +2044,9 @@ class CowTable:
             return candidates
         tzi = _session_tz(self.spark)
         bc = self.spark.sparkContext.broadcast(entries)
+        # only the key column crosses the Python boundary (guide §4.1;
+        # touch_keys may carry the _s source flag)
+        touch_keys = touch_keys.select("_mk")
 
         def probe(batches):
             import pandas as pd
@@ -2684,17 +2700,32 @@ class CowTable:
         base_version = self.version()
         snapshot_files = self.files(base_version)
 
-        touch_keys = source.select(F.col(key).alias("_mk")).distinct()
+        # The touch-key set carries a source-membership flag ``_s``
+        # (r18 opt round): the affected-file detection scan joins
+        # against it anyway, so collecting (file, key, _s) instead of
+        # file names alone hands the back half the matched SOURCE keys
+        # and matched DELETE-only keys as driver literals at zero
+        # extra jobs -- which is what lets the rewrite and the change
+        # set classify against tiny broadcast LocalRelations (see
+        # _finish_merge_attempt).  The flag rides a groupBy that
+        # replaces the old union+distinct one-for-one (same single
+        # shuffle); consumers that only read ``_mk`` (envelope agg,
+        # bloom probes, mor's position harvest) are unaffected.
+        sk = source.select(F.col(key).alias("_mk"), F.lit(True).alias("_s"))
         if dk_vals:
-            touch_keys = touch_keys.unionByName(
+            touch_keys = sk.unionByName(
                 self.spark.createDataFrame(
-                    [(v,) for v in dk_vals], touch_keys.schema
+                    [(v, False) for v in dk_vals], sk.schema
                 )
-            ).distinct()
+            ).groupBy("_mk").agg(F.max("_s").alias("_s"))
         elif dk_df is not None:
-            touch_keys = touch_keys.unionByName(
-                dk_df.withColumnRenamed("_dk", "_mk")
-            ).distinct()
+            touch_keys = sk.unionByName(
+                dk_df.select(
+                    F.col("_dk").alias("_mk"), F.lit(False).alias("_s")
+                )
+            ).groupBy("_mk").agg(F.max("_s").alias("_s"))
+        else:
+            touch_keys = sk.distinct()
 
         candidates, bloom_mode, n_touch = self._candidate_files(
             touch_keys, key, base_version, bloom_probe,
@@ -2918,6 +2949,9 @@ class CowTable:
         live rows with the source, rewrite them, carry the rest."""
         snap_schema = self._snapshot_schema(base_version)
         dv_map = self._dv_map(self._commit_doc(base_version))
+        mk_all: list | None = []  # matched touch keys (source + delete)
+        mk_src: list | None = []  # matched SOURCE keys only
+        mk_df: DataFrame | None = None  # >cap fallback: pinned (key, _s)
         if candidates:
             # DV-aware candidate scan: rows already dead by a
             # merge-on-read commit are filtered BEFORE matching, so a
@@ -2926,18 +2960,50 @@ class CowTable:
             tagged = self._read_files(
                 candidates, snap_schema, dv_map, file_col="_file"
             )
-            # Driver-sized collect: distinct FILE NAMES containing
-            # matched keys (bounded by the file count, never row
-            # count).
-            affected_rows = tagged.join(
-                touch_keys,
-                tagged[key] == F.col("_mk"),
-                "left_semi",
+            # ONE detection collect returns distinct (file, key,
+            # source-flag) triples -- the same scan+join that used to
+            # return file names alone (r18 opt round).  The matched
+            # keys are delta-sized (bounded by the touch-key count)
+            # and are exactly what the rewrite and the change set
+            # need, so collecting them here lets both classify
+            # against tiny broadcast LocalRelations with zero extra
+            # source evaluations.  Past _MATCHED_INLINE_MAX rows the triples
+            # pin as one localCheckpoint instead (driver never holds
+            # an unbounded key set) and the consumers join against it.
+            matched = (
+                tagged.join(
+                    touch_keys, tagged[key] == F.col("_mk"), "inner"
+                )
+                .select(
+                    "_file",
+                    F.col(key).alias("_k"),
+                    (
+                        F.col("_s") if "_s" in touch_keys.columns
+                        else F.lit(True)
+                    ).alias("_s"),
+                )
+                .distinct()
             )
-            affected_base = {
-                r["_file"]
-                for r in affected_rows.select("_file").distinct().collect()
-            }
+            # a batch the planner already counted past the cap cannot
+            # come back inline (triples >= matched keys): skip the
+            # doomed limit-probe so the bulk path scans candidates
+            # once, not twice
+            probe = (
+                [None] * (_MATCHED_INLINE_MAX + 1)
+                if n_touch is not None and n_touch > _MATCHED_INLINE_MAX
+                else matched.limit(_MATCHED_INLINE_MAX + 1).collect()
+            )
+            if len(probe) <= _MATCHED_INLINE_MAX:
+                affected_base = {r["_file"] for r in probe}
+                mk_all = sorted({r["_k"] for r in probe})
+                mk_src = sorted({r["_k"] for r in probe if r["_s"]})
+            else:
+                mk_all = mk_src = None
+                mk_df = matched.localCheckpoint(eager=True)
+                affected_base = {
+                    r["_file"]
+                    for r in mk_df.select("_file").distinct().collect()
+                }
         else:
             affected_base = set()
         kept = [
@@ -2949,10 +3015,11 @@ class CowTable:
 
         # Re-merge ONLY the affected slice; unmatched source rows (the
         # inserts) can't live in any unaffected file, so emitting them
-        # here is exact and emits each exactly once.  Deleted keys can
-        # only live in rewritten files (they are touch keys), so the
-        # filter below removes every copy (NULL-keyed target rows pass:
-        # NULL never equals a delete key).
+        # here is exact and emits each exactly once.  Matched keys
+        # (source AND delete -- an unmatched delete key cannot appear
+        # in any file, so filtering on the matched set removes every
+        # copy the old per-delete-key filter did) drop below;
+        # NULL-keyed target rows pass: NULL never equals a touch key.
         # DV-aware: a rewritten file's live rows are its physical rows
         # MINUS its deletion vector -- materialized here for free (the
         # new file simply lacks them, and _maintain_dv drops the entry
@@ -2966,18 +3033,6 @@ class CowTable:
                         fld.name, F.lit(None).cast(fld.dataType)
                     )
         pre_image = affected_df  # pre-delete-filter slice, for the feed
-        if dk_vals:
-            affected_df = affected_df.filter(
-                F.col(key).isNull() | ~F.col(key).isin(dk_vals)
-            )
-        elif dk_df is not None:
-            # Large-delete path: anti-join keeps exactly the rows the
-            # isin() predicate would (NULL keys never match, so they
-            # survive both forms); AQE picks broadcast vs shuffle by
-            # the delete set's actual size.
-            affected_df = affected_df.join(
-                dk_df.withColumnRenamed("_dk", key), key, "left_anti"
-            )
         # Source projection onto the (possibly evolved) table layout.
         # Strict mode: the schema is a contract -- a source missing a
         # table column fails HERE, deterministically, with the columns
@@ -3009,28 +3064,61 @@ class CowTable:
         # sorted the whole affected slice by key -- table-scale on a
         # spread-key delta -- to attach a delta-sized source; full
         # outer is not broadcastable, so no planner could save it.
-        # The anti-join build side is the source's distinct keys:
-        # broadcast when the planner already proved them bounded
-        # (n_touch covers source + delete keys, so it upper-bounds the
-        # source keys), else left to AQE.  With the broadcast the
-        # affected slice streams scan->filter->write with ZERO
-        # exchange (guide §2.4/§3.1).  Row set: NULL-keyed target rows
-        # never equal a source key (anti keeps them, as full-outer
-        # did); NULL-keyed source rows always insert; a matched key
-        # emits the source row exactly once per source row.  On a
-        # DUPLICATE-key target this collapses the matched set to the
-        # source row -- the mor path's documented behaviour, and
-        # merge-maintained tables are unique-keyed by contract (see
-        # :meth:`merge`).
+        # With the anti-join the affected slice streams
+        # scan->filter->write with ZERO exchange (guide §2.4/§3.1).
+        # Row set: NULL-keyed target rows never equal a source key
+        # (anti keeps them, as full-outer did); NULL-keyed source rows
+        # always insert; a matched key emits the source row exactly
+        # once per source row.  On a DUPLICATE-key target this
+        # collapses the matched set to the source row -- the mor
+        # path's documented behaviour, and merge-maintained tables are
+        # unique-keyed by contract (see :meth:`merge`).
         src_aligned = src_proj.select(affected_df.columns)
-        src_keys = src_aligned.select(F.col(key).alias("_sk")).distinct()
-        if n_touch is not None and n_touch <= _MERGE_BROADCAST_MAX_KEYS:
-            src_keys = F.broadcast(src_keys)
-        merged = affected_df.join(
-            src_keys, affected_df[key] == F.col("_sk"), "left_anti"
-        ).unionByName(src_aligned)
-
         new_version = base_version + 1
+        if not rewritten:
+            # Nothing matched (insert-only batch, or the range/bloom
+            # prune refuted every file): the merged output IS the
+            # source -- a single source evaluation, no join, exactly
+            # the pre-r18 cost.  LSH appends (files_probed == 0 by
+            # design) live entirely on this path.
+            merged = src_aligned
+        elif mk_all is not None:
+            # Collected matched keys ride as a broadcast LocalRelation
+            # anti-join -- data, not expression: a multi-thousand-
+            # literal isin() costs ~1.6 s of driver PLANNING per
+            # action on this box (measured: 2.2 s/action at 3k md5
+            # literals vs 0.6 s for the identical LocalRelation
+            # anti-join), and the merge runs several actions whose
+            # plans would each carry it.  The LocalRelation build is
+            # driver rows already in hand, so the join re-evaluates
+            # no source subtree.  NULL-keyed target rows survive the
+            # anti (NULL never equals a key).  coalesce (no shuffle)
+            # back to the rewritten-file count so the union's source
+            # branch does not append near-empty files per merge.
+            from pyspark.sql.types import StructField, StructType
+
+            mk_rel = self.spark.createDataFrame(
+                [(v,) for v in mk_all],
+                StructType(
+                    [StructField("_mkk", affected_df.schema[key].dataType)]
+                ),
+            )
+            merged = affected_df.join(
+                F.broadcast(mk_rel),
+                affected_df[key] == F.col("_mkk"),
+                "left_anti",
+            ).unionByName(src_aligned).coalesce(len(rewritten))
+        else:
+            # Bulk path (> _MATCHED_INLINE_MAX matched keys): anti-join
+            # against the pinned matched-key set; broadcast when the
+            # planner proved the touch keys bounded, else AQE decides.
+            mk_keys = mk_df.select(F.col("_k").alias("_mkk")).distinct()
+            if n_touch is not None and n_touch <= _MERGE_BROADCAST_MAX_KEYS:
+                mk_keys = F.broadcast(mk_keys)
+            merged = affected_df.join(
+                mk_keys, affected_df[key] == F.col("_mkk"), "left_anti"
+            ).unionByName(src_aligned).coalesce(len(rewritten))
+
         chg_files: list[str] = []
         if self._change_feed_enabled(base_version):
             chg_files = self._write_change_files(
@@ -3040,6 +3128,14 @@ class CowTable:
                     small_keys=(
                         n_touch is not None
                         and n_touch <= _MERGE_BROADCAST_MAX_KEYS
+                    ),
+                    sk_vals=mk_src,
+                    sk_df=(
+                        mk_df.filter(F.col("_s"))
+                        .select(F.col("_k").alias("_sk"))
+                        .distinct()
+                        if mk_df is not None
+                        else None
                     ),
                 ),
                 new_version,
@@ -3306,6 +3402,8 @@ class CowTable:
         dk_vals: list,
         dk_df: DataFrame | None,
         small_keys: bool = False,
+        sk_vals: list | None = None,
+        sk_df: DataFrame | None = None,
     ) -> DataFrame:
         """The row-level change set of one mutation commit (Delta CDF
         row types): ``pre`` is the affected slice's LIVE pre-image
@@ -3328,25 +3426,29 @@ class CowTable:
         referenced it in four subtrees (preimage semi-join, delete
         semi+anti, and the tk distinct twice), so one CDF merge
         re-scanned every rewritten file four times wide.  Both sides
-        now classify in ONE pass each: marker left-joins against the
-        (distinct, delta-sized) source/delete key sets turn the four
-        unions into a single when()-typed projection per side, leaving
-        one wide scan of pre plus one key-only scan (for tk) and one
-        scan of the source.  Row set is identical: sk/dk/tk are
-        distinct, so marker joins never duplicate, and the when()
-        precedence mirrors the old union semantics (a key in both
-        source and deletes feeds as an update, NULL keys match nothing
-        and classify as before).
+        now classify in ONE pass each -- a single when()-typed
+        projection per side -- leaving one wide scan of pre and one
+        scan of the source.  Row set is identical: the key sets are
+        distinct (markers never duplicate) and the when() precedence
+        mirrors the old union semantics (a key in both source and
+        deletes feeds as an update, NULL keys match nothing and
+        classify as before).
 
-        ``small_keys`` (r18, opt round): the caller proved the
-        source/delete key sets broadcast-sized (merge's planner counts
-        the distinct touch keys for free), so the marker joins carry
-        an explicit broadcast hint -- the wide pre scan then streams
-        through with no exchange.  tk is additionally delta-sized now:
-        a tk entry whose key is not a SOURCE key can never match the
-        src_part join, so tk == (pre keys ∩ source keys), computed as
-        a broadcast semi-join + delta-sized distinct instead of a
-        table-scale distinct shuffle of every rewritten-file key."""
+        ``sk_vals`` / ``sk_df`` (r18, opt round): the MATCHED source
+        keys -- source keys that exist among the pre-image's live rows
+        -- which the cow merge's detection collect produces for free
+        (driver literals below ``_MATCHED_INLINE_MAX``, one pinned
+        frame past it).  They replace two table-scale subtrees at
+        once: the ``_in_src`` marker only ever fires on a matched key
+        (a pre row whose key is a source key IS a match), and tk --
+        the postimage/insert classifier, pre keys ∩ source keys -- is
+        exactly this set, so the old table-scale distinct of every
+        rewritten-file key (and even the key-only pre scan) disappears
+        entirely.  With collected keys the whole change set is scan
+        -> broadcast-LocalRelation markers -> union.  ``small_keys``: the
+        caller proved the key sets broadcast-sized, so the fallback
+        marker joins carry an explicit broadcast hint and the wide pre
+        scan streams through with no exchange."""
         ct = "_change_type"
         if src_proj is None:
             return pre.withColumn(ct, F.lit("delete"))
@@ -3355,11 +3457,42 @@ class CowTable:
         def _b(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if small_keys else df
 
-        sk_keys = src_proj.select(F.col(key).alias("_ck")).distinct()
-        sk = sk_keys.withColumn("_in_src", F.lit(True))
-        tagged = pre.join(_b(sk), pre[key] == F.col("_ck"), "left")
+        def _rel(vals: list, name: str) -> DataFrame:
+            # driver-held keys as a LocalRelation, NOT an isin()
+            # literal: a multi-thousand-literal In costs seconds of
+            # planning per action (see _finish_merge_attempt), while
+            # a broadcast join against local rows keeps the plan
+            # small and evaluates no subtree.
+            from pyspark.sql.types import StructField, StructType
+
+            return F.broadcast(
+                self.spark.createDataFrame(
+                    [(v,) for v in vals],
+                    StructType(
+                        [StructField(name, src_proj.schema[key].dataType)]
+                    ),
+                )
+            )
+
+        # pre side: carried rows classify to NULL and drop out
+        tagged = pre
+        if sk_vals is not None:
+            sk = _rel(sk_vals, "_ck").withColumn("_in_src", F.lit(True))
+        else:
+            sk = (
+                sk_df.withColumnRenamed("_sk", "_ck")
+                if sk_df is not None
+                else src_proj.select(F.col(key).alias("_ck")).distinct()
+            ).withColumn("_in_src", F.lit(True))
+            sk = _b(sk)
+        tagged = tagged.join(sk, pre[key] == F.col("_ck"), "left")
+        in_src = F.col("_in_src")
         if dk_vals:
-            is_del = F.col(key).isin(dk_vals)
+            dkm = _rel(dk_vals, "_dck").withColumn("_in_del", F.lit(True))
+            tagged = tagged.join(
+                dkm, tagged[key] == F.col("_dck"), "left"
+            )
+            is_del = F.col("_in_del")
         elif dk_df is not None:
             dkm = dk_df.select(
                 F.col("_dk").alias("_dck")
@@ -3371,7 +3504,7 @@ class CowTable:
         else:
             is_del = F.lit(False)
         pre_type = (
-            F.when(F.col("_in_src"), F.lit("update_preimage"))
+            F.when(in_src, F.lit("update_preimage"))
             .when(is_del, F.lit("delete"))
         )
         pre_part = (
@@ -3379,14 +3512,22 @@ class CowTable:
             .filter(F.col(ct).isNotNull())
             .select(*cols, ct)
         )
-        tk = (
-            pre.select(F.col(key).alias("_ck"))
-            .join(_b(sk_keys), "_ck", "left_semi")
-            .distinct()
-            .withColumn("_in_tbl", F.lit(True))
-        )
+        # source side: _in_tbl(key) == key matched a live pre row
+        if sk_vals is not None:
+            tk = _rel(sk_vals, "_ck").withColumn("_in_tbl", F.lit(True))
+        else:
+            tk = (
+                sk_df.withColumnRenamed("_sk", "_ck")
+                if sk_df is not None
+                else pre.select(F.col(key).alias("_ck")).join(
+                    _b(src_proj.select(F.col(key).alias("_ck")).distinct()),
+                    "_ck",
+                    "left_semi",
+                ).distinct()
+            ).withColumn("_in_tbl", F.lit(True))
+            tk = _b(tk)
         src_part = (
-            src_proj.join(_b(tk), src_proj[key] == F.col("_ck"), "left")
+            src_proj.join(tk, src_proj[key] == F.col("_ck"), "left")
             .withColumn(
                 ct,
                 F.when(
