@@ -252,7 +252,7 @@ def _prune_files(
     ``last_probe["prune_fallbacks"]`` for callers that prefer to
     hard-fail."""
     try:
-        files, got_mode, _ = store.table._candidate_files(
+        files, got_mode, _, _ = store.table._candidate_files(
             keys, col, version, mode, probe_rows=probe_rows
         )
         store._probe_fallbacks = 0

@@ -136,6 +136,14 @@ _MATCHED_INLINE_MAX = 10_000
 # unhinted and AQE picks the strategy from runtime sizes.
 _MERGE_BROADCAST_MAX_KEYS = 1_000_000
 
+# ...and by BYTES (ADVICE r18 #1): the count gate alone lets wide
+# string keys (long URLs, composite keys) push the hinted build side
+# past driver memory and Spark's broadcast limits.  The per-key width
+# is estimated from the snapshot's own footer stats (min/max lengths
+# of the key column) plus framing overhead; past the budget the join
+# is left unhinted and AQE decides from runtime sizes.
+_MERGE_BROADCAST_MAX_BYTES = 64 << 20
+
 # A checkpoint manifest is written every this-many commits (Delta's
 # _last_checkpoint analogue), bounding every metadata walk -- vacuum's
 # ever-referenced set, legacy schema backfill, txn high-water lookups
@@ -824,6 +832,20 @@ def _zvalue_expr(
     return z
 
 
+def _release_pinned(df) -> None:
+    """Best-effort release of a ``localCheckpoint(eager=True)`` frame's
+    pinned RDD blocks (ADVICE r18 #3: repeated bulk merges in a
+    long-lived session otherwise hold blocks until the JVM GC runs the
+    ContextCleaner).  The checkpointed plan is a ``LogicalRDD`` whose
+    RDD is the persisted one; unpersist(blocking=False) frees it.
+    Purely an eager form of what the ContextCleaner does anyway --
+    failure is harmless, so any exception is swallowed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
@@ -1180,7 +1202,18 @@ class CowTable:
         out = os.path.join(
             self.path, "changes", f"v{version}-{uuid.uuid4().hex[:8]}"
         )
-        df.hint("rebalance").write.mode("error").parquet(out)
+        # REBALANCE is an AQE feature: with adaptive execution off in
+        # a caller-built session the hint no-ops and the change set
+        # would scatter over spark.sql.shuffle.partitions near-empty
+        # files (ADVICE r18 #4) -- fall back to the pre-r18
+        # coalesce(8) there.
+        aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+        sized = (
+            df.hint("rebalance")
+            if str(aqe).lower() == "true"
+            else df.coalesce(8)
+        )
+        sized.write.mode("error").parquet(out)
         return [
             os.path.join(out, n)
             for n in os.listdir(out)
@@ -1521,6 +1554,98 @@ class CowTable:
                 if os.path.join(out, b) not in set(empty)
             }
         return files, stats, out
+
+    def _key_width_estimate(self, version: int, key: str) -> int:
+        """Framed per-key bytes for broadcast sizing, from the
+        snapshot's footer stats: string-ish keys take the longest
+        observed min/max literal (doubled, plus framing), fixed-width
+        keys a flat 16.  Conservative where stats are absent."""
+        width = 16
+        try:
+            stats = self._commit_doc(version).get("file_stats", {})
+            lens = [
+                len(b)
+                for s in stats.values()
+                for b in (
+                    s.get("cols", {}).get(key, {}).get("min"),
+                    s.get("cols", {}).get(key, {}).get("max"),
+                )
+                if isinstance(b, str)
+            ]
+            if lens:
+                width = max(width, 2 * max(lens) + 16)
+        except (OSError, ValueError):
+            pass
+        return width
+
+    def _write_fused_cdc_files(
+        self, fused: DataFrame, ct: str, version: int
+    ) -> tuple[list[str], dict, str, list[str]]:
+        """ONE partitioned staging write that emits a merge's data
+        files AND its change files from a single evaluation of
+        ``fused`` (every row pre-classified: ``ct`` NULL = data row,
+        else change row) -- the r19 fusion that halves the wide I/O of
+        a change-feed cow merge.  The staging dir lives OUTSIDE
+        ``data/`` (vacuum walks data/ version dirs flat); files then
+        RENAME into the same flat per-version token dirs every other
+        writer uses, so vacuum/readers/losers see exactly the layout
+        they always did.  Renames are same-filesystem metadata ops and
+        happen BEFORE the commit links (the change-feed stream's
+        ordering contract).  Returns ``(data_files, data_stats,
+        data_dir, change_files)``."""
+        import shutil
+
+        disp = "_cdc_disp"
+        token = uuid.uuid4().hex[:8]
+        stage = os.path.join(self.path, "_stage", f"v{version}-{token}")
+        out = os.path.join(self.path, "data", f"v{version}-{token}")
+        chg = os.path.join(self.path, "changes", f"v{version}-{token}")
+        (
+            fused.withColumn(
+                disp,
+                F.when(F.col(ct).isNull(), F.lit("d")).otherwise(
+                    F.lit("c")
+                ),
+            )
+            .write.mode("error")
+            .partitionBy(disp)
+            .parquet(stage)
+        )
+        data_files: list[str] = []
+        chg_files: list[str] = []
+        for sub, dst, acc in (
+            (f"{disp}=d", out, data_files),
+            (f"{disp}=c", chg, chg_files),
+        ):
+            sdir = os.path.join(stage, sub)
+            if not os.path.isdir(sdir):
+                continue
+            os.makedirs(dst, exist_ok=True)
+            for n in sorted(os.listdir(sdir)):
+                if n.endswith(".parquet"):
+                    os.replace(
+                        os.path.join(sdir, n), os.path.join(dst, n)
+                    )
+                    acc.append(os.path.join(dst, n))
+        shutil.rmtree(stage, ignore_errors=True)
+        stats = self._harvest_file_stats(data_files)
+        # partitionBy never writes an empty per-partition file, but
+        # keep _write_data_files' zero-row guard for parity
+        empty = {
+            f for f in data_files
+            if stats.get(os.path.basename(f), {}).get("rows") == 0
+        }
+        if empty:
+            for f in empty:
+                with contextlib.suppress(OSError):
+                    os.remove(f)
+            data_files = [f for f in data_files if f not in empty]
+            stats = {
+                b: s
+                for b, s in stats.items()
+                if os.path.join(out, b) not in empty
+            }
+        return data_files, stats, out, chg_files
 
     def _harvest_file_stats(self, files: list[str]) -> dict:
         """Per-file footer stats keyed by basename.  Harvested
@@ -2500,6 +2625,22 @@ class CowTable:
                         pass
                 if live == 0:
                     shutil.rmtree(vdir, ignore_errors=True)
+        # Fused-write staging GC (r19): _write_fused_cdc_files renames
+        # its output out of <path>/_stage/ before committing, so any
+        # dir still there belongs to a dead or in-flight writer --
+        # remove it once past the same grace window that shields
+        # in-flight data files.  Committed files are never under
+        # _stage/, so this can only ever delete never-referenced
+        # output.
+        stage_root = os.path.join(self.path, "_stage")
+        if os.path.isdir(stage_root):
+            for d in sorted(os.listdir(stage_root)):
+                sdir = os.path.join(stage_root, d)
+                try:
+                    if now - os.path.getmtime(sdir) >= orphan_grace_s:
+                        shutil.rmtree(sdir, ignore_errors=True)
+                except FileNotFoundError:
+                    continue
         # Bloom- and deletion-vector-sidecar GC: keep every sidecar a
         # RETAINED commit references (a no-new-files commit points at
         # its parent's, so the referenced set, not version arithmetic,
@@ -2656,7 +2797,47 @@ class CowTable:
             )
         dk_vals: list = []
         dk_df: DataFrame | None = None
-        if deletes is not None:
+        n_dk = 0
+        touch_rows: list | None = None
+        # Fused touch/delete-key probe (r19): ONE bounded collect over
+        # source keys UNION delete keys (flagged per side) replaces
+        # the dk probe here AND the per-attempt envelope job in
+        # _candidate_files -- and the collected rows hand every
+        # attempt its touch set as a broadcast LocalRelation, so the
+        # batch plans are evaluated exactly once for all of planning
+        # (the detection scan used to re-evaluate the source per
+        # attempt).  Touch keys are snapshot-independent, so reuse
+        # across rebase attempts is exact, like the dk reuse before
+        # it.  Skipped when the caller supplied a covering envelope
+        # (LSH appends: zero planning jobs stays zero).  Oversized
+        # batches fall back to the pre-r19 two-probe flow.
+        if touch_envelope is None and bloom_probe != "distributed":
+            tk_flagged = source.select(
+                F.col(key).alias("_mk"),
+                F.lit(True).alias("_s"),
+                F.lit(False).alias("_d"),
+            )
+            if deletes is not None:
+                tk_flagged = tk_flagged.unionByName(
+                    deletes.select(
+                        F.col(key).alias("_mk"),
+                        F.lit(False).alias("_s"),
+                        F.lit(True).alias("_d"),
+                    ).filter(F.col("_mk").isNotNull())
+                )
+            tk_flagged = tk_flagged.groupBy("_mk").agg(
+                F.max("_s").alias("_s"), F.max("_d").alias("_d")
+            )
+            probe = tk_flagged.limit(_BLOOM_PRUNE_MAX_KEYS + 1).collect()
+            if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
+                touch_rows = probe
+                dk_vals = [
+                    r["_mk"]
+                    for r in probe
+                    if r["_d"] and r["_mk"] is not None
+                ]
+                n_dk = len(dk_vals)
+        if deletes is not None and touch_rows is None:
             dk = (
                 deletes.select(F.col(key).alias("_dk"))
                 .filter(F.col("_dk").isNotNull())
@@ -2665,22 +2846,32 @@ class CowTable:
             probe = dk.limit(_DELETE_INLINE_MAX + 1).collect()
             if len(probe) > _DELETE_INLINE_MAX:
                 dk_df = dk.localCheckpoint(eager=True)
+                # count ONCE here (r18 VERDICT #6): the commit-doc
+                # delete_keys metadata used to re-count the pinned
+                # frame per attempt
+                n_dk = dk_df.count()
             else:
                 dk_vals = [r["_dk"] for r in probe]
+                n_dk = len(dk_vals)
 
         attempt = 0
-        while True:
-            try:
-                return self._merge_attempt(
-                    source, key, dk_vals, dk_df, meta, evolve_schema,
-                    bloom_probe, strategy, touch_envelope,
-                )
-            except ConcurrentMergeConflictError:
-                raise
-            except ConcurrentWriteError:
-                if attempt >= retries:
+        try:
+            while True:
+                try:
+                    return self._merge_attempt(
+                        source, key, dk_vals, dk_df, meta, evolve_schema,
+                        bloom_probe, strategy, touch_envelope,
+                        touch_rows=touch_rows, n_dk=n_dk,
+                    )
+                except ConcurrentMergeConflictError:
                     raise
-                attempt += 1
+                except ConcurrentWriteError:
+                    if attempt >= retries:
+                        raise
+                    attempt += 1
+        finally:
+            if dk_df is not None:
+                _release_pinned(dk_df)
 
     def _merge_attempt(
         self, source: DataFrame, key: str, dk_vals: list,
@@ -2690,6 +2881,8 @@ class CowTable:
         bloom_probe: str | None = None,
         strategy: str = "cow",
         touch_envelope: tuple | None = None,
+        touch_rows: list | None = None,
+        n_dk: int | None = None,
     ) -> dict:
         """One optimistic attempt of :meth:`merge` against the current
         head.  On a lost commit race, classifies the failure: if the
@@ -2707,29 +2900,57 @@ class CowTable:
         # and matched DELETE-only keys as driver literals at zero
         # extra jobs -- which is what lets the rewrite and the change
         # set classify against tiny broadcast LocalRelations (see
-        # _finish_merge_attempt).  The flag rides a groupBy that
-        # replaces the old union+distinct one-for-one (same single
-        # shuffle); consumers that only read ``_mk`` (envelope agg,
-        # bloom probes, mor's position harvest) are unaffected.
-        sk = source.select(F.col(key).alias("_mk"), F.lit(True).alias("_s"))
-        if dk_vals:
-            touch_keys = sk.unionByName(
-                self.spark.createDataFrame(
-                    [(v, False) for v in dk_vals], sk.schema
-                )
-            ).groupBy("_mk").agg(F.max("_s").alias("_s"))
-        elif dk_df is not None:
-            touch_keys = sk.unionByName(
-                dk_df.select(
-                    F.col("_dk").alias("_mk"), F.lit(False).alias("_s")
-                )
-            ).groupBy("_mk").agg(F.max("_s").alias("_s"))
-        else:
-            touch_keys = sk.distinct()
+        # _finish_merge_attempt).
+        #
+        # r19: when merge() collected the (bounded) touch rows, the
+        # touch set is rebuilt here as a LocalRelation -- data already
+        # in the driver's hands -- so NOTHING in planning or detection
+        # evaluates the source plan again (the detection scan used to
+        # re-run the full source subtree per attempt), and the
+        # detection join build side is a broadcast of local rows.
+        if touch_rows is not None:
+            from pyspark.sql.types import (
+                BooleanType, StructField, StructType,
+            )
 
-        candidates, bloom_mode, n_touch = self._candidate_files(
+            ktype = source.schema[key].dataType
+            touch_keys = F.broadcast(self.spark.createDataFrame(
+                [(r["_mk"], bool(r["_s"])) for r in touch_rows],
+                StructType([
+                    StructField("_mk", ktype),
+                    StructField("_s", BooleanType()),
+                ]),
+            ))
+        else:
+            sk = source.select(
+                F.col(key).alias("_mk"), F.lit(True).alias("_s")
+            )
+            if dk_vals:
+                touch_keys = sk.unionByName(
+                    self.spark.createDataFrame(
+                        [(v, False) for v in dk_vals], sk.schema
+                    )
+                ).groupBy("_mk").agg(F.max("_s").alias("_s"))
+            elif dk_df is not None:
+                touch_keys = sk.unionByName(
+                    dk_df.select(
+                        F.col("_dk").alias("_mk"), F.lit(False).alias("_s")
+                    )
+                ).groupBy("_mk").agg(F.max("_s").alias("_s"))
+            else:
+                touch_keys = sk.distinct()
+
+        candidates, bloom_mode, n_touch, _ = self._candidate_files(
             touch_keys, key, base_version, bloom_probe,
-            touch_envelope=touch_envelope,
+            probe_rows=touch_rows, touch_envelope=touch_envelope,
+            # merge() already ran the bounded probe whenever it could;
+            # touch_rows=None there means it OVERFLOWED -- don't pay
+            # the doomed limit-collect again per attempt
+            skip_probe=(
+                touch_rows is None
+                and touch_envelope is None
+                and bloom_probe != "distributed"
+            ),
         )
         finish = (
             self._finish_merge_mor
@@ -2739,7 +2960,7 @@ class CowTable:
         return finish(
             source, key, dk_vals, dk_df, meta, evolve_schema,
             base_version, snapshot_files, touch_keys, candidates,
-            bloom_mode, n_touch,
+            bloom_mode, n_touch, n_dk=n_dk,
         )
 
     def _candidate_files(
@@ -2750,16 +2971,21 @@ class CowTable:
         bloom_probe: str | None = None,
         probe_rows: list | None = None,
         touch_envelope: tuple | None = None,
-    ) -> tuple[list[str], str | None, int | None]:
+        skip_probe: bool = False,
+    ) -> tuple[list[str], str | None, int | None, list | None]:
         """Files of snapshot ``base_version`` that MAY contain a key of
         ``touch_keys`` -- the shared skipping front-end of every keyed
         mutation (:meth:`merge` both strategies, :meth:`delete`).
         Returns ``(candidate files, bloom probe mode or None, distinct
-        non-null touch-key count or None when not cheaply known)`` --
+        non-null touch-key count or None when not cheaply known,
+        collected touch rows or None)`` --
         the count falls out of work this planner does anyway (the
         bounded key collect, or a count() column added to the envelope
         agg at zero extra jobs) and lets the merge back half decide
-        whether the source keys are provably broadcast-sized.
+        whether the source keys are provably broadcast-sized.  The
+        collected rows (bounded batches only) let callers rebuild the
+        touch set as a driver-side LocalRelation, so no downstream
+        join re-evaluates the batch plan (r19).
 
         File-level prune BEFORE any data scan (Delta-style skipping
         applied to the MERGE condition): every touch key lies inside
@@ -2786,41 +3012,42 @@ class CowTable:
         snapshot_files = self.files(base_version)
         candidates = snapshot_files
         n_touch: int | None = None
-        # Fused key probe (r18): when the table is bloom-indexed on
-        # this key, the bloom stage below needs a bounded collect of
-        # the touch keys anyway -- collect it FIRST and, when the
-        # batch fits, derive the range envelope from the same rows
-        # instead of running a separate agg job (one driver job per
-        # keyed mutation instead of two).  Python min/max is the same
-        # comparison _stat_cmp_ok applies later, restricted to
-        # str/int keys so float-NaN ordering quirks can never narrow
-        # the envelope.  Oversized batches fall back to the agg job
-        # and hand the collected rows to the distributed-probe sizing.
-        try:
-            has_bidx = (
-                self._bloom_index(self._commit_doc(base_version), key)
-                is not None
-            )
-        except TypeError:
-            has_bidx = False
+        # Fused key probe (r18, ungated r19): a bounded batch's ONE
+        # limit-collect replaces the envelope agg job for EVERY keyed
+        # mutation (not just bloom-indexed tables -- the collected
+        # rows now also feed the affected-file detection join as a
+        # broadcast LocalRelation, so the batch plan is never
+        # re-evaluated downstream).  When the batch fits, the range
+        # envelope derives from the same rows instead of a separate
+        # agg job.  Python min/max is the same comparison
+        # _stat_cmp_ok applies later, restricted to str/int keys so
+        # float-NaN ordering quirks can never narrow the envelope.
+        # Oversized batches pay the failed probe (limit stops early --
+        # cheap) and fall back to the agg job, handing the collected
+        # rows to the distributed-probe sizing.
         if (
             touch_envelope is None
             and probe_rows is None
             and bloom_probe != "distributed"
-            and has_bidx
+            and not skip_probe
         ):
             probe_rows = touch_keys.limit(
                 _BLOOM_PRUNE_MAX_KEYS + 1
             ).collect()
-            if len(probe_rows) <= _BLOOM_PRUNE_MAX_KEYS:
-                nn = [r["_mk"] for r in probe_rows if r["_mk"] is not None]
-                n_touch = len(nn)
-                if not nn:
-                    touch_envelope = (None, None)  # all-null: no match
-                elif all(isinstance(v, (str, int)) for v in nn):
-                    touch_envelope = (min(nn), max(nn))
+        if (
+            touch_envelope is None
+            and probe_rows is not None
+            and len(probe_rows) <= _BLOOM_PRUNE_MAX_KEYS
+        ):
+            nn = [r["_mk"] for r in probe_rows if r["_mk"] is not None]
+            n_touch = len(nn)
+            if not nn:
+                touch_envelope = (None, None)  # all-null: no match
+            elif all(isinstance(v, (str, int)) for v in nn):
+                touch_envelope = (min(nn), max(nn))
         elif probe_rows is not None and len(probe_rows) <= _BLOOM_PRUNE_MAX_KEYS:
-            # caller-collected bounded batch (delete values=): count known
+            # caller-supplied envelope alongside a bounded batch
+            # (delete values=): count known for free
             n_touch = sum(1 for r in probe_rows if r["_mk"] is not None)
         if touch_envelope is not None:
             b = {"lo": touch_envelope[0], "hi": touch_envelope[1]}
@@ -2887,13 +3114,20 @@ class CowTable:
                     if not use_dist:
                         # callers that already collected the (bounded)
                         # key batch to plan their probe mode pass it in
-                        # -- saves one job per driver-mode probe
+                        # -- saves one job per driver-mode probe; a
+                        # caller that probed and OVERFLOWED says so
+                        # (skip_probe) and the oversized sentinel
+                        # routes straight to the distributed path
                         probe = (
                             probe_rows
                             if probe_rows is not None
-                            else touch_keys.limit(
-                                _BLOOM_PRUNE_MAX_KEYS + 1
-                            ).collect()
+                            else (
+                                [None] * (_BLOOM_PRUNE_MAX_KEYS + 1)
+                                if skip_probe
+                                else touch_keys.limit(
+                                    _BLOOM_PRUNE_MAX_KEYS + 1
+                                ).collect()
+                            )
                         )
                         if len(probe) <= _BLOOM_PRUNE_MAX_KEYS:
                             if n_touch is None:
@@ -2935,7 +3169,13 @@ class CowTable:
                             bloom_mode = "driver"
             except TypeError:
                 pass
-        return candidates, bloom_mode, n_touch
+        touch_rows = (
+            probe_rows
+            if probe_rows is not None
+            and len(probe_rows) <= _BLOOM_PRUNE_MAX_KEYS
+            else None
+        )
+        return candidates, bloom_mode, n_touch, touch_rows
 
     def _finish_merge_attempt(
         self, source: DataFrame, key: str, dk_vals: list,
@@ -2943,10 +3183,21 @@ class CowTable:
         base_version: int, snapshot_files: list[str],
         touch_keys: DataFrame, candidates: list[str],
         bloom_mode: str | None, n_touch: int | None = None,
+        n_dk: int | None = None,
     ) -> dict:
         """Copy-on-write back half of :meth:`_merge_attempt`: find the
         affected files among ``candidates``, re-merge exactly their
-        live rows with the source, rewrite them, carry the rest."""
+        live rows with the source, rewrite them, carry the rest.
+
+        Change-feed commits take the FUSED single-wide-pass write
+        (r19): the rewritten files' live rows and the source are read
+        ONCE, every row classified in-plan (data row / change row via
+        broadcast-LocalRelation markers), and one partitioned staging
+        write emits the data files and the change files together --
+        the pre-r19 shape scanned the rewritten slice wide twice
+        (data rewrite + change-set pre-image).  Data files carry a
+        hidden all-NULL ``_change_type`` column; snapshot reads
+        project to the recorded schema, which omits it."""
         snap_schema = self._snapshot_schema(base_version)
         dv_map = self._dv_map(self._commit_doc(base_version))
         mk_all: list | None = []  # matched touch keys (source + delete)
@@ -2984,15 +3235,14 @@ class CowTable:
                 )
                 .distinct()
             )
-            # a batch the planner already counted past the cap cannot
-            # come back inline (triples >= matched keys): skip the
-            # doomed limit-probe so the bulk path scans candidates
-            # once, not twice
-            probe = (
-                [None] * (_MATCHED_INLINE_MAX + 1)
-                if n_touch is not None and n_touch > _MATCHED_INLINE_MAX
-                else matched.limit(_MATCHED_INLINE_MAX + 1).collect()
-            )
+            # ALWAYS limit-probe (ADVICE r18 #2): a touch count past
+            # the cap does NOT bound the matched count from below -- a
+            # large source with few actual matches still comes back
+            # inline, keeping the whole merge on the LocalRelation
+            # fast path.  When the probe does overflow, its cost was
+            # one key+file column-pruned scan of the candidates -- the
+            # bulk path's own pinning scan, paid once more.
+            probe = matched.limit(_MATCHED_INLINE_MAX + 1).collect()
             if len(probe) <= _MATCHED_INLINE_MAX:
                 affected_base = {r["_file"] for r in probe}
                 mk_all = sorted({r["_k"] for r in probe})
@@ -3075,74 +3325,198 @@ class CowTable:
         # unique-keyed by contract (see :meth:`merge`).
         src_aligned = src_proj.select(affected_df.columns)
         new_version = base_version + 1
+        feed = self._change_feed_enabled(base_version)
+        # Broadcast gate for the bulk-path key sets: count bound AND a
+        # byte estimate (ADVICE r18 #1 -- wide string keys could push
+        # a count-gated build side past driver/broadcast limits); the
+        # width estimate comes from the snapshot's own footer stats.
+        small_keys = (
+            n_touch is not None
+            and n_touch <= _MERGE_BROADCAST_MAX_KEYS
+            and n_touch * self._key_width_estimate(base_version, key)
+            <= _MERGE_BROADCAST_MAX_BYTES
+        )
+        # coalesce target: no shuffle, caps the per-merge output file
+        # count at the rewritten-file count -- FLOORED (ADVICE r18 #5)
+        # so an insert-heavy merge that touches one file does not
+        # collapse the whole source evaluation and write into a single
+        # task.  coalesce(n) with n >= input partitions is identity,
+        # so the floor only widens genuinely narrow plans.
+        n_out = max(
+            len(rewritten),
+            min(8, self.spark.sparkContext.defaultParallelism),
+        )
+        chg_files: list[str] = []
+
+        def _key_rel(vals: list, name: str) -> DataFrame:
+            # driver-held keys as a broadcast LocalRelation, NOT an
+            # isin() literal (a multi-thousand-literal In costs ~2 s
+            # of driver planning PER ACTION on this box)
+            from pyspark.sql.types import StructField, StructType
+
+            return F.broadcast(self.spark.createDataFrame(
+                [(v,) for v in vals],
+                StructType(
+                    [StructField(name, affected_df.schema[key].dataType)]
+                ),
+            ))
+
         if not rewritten:
             # Nothing matched (insert-only batch, or the range/bloom
             # prune refuted every file): the merged output IS the
             # source -- a single source evaluation, no join, exactly
             # the pre-r18 cost.  LSH appends (files_probed == 0 by
-            # design) live entirely on this path.
+            # design) live entirely on this path.  With the feed on,
+            # the change set is source-only (all inserts) -- there is
+            # no wide slice to fuse with, so the separate delta-sized
+            # change write stays.
             merged = src_aligned
-        elif mk_all is not None:
-            # Collected matched keys ride as a broadcast LocalRelation
-            # anti-join -- data, not expression: a multi-thousand-
-            # literal isin() costs ~1.6 s of driver PLANNING per
-            # action on this box (measured: 2.2 s/action at 3k md5
-            # literals vs 0.6 s for the identical LocalRelation
-            # anti-join), and the merge runs several actions whose
-            # plans would each carry it.  The LocalRelation build is
-            # driver rows already in hand, so the join re-evaluates
-            # no source subtree.  NULL-keyed target rows survive the
-            # anti (NULL never equals a key).  coalesce (no shuffle)
-            # back to the rewritten-file count so the union's source
-            # branch does not append near-empty files per merge.
-            from pyspark.sql.types import StructField, StructType
-
-            mk_rel = self.spark.createDataFrame(
-                [(v,) for v in mk_all],
-                StructType(
-                    [StructField("_mkk", affected_df.schema[key].dataType)]
-                ),
+            if feed:
+                chg_files = self._write_change_files(
+                    self._change_set(
+                        pre_image, src_aligned, key, dk_vals, dk_df,
+                        small_keys=small_keys,
+                        sk_vals=mk_src,
+                        sk_df=(
+                            mk_df.filter(F.col("_s"))
+                            .select(F.col("_k").alias("_sk"))
+                            .distinct()
+                            if mk_df is not None
+                            else None
+                        ),
+                    ),
+                    new_version,
+                )
+            new_files, new_stats, out_dir = self._write_data_files(
+                merged, new_version
             )
-            merged = affected_df.join(
-                F.broadcast(mk_rel),
-                affected_df[key] == F.col("_mkk"),
-                "left_anti",
-            ).unionByName(src_aligned).coalesce(len(rewritten))
+            data_schema_json = merged.schema.jsonValue()
+        elif feed:
+            # FUSED single-wide-pass CDC write (r19, VERDICT r18 next
+            # #1; guide §1.2 "remove unnecessary passes"): the pre-r19
+            # shape read the rewritten files' live rows WIDE twice --
+            # once for the data rewrite (anti-join + union) and once
+            # for the change-set pre-image -- plus one source
+            # evaluation in each.  Here every pre row classifies in
+            # ONE pass against broadcast-LocalRelation markers:
+            #   key in matched-source set      -> update_preimage
+            #   key in delete set (not source) -> delete
+            #   otherwise                      -> carried data row
+            #     (_change_type NULL)
+            # and each source row emits its data copy and its change
+            # copy (update_postimage when matched, else insert) from
+            # ONE evaluation via an explode over the two change types.
+            # A single partitionBy-disposition staging write then
+            # splits data files from change files (same task writes
+            # both).  Row sets are exactly the old ones: for a live
+            # row of a rewritten file, "key matched" == "key in
+            # matched-source or delete set" (an unmatched delete key
+            # cannot appear in any candidate file), and NULL keys
+            # match no marker -- they stay data rows, as the anti-join
+            # kept them.  Data files carry _change_type all-NULL;
+            # snapshot reads project to the recorded schema (which
+            # omits it), so readers never see the column.
+            ct = "_change_type"
+            if mk_src is not None:
+                sk_pre = _key_rel(mk_src, "_ck").withColumn(
+                    "_in_src", F.lit(True)
+                )
+                sk_src = _key_rel(mk_src, "_ck2").withColumn(
+                    "_in_tbl", F.lit(True)
+                )
+            else:
+                base_sk = (
+                    mk_df.filter(F.col("_s"))
+                    .select(F.col("_k").alias("_ck"))
+                    .distinct()
+                )
+                if small_keys:
+                    base_sk = F.broadcast(base_sk)
+                sk_pre = base_sk.withColumn("_in_src", F.lit(True))
+                sk_src = base_sk.select(
+                    F.col("_ck").alias("_ck2")
+                ).withColumn("_in_tbl", F.lit(True))
+            tagged = affected_df.join(
+                sk_pre, affected_df[key] == F.col("_ck"), "left"
+            )
+            if dk_vals:
+                dkm = _key_rel(dk_vals, "_dck").withColumn(
+                    "_in_del", F.lit(True)
+                )
+                tagged = tagged.join(
+                    dkm, tagged[key] == F.col("_dck"), "left"
+                )
+                is_del = F.col("_in_del")
+            elif dk_df is not None:
+                dkm = dk_df.select(
+                    F.col("_dk").alias("_dck")
+                ).withColumn("_in_del", F.lit(True))
+                if small_keys:
+                    dkm = F.broadcast(dkm)
+                tagged = tagged.join(
+                    dkm, tagged[key] == F.col("_dck"), "left"
+                )
+                is_del = F.col("_in_del")
+            else:
+                is_del = F.lit(False)
+            cols = affected_df.columns
+            pre_branch = tagged.select(
+                *cols,
+                F.when(F.col("_in_src"), F.lit("update_preimage"))
+                .when(is_del, F.lit("delete"))
+                .alias(ct),
+            )
+            src_tagged = src_aligned.join(
+                sk_src, src_aligned[key] == F.col("_ck2"), "left"
+            )
+            src_branch = src_tagged.select(
+                *cols,
+                F.explode(F.array(
+                    F.lit(None).cast("string"),
+                    F.when(
+                        F.col("_in_tbl"), F.lit("update_postimage")
+                    ).otherwise(F.lit("insert")),
+                )).alias(ct),
+            )
+            fused = pre_branch.unionByName(src_branch).coalesce(n_out)
+            new_files, new_stats, out_dir, chg_files = (
+                self._write_fused_cdc_files(fused, ct, new_version)
+            )
+            # recorded snapshot schema OMITS the hidden _change_type
+            # column the fused data files physically carry
+            from pyspark.sql.types import StructType
+
+            data_schema_json = StructType(
+                [f for f in fused.schema.fields if f.name != ct]
+            ).jsonValue()
         else:
-            # Bulk path (> _MATCHED_INLINE_MAX matched keys): anti-join
-            # against the pinned matched-key set; broadcast when the
-            # planner proved the touch keys bounded, else AQE decides.
-            mk_keys = mk_df.select(F.col("_k").alias("_mkk")).distinct()
-            if n_touch is not None and n_touch <= _MERGE_BROADCAST_MAX_KEYS:
-                mk_keys = F.broadcast(mk_keys)
-            merged = affected_df.join(
-                mk_keys, affected_df[key] == F.col("_mkk"), "left_anti"
-            ).unionByName(src_aligned).coalesce(len(rewritten))
-
-        chg_files: list[str] = []
-        if self._change_feed_enabled(base_version):
-            chg_files = self._write_change_files(
-                self._change_set(
-                    pre_image, src_aligned, key,
-                    dk_vals, dk_df,
-                    small_keys=(
-                        n_touch is not None
-                        and n_touch <= _MERGE_BROADCAST_MAX_KEYS
-                    ),
-                    sk_vals=mk_src,
-                    sk_df=(
-                        mk_df.filter(F.col("_s"))
-                        .select(F.col("_k").alias("_sk"))
-                        .distinct()
-                        if mk_df is not None
-                        else None
-                    ),
-                ),
-                new_version,
+            if mk_all is not None:
+                # Collected matched keys ride as a broadcast
+                # LocalRelation anti-join -- data, not expression (the
+                # isin() planning hazard above).  The LocalRelation
+                # build is driver rows already in hand, so the join
+                # re-evaluates no source subtree.  NULL-keyed target
+                # rows survive the anti (NULL never equals a key).
+                merged = affected_df.join(
+                    _key_rel(mk_all, "_mkk"),
+                    affected_df[key] == F.col("_mkk"),
+                    "left_anti",
+                ).unionByName(src_aligned).coalesce(n_out)
+            else:
+                # Bulk path (> _MATCHED_INLINE_MAX matched keys):
+                # anti-join against the pinned matched-key set;
+                # broadcast when the planner proved the touch keys
+                # bounded (count AND bytes), else AQE decides.
+                mk_keys = mk_df.select(F.col("_k").alias("_mkk")).distinct()
+                if small_keys:
+                    mk_keys = F.broadcast(mk_keys)
+                merged = affected_df.join(
+                    mk_keys, affected_df[key] == F.col("_mkk"), "left_anti"
+                ).unionByName(src_aligned).coalesce(n_out)
+            new_files, new_stats, out_dir = self._write_data_files(
+                merged, new_version
             )
-        new_files, new_stats, out_dir = self._write_data_files(
-            merged, new_version
-        )
+            data_schema_json = merged.schema.jsonValue()
         try:
             return self._commit(
                 new_version,
@@ -3166,7 +3540,13 @@ class CowTable:
                         else {}
                     ),
                     "delete_keys": (
-                        dk_df.count() if dk_df is not None else len(dk_vals)
+                        n_dk
+                        if n_dk is not None
+                        else (
+                            dk_df.count()
+                            if dk_df is not None
+                            else len(dk_vals)
+                        )
                     ),
                     **({"app_meta": meta} if meta is not None else {}),
                     "txn": self._next_txn(base_version, meta),
@@ -3174,7 +3554,7 @@ class CowTable:
                         **self._carried_stats(base_version, kept),
                         **new_stats,
                     },
-                    "schema": merged.schema.jsonValue(),
+                    "schema": data_schema_json,
                 },
             )
         except ConcurrentWriteError:
@@ -3201,6 +3581,11 @@ class CowTable:
                     "write-write key overlap -- not rebasing"
                 ) from None
             raise
+        finally:
+            # eager release of the bulk-path pinned matched keys
+            # (ADVICE r18 #3); every consumer ran in the writes above
+            if mk_df is not None:
+                _release_pinned(mk_df)
 
     def _dv_positions_for(
         self,
@@ -3209,18 +3594,26 @@ class CowTable:
         dv_map: dict,
         key: str,
         touch_keys: DataFrame,
-    ) -> tuple[dict, int]:
+        want_rows: bool = False,
+    ) -> tuple[dict, int, "DataFrame | None"]:
         """Dead-position bitmaps for every LIVE row of ``candidates``
         whose ``key`` appears in ``touch_keys``: ``({basename: int
-        bitmap}, rows matched)``.  Already-dead rows are filtered
-        first (idempotent re-deletes mark nothing and count nothing).
-        The per-file position lists aggregate executor-side; only the
-        O(files) grouped rows come back, each sized by ITS dead-row
-        count, guarded by ``_DV_COLLECT_MAX`` -- a mutation past that
-        is bulk-sized and must use the copy-on-write strategy, which
-        this error says verbatim."""
+        bitmap}, rows matched, matched rows or None)``.  Already-dead
+        rows are filtered first (idempotent re-deletes mark nothing
+        and count nothing).  The per-file position lists aggregate
+        executor-side; only the O(files) grouped rows come back, each
+        sized by ITS dead-row count, guarded by ``_DV_COLLECT_MAX`` --
+        a mutation past that is bulk-sized and must use the
+        copy-on-write strategy, which this error says verbatim.
+
+        ``want_rows`` (r19): pin the matched rows WIDE (all snapshot
+        columns) instead of just (file, position), and return the
+        pinned frame -- the change-feed writers read their pre-image
+        straight from it, so a CDF dv-delete / mor merge scans the
+        candidate files ONCE (the position harvest) instead of twice
+        (position harvest narrow + change pre-image wide)."""
         if not candidates:
-            return {}, 0
+            return {}, 0, None
         live = self._read_files(
             candidates, schema, dv_map, file_col="__dvf", pos_col="__dvp"
         )
@@ -3228,29 +3621,41 @@ class CowTable:
         # below share ONE scan+join of the candidate files (r18: the
         # two actions otherwise each re-read every candidate -- the
         # dominant cost of a DV mutation is exactly that scan).  The
-        # pinned frame is two small columns (file id, row position),
-        # bounded in the legitimate case by the delta's match count.
+        # pinned frame is (file id, row position) -- plus the full row
+        # under want_rows -- bounded in the legitimate case by the
+        # delta's match count.
+        names = [f.name for f in schema.fields]
+        sel = (names if want_rows else []) + ["__dvf", "__dvp"]
         matched = (
             live.join(touch_keys, live[key] == F.col("_mk"), "left_semi")
-            .select("__dvf", "__dvp")
+            .select(*sel)
             .localCheckpoint(eager=True)
         )
-        n = matched.count()
-        if n > _DV_COLLECT_MAX:
-            raise ValueError(
-                f"{n} matched rows exceed the deletion-vector cap "
-                f"({_DV_COLLECT_MAX}): this mutation is bulk-sized -- "
-                "use strategy='cow' / mode='cow' (file rewrite) instead"
-            )
-        updates: dict = {}
-        if n:
-            for r in (
-                matched.groupBy("__dvf")
-                .agg(F.collect_list("__dvp").alias("ps"))
-                .collect()
-            ):
-                updates[r["__dvf"]] = _dv_build(int(p) for p in r["ps"])
-        return updates, n
+        try:
+            n = matched.count()
+            if n > _DV_COLLECT_MAX:
+                raise ValueError(
+                    f"{n} matched rows exceed the deletion-vector cap "
+                    f"({_DV_COLLECT_MAX}): this mutation is bulk-sized -- "
+                    "use strategy='cow' / mode='cow' (file rewrite) instead"
+                )
+            updates: dict = {}
+            if n:
+                for r in (
+                    matched.groupBy("__dvf")
+                    .agg(F.collect_list("__dvp").alias("ps"))
+                    .collect()
+                ):
+                    updates[r["__dvf"]] = _dv_build(int(p) for p in r["ps"])
+        except Exception:
+            _release_pinned(matched)
+            raise
+        if not want_rows:
+            _release_pinned(matched)
+            return updates, n, None
+        # want_rows: the caller owns the pinned frame (and its eager
+        # release -- ADVICE r18 #3) until its change write has run
+        return updates, n, matched
 
     def _finish_merge_mor(
         self, source: DataFrame, key: str, dk_vals: list,
@@ -3258,6 +3663,7 @@ class CowTable:
         base_version: int, snapshot_files: list[str],
         touch_keys: DataFrame, candidates: list[str],
         bloom_mode: str | None, n_touch: int | None = None,
+        n_dk: int | None = None,
     ) -> dict:
         """Merge-on-read back half of :meth:`_merge_attempt`: instead
         of rewriting affected files, their matched/deleted LIVE rows
@@ -3265,11 +3671,16 @@ class CowTable:
         source row lands in new files -- zero data files rewritten.
         Deletes are implicit: a delete key is a touch key, so its
         positions die, and (matching cow's contract) a key in both
-        ``deletes`` and ``source`` ends up as the source row."""
+        ``deletes`` and ``source`` ends up as the source row.  With
+        the change feed on, the position harvest pins the matched rows
+        wide and the change pre-image reads from the pinned frame --
+        one candidate scan per CDF mor merge, not two (r19)."""
         snap_schema = self._snapshot_schema(base_version)
         dv_map = self._dv_map(self._commit_doc(base_version))
-        dv_updates, rows_matched = self._dv_positions_for(
-            candidates, snap_schema, dv_map, key, touch_keys
+        feed = self._change_feed_enabled(base_version)
+        dv_updates, rows_matched, pre_pinned = self._dv_positions_for(
+            candidates, snap_schema, dv_map, key, touch_keys,
+            want_rows=feed,
         )
         # Same projection contract as cow: strict mode demands every
         # table column (deterministic error, names included); evolve
@@ -3305,10 +3716,13 @@ class CowTable:
         out_df = src_proj.select(*out_cols)
         new_version = base_version + 1
         chg_files: list[str] = []
-        if self._change_feed_enabled(base_version):
-            live = self._read_files(candidates, snap_schema, dv_map)
-            pre = live.join(
-                touch_keys, live[key] == F.col("_mk"), "left_semi"
+        if feed:
+            # pre-image = the matched live rows already pinned by the
+            # position harvest (delta-sized); no second candidate scan
+            pre = (
+                pre_pinned
+                if pre_pinned is not None
+                else self._read_files([], snap_schema, None)
             )
             chg_files = self._write_change_files(
                 self._change_set(
@@ -3346,7 +3760,13 @@ class CowTable:
                         else {}
                     ),
                     "delete_keys": (
-                        dk_df.count() if dk_df is not None else len(dk_vals)
+                        n_dk
+                        if n_dk is not None
+                        else (
+                            dk_df.count()
+                            if dk_df is not None
+                            else len(dk_vals)
+                        )
                     ),
                     **({"app_meta": meta} if meta is not None else {}),
                     "txn": self._next_txn(base_version, meta),
@@ -3715,20 +4135,37 @@ class CowTable:
         data plane at all (files_written = 0)."""
         base_version = self.version()
         snapshot_files = self.files(base_version)
-        candidates, bloom_mode, _ = self._candidate_files(
+        candidates, bloom_mode, _, touch_rows = self._candidate_files(
             touch_keys, key, base_version, bloom_probe,
             probe_rows=probe_rows, touch_envelope=touch_envelope,
         )
         snap_schema = self._snapshot_schema(base_version)
+        if touch_rows is not None:
+            # bounded batch: the collected keys become a broadcast
+            # LocalRelation, so the position harvest never re-evaluates
+            # the caller's deletes plan (r19)
+            from pyspark.sql.types import StructField, StructType
+
+            touch_keys = F.broadcast(self.spark.createDataFrame(
+                [(r["_mk"],) for r in touch_rows],
+                StructType([
+                    StructField("_mk", snap_schema[key].dataType),
+                ]),
+            ))
         dv_map = self._dv_map(self._commit_doc(base_version))
-        dv_updates, rows_deleted = self._dv_positions_for(
-            candidates, snap_schema, dv_map, key, touch_keys
+        feed = self._change_feed_enabled(base_version)
+        dv_updates, rows_deleted, pre_pinned = self._dv_positions_for(
+            candidates, snap_schema, dv_map, key, touch_keys,
+            want_rows=feed,
         )
         chg_files: list[str] = []
-        if self._change_feed_enabled(base_version):
-            live = self._read_files(candidates, snap_schema, dv_map)
-            pre = live.join(
-                touch_keys, live[key] == F.col("_mk"), "left_semi"
+        if feed:
+            # pre-image straight from the pinned matched rows: a CDF
+            # dv delete scans its candidates ONCE, not twice (r19)
+            pre = (
+                pre_pinned
+                if pre_pinned is not None
+                else self._read_files([], snap_schema, None)
             )
             chg_files = self._write_change_files(
                 self._change_set(pre, None, key, [], None),
