@@ -846,6 +846,18 @@ def _release_pinned(df) -> None:
         pass
 
 
+#: process-wide memo of PARSED commit docs, keyed by (path, mtime_ns,
+#: size) so a re-created table at the same path can never serve a
+#: stale doc (r19).  Commit docs are immutable once linked, but they
+#: carry per-file stats -- at 1e5-1e6 files a doc is tens of MB of
+#: JSON, and one mutation used to re-parse the head doc 6-10 times
+#: (version/files/schema/dv/bloom walks).  The stat() per hit is the
+#: whole validation cost.  Bounded; eviction is always safe.
+#: CONSUMERS MUST NOT MUTATE returned docs (audited: none do).
+_DOC_CACHE: dict = {}
+_DOC_CACHE_MAX = 8
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
@@ -884,8 +896,17 @@ class CowTable:
         return max((int(n[:8]) for n in names), default=-1)
 
     def _commit_doc(self, version: int) -> dict:
-        with open(_commit_path(self.path, version)) as f:
-            return json.load(f)
+        p = _commit_path(self.path, version)
+        st = os.stat(p)  # FileNotFoundError = OSError, as open() raised
+        key = (p, st.st_mtime_ns, st.st_size)
+        doc = _DOC_CACHE.get(key)
+        if doc is None:
+            with open(p) as f:
+                doc = json.load(f)
+            while len(_DOC_CACHE) >= _DOC_CACHE_MAX:
+                _DOC_CACHE.pop(next(iter(_DOC_CACHE)))
+            _DOC_CACHE[key] = doc
+        return doc
 
     def history(self) -> list[dict]:
         return [self._commit_doc(v) for v in range(self.version() + 1)]
