@@ -585,23 +585,67 @@ def q_wide_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split AND the exchange carried the widened vectors (10.7 MB
     # shuffle written by one 300 ms task at sf0.1).  Spread-then-widen
     # moves the transform behind the exchange (all cores) and ships
-    # only the narrow source embedding.  The query side widens its 5
-    # rows straight off the scan (filter still pushed down).
+    # only the narrow source embedding.
+    #
+    # PAIR-SHIPPING restructure (r19, VERDICT r18 next #2; guide
+    # §4.1/§4.2): the r18 form BroadcastNestedLoopJoined the 5 query
+    # rows, so every candidate x query output row carried BOTH
+    # 768-wide double vectors into the cosine UDF -- 5 x 2 x 768
+    # doubles (~61 KB) per candidate across the Arrow boundary.  Now
+    # the 5 widened query vectors collect to the driver once and ONE
+    # mapInPandas over the candidates scores all 5 queries per batch:
+    # 768 doubles (~6 KB) per candidate cross once, ~10x less
+    # transfer.  Measured same-JVM at sf1 (where the transfer
+    # dominates): 2.001 s -> 0.675 s min-of-4, 2.96x
+    # (tools/ab_v7_pairship_r19.py); top-k hashes bit-identical at
+    # sf0.001/0.01/0.1/sf1.  Numeric identity, not just closeness:
+    # the kernel runs the SAME einsum signature ("ij,ij->i") over the
+    # same float64 rows -- the query side a broadcast_to view, an
+    # elementwise row-dot in both forms -- and rounding stays in
+    # Spark (F.round, HALF_UP), so no round(.,6) re-roll vs the
+    # oracle (the r18 concern that deferred this).
     base = _t(spark, sf_dir, "embeddings")
-    q = base.filter(F.col("vec_id") < 5).select(
-        "vec_id", _widen_spark().alias("v")
-    ).alias("q")
-    c = _spread(base).select("vec_id", _widen_spark().alias("v")).alias("c")
-    # Fused wide-cosine kernel: ONE Arrow transfer per batch computes
-    # dot + both norms via einsum -- no unrolled 768-term chain (past
-    # Janino limits), no per-row Python.  dim=WIDE_DIM routes
-    # V.cosine through functions/vectors._wide.
-    sims = c.join(F.broadcast(q), F.col("q.vec_id") != F.col("c.vec_id")).select(
-        F.col("q.vec_id").alias("query_id"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        F.round(V.cosine(F.col("q.v"), F.col("c.v"), dim=WIDE_DIM), 6).alias(
-            "cos_sim"
-        ),
+    qrows = sorted(
+        base.filter(F.col("vec_id") < 5)
+        .select("vec_id", _widen_spark().alias("v"))
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = [int(r["vec_id"]) for r in qrows]
+    qvecs = [list(r["v"]) for r in qrows]
+    cand = _spread(base).select("vec_id", _widen_spark().alias("v"))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = [np.asarray(v, dtype=np.float64) for v in qvecs]  # per task
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["v"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()
+            parts = []
+            for qid, qv in zip(qids, Q):
+                B = np.broadcast_to(qv, C.shape)
+                num = np.einsum("ij,ij->i", C, B)
+                na = np.sqrt(np.einsum("ij,ij->i", C, C))
+                nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+                cos = num / (na * nb)
+                m = ids != qid
+                parts.append(pd.DataFrame({
+                    "query_id": np.full(
+                        int(m.sum()), qid, dtype=np.int64
+                    ),
+                    "neighbor_id": ids[m].astype(np.int64),
+                    "cos_sim": cos[m],
+                }))
+            yield pd.concat(parts, ignore_index=True)
+
+    sims = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    ).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
