@@ -1462,14 +1462,42 @@ def main() -> int:
     # 35-40% slow (14.3 MB/s in-process vs 21+ fresh, identical code).
     # A fresh JVM gives the number a 1000-executor cluster would see.
     # Inline fallback keeps the metric present if the subprocess dies.
-    etl = _subprocess_block("etl", sf_dir, timeout_s=600)
-    if etl is None:
+    #
+    # MEDIAN-OF-3 cohort (r19, VERDICT r18 next #5 -- a measurement
+    # hygiene change, declared in OPTIMIZATION_r19.md): this box's
+    # host-steal bursts put a 2x spread on identical-code ETL samples
+    # (same rev logged 53.6-181.2 s CPU across five r18 runs), and the
+    # round used to be graded on whichever single sample the driver
+    # caught.  The block now runs up to 3 times in its own JVMs; the
+    # REPORTED etl_* fields are the run with the median etl_mb_per_s,
+    # i.e. still one real single-run measurement, never an average of
+    # mixed runs -- and every run's numbers stay visible under
+    # etl_runs in BENCH_DETAIL/history (the old single-sample fields
+    # are exactly what run 1 would have reported).  etl_runs_n rides
+    # the compact stdout line.
+    etl_runs: list[dict] = []
+    for _etl_try in range(3):
+        # runs 2-3 get a tighter budget: a healthy child finishes well
+        # under 300 s, and a crashy day must not eat the sf1 blocks
+        one = _subprocess_block(
+            "etl", sf_dir, timeout_s=600 if _etl_try == 0 else 300
+        )
+        if one is not None and one.get("etl_mb_per_s"):
+            etl_runs.append(one)
+        if _etl_try == 0 and not etl_runs:
+            break  # block is broken, don't burn 30 min on retries
+    if not etl_runs:
         es = get_spark(app_name="bench_etl_fallback")
         try:
-            etl = _bench_etl(es, target_mb=77.0 * sf / 0.1)
+            etl_runs = [_bench_etl(es, target_mb=77.0 * sf / 0.1)]
         finally:
             es.stop()
+    etl = sorted(etl_runs, key=lambda r: r["etl_mb_per_s"])[
+        (len(etl_runs) - 1) // 2
+    ]
     result.update(etl)
+    result["etl_runs"] = etl_runs
+    result["etl_runs_n"] = len(etl_runs)
 
     # 10x scale-up + planted-skew + streaming-maintainer blocks
     # (default sf0.1 runs only; SPARK_GRAFT_SF1=0 disables all).  Each

@@ -3438,27 +3438,25 @@ class CowTable:
             # snapshot reads project to the recorded schema (which
             # omits it), so readers never see the column.
             ct = "_change_type"
+            # ONE marker relation serves both sides (pre's _in_src and
+            # the source's matched test are the same key set), so the
+            # plan carries a single broadcast build the second join
+            # reuses (ReusedExchange) -- one fewer AQE broadcast job.
             if mk_src is not None:
-                sk_pre = _key_rel(mk_src, "_ck").withColumn(
+                skm = _key_rel(mk_src, "_ck").withColumn(
                     "_in_src", F.lit(True)
                 )
-                sk_src = _key_rel(mk_src, "_ck2").withColumn(
-                    "_in_tbl", F.lit(True)
-                )
             else:
-                base_sk = (
+                skm = (
                     mk_df.filter(F.col("_s"))
                     .select(F.col("_k").alias("_ck"))
                     .distinct()
+                    .withColumn("_in_src", F.lit(True))
                 )
                 if small_keys:
-                    base_sk = F.broadcast(base_sk)
-                sk_pre = base_sk.withColumn("_in_src", F.lit(True))
-                sk_src = base_sk.select(
-                    F.col("_ck").alias("_ck2")
-                ).withColumn("_in_tbl", F.lit(True))
+                    skm = F.broadcast(skm)
             tagged = affected_df.join(
-                sk_pre, affected_df[key] == F.col("_ck"), "left"
+                skm, affected_df[key] == skm["_ck"], "left"
             )
             if dk_vals:
                 dkm = _key_rel(dk_vals, "_dck").withColumn(
@@ -3488,14 +3486,14 @@ class CowTable:
                 .alias(ct),
             )
             src_tagged = src_aligned.join(
-                sk_src, src_aligned[key] == F.col("_ck2"), "left"
+                skm, src_aligned[key] == skm["_ck"], "left"
             )
             src_branch = src_tagged.select(
                 *cols,
                 F.explode(F.array(
                     F.lit(None).cast("string"),
                     F.when(
-                        F.col("_in_tbl"), F.lit("update_postimage")
+                        skm["_in_src"], F.lit("update_postimage")
                     ).otherwise(F.lit("insert")),
                 )).alias(ct),
             )

@@ -116,11 +116,12 @@ def main() -> int:
     )
     chg_old = pre_part.unionByName(src_part)
 
-    # ---- NEW: one fused pass ----------------------------------------
-    sk_n = rel(mk_src, "_ck").withColumn("_in_src", F.lit(True))
+    # ---- NEW: one fused pass (shared marker relation -- the second
+    # join reuses the first's broadcast build) ------------------------
+    skm = rel(mk_src, "_ck").withColumn("_in_src", F.lit(True))
     dkm_n = rel(dk_vals, "_dck").withColumn("_in_del", F.lit(True))
     pre_branch = (
-        affected.join(sk_n, affected["k"] == F.col("_ck"), "left")
+        affected.join(skm, affected["k"] == skm["_ck"], "left")
         .join(dkm_n, affected["k"] == F.col("_dck"), "left")
         .select(
             *cols,
@@ -129,15 +130,14 @@ def main() -> int:
             .alias(ct),
         )
     )
-    tk_n = rel(mk_src, "_ck2").withColumn("_in_tbl", F.lit(True))
     src_branch = (
-        src.join(tk_n, src["k"] == F.col("_ck2"), "left")
+        src.join(skm, src["k"] == skm["_ck"], "left")
         .select(
             *cols,
             F.explode(F.array(
                 F.lit(None).cast("string"),
                 F.when(
-                    F.col("_in_tbl"), F.lit("update_postimage")
+                    skm["_in_src"], F.lit("update_postimage")
                 ).otherwise(F.lit("insert")),
             )).alias(ct),
         )
